@@ -179,8 +179,8 @@ def test_ring_area_and_pack_roundtrip():
 
 def test_tile_buffer():
     # buffered tiles expand candidate set (reference grid_workflow tile_buffer)
-    poly = [[box_ring(10.2, 10.2, 10.8, 10.8)]]
-    base = {i for i, _ in GRID_A.tiles_from_geopolygon(poly[0])}
+    mp = [[box_ring(10.2, 10.2, 10.8, 10.8)]]
+    base = {i for i, _ in GRID_A.tiles_from_geopolygon(mp)}
     assert base == {(0, 0)}
-    buffered = {i for i, _ in GRID_A.tiles_from_geopolygon(poly[0], tile_buffer=(0.3, 0.3))}
+    buffered = {i for i, _ in GRID_A.tiles_from_geopolygon(mp, tile_buffer=(0.3, 0.3))}
     assert buffered == {(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)}
