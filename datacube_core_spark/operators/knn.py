@@ -1,0 +1,107 @@
+"""kNN over grid-cell rings with guaranteed-exact escalation.
+
+The reference's PostGIS driver answers proximity queries with a GIST
+spatial index (SURVEY §2.3 "PostGIS spatial-index join" row); our
+replacement is the cell-ring pattern: explode each query point to the
+tiles within Chebyshev ring radius ``r``, equi-join pages on the tile id,
+rank by distance within the query partition (SURVEY §2.5/§2.6: kNN =
+``Window.orderBy(dist).row_number() <= k``).
+
+Correctness guarantee: a page outside ring ``r`` of the query's tile is at
+coordinate distance ≥ r·tile_size, so once the k-th candidate's distance is
+≤ r·tile_size the answer is exact.  Queries that fail the guarantee are
+re-run with doubled radius (driver-side loop over the shrinking remainder —
+each pass is one distributed job, never a per-row loop).
+
+Determinism: ties broken by (dist_sq, doc_id) — row-for-row reproducible
+and oracle-checkable (squared distance avoids sqrt and is bit-identical
+between Spark and DuckDB on the same doubles).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..geom.grid import GridSpec
+from .tiling import point_tile_cols
+
+
+def _ring_offsets(spark, r: int) -> DataFrame:
+    """All (dx, dy) with Chebyshev norm ≤ r."""
+    offs = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+    return spark.createDataFrame(offs, "dx INT, dy INT")
+
+
+def knn_join(
+    pages_df: DataFrame,
+    queries_df: DataFrame,
+    grid: GridSpec,
+    k: int = 5,
+    r0: int = 1,
+    id_col: str = "doc_id",
+    query_id_col: str = "qid",
+    max_r: int = 64,
+) -> DataFrame:
+    """Exact k nearest pages for each query point.
+
+    ``queries_df``: (qid, lon, lat).  Returns (qid, doc_id, dist_sq, rank).
+    """
+    spark = pages_df.sparkSession
+    size = min(abs(grid.tile_size[0]), abs(grid.tile_size[1]))
+
+    tx, ty = point_tile_cols(grid, F.col("lon"), F.col("lat"))
+    pages_t = pages_df.select(id_col, "lon", "lat").withColumn("ptx", tx).withColumn("pty", ty)
+
+    qtx, qty = point_tile_cols(grid, F.col("q_lon"), F.col("q_lat"))
+    pending = (
+        queries_df.select(
+            F.col(query_id_col).alias("qid"),
+            F.col("lon").alias("q_lon"),
+            F.col("lat").alias("q_lat"),
+        )
+        .withColumn("qtx", qtx)
+        .withColumn("qty", qty)
+    )
+
+    results = None
+    r = r0
+    while True:
+        ring = _ring_offsets(spark, r)
+        cand_tiles = (
+            pending.crossJoin(F.broadcast(ring))
+            .select("qid", "q_lon", "q_lat", (F.col("qtx") + F.col("dx")).alias("ptx"), (F.col("qty") + F.col("dy")).alias("pty"))
+        )
+        dlon = F.col("lon") - F.col("q_lon")
+        dlat = F.col("lat") - F.col("q_lat")
+        cand = (
+            pages_t.join(F.broadcast(cand_tiles), on=["ptx", "pty"], how="inner")
+            .withColumn("dist_sq", dlon * dlon + dlat * dlat)
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(), F.col(id_col).asc())
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", id_col, "dist_sq", "rank")
+        )
+
+        guarantee = float(r * size) ** 2
+        stats = topk.groupBy("qid").agg(F.count("*").alias("n"), F.max("dist_sq").alias("maxd"))
+        # strict <: a tie exactly at the ring boundary could hide an
+        # equal-distance, lower-id page just outside the ring
+        resolved_q = stats.where((F.col("n") >= k) & (F.col("maxd") < F.lit(guarantee))).select("qid")
+        exhausted = r >= max_r
+        if exhausted:
+            resolved_q = stats.select("qid")
+
+        batch = topk.join(F.broadcast(resolved_q), on="qid", how="left_semi")
+        results = batch if results is None else results.unionByName(batch)
+
+        pending = pending.join(F.broadcast(resolved_q), on="qid", how="left_anti")
+        if exhausted or len(pending.take(1)) == 0:
+            break
+        r *= 2
+
+    return results

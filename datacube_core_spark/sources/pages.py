@@ -1,0 +1,116 @@
+"""Deterministic synthetic `pages` table (Common-Crawl-style web pages).
+
+``BASELINE.json.input_hint`` mandates an input table of shape
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+No external data is allowed, so pages are synthesized *deterministically*
+from the driver-provided ``documents`` parquet (``doc_id, text, lang``
+columns) with pure-arithmetic derivations that are expressible identically
+in Spark SQL and DuckDB SQL — this is what lets the driver's DuckDB oracle
+verify every spatial operator end-to-end (CORRECTNESS gate).
+
+The geocode step (lon/lat from doc_id) mirrors the reference's EO3 spatial
+normalization (reference ``datacube/index/eo3.py:77-157``: every row gets
+canonical spatial columns before indexing), with FIXTURES.md §1's skew
+injection: 20% of rows land in 3 hot ~0.5° boxes (dense URL clusters) to
+exercise salting / AQE skew handling.
+
+IEEE-754 note: every derived value is (integer op chain) followed by a
+single divide + add, so Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- geocode constants (single source of truth; mirrored in SQL below) ---
+LON_MULT = 2654435761  # Knuth multiplicative hash constant
+LAT_MULT = 1103515245  # glibc LCG constant
+LAT_ADD = 12345
+TS_MULT = 9973
+TS_MOD = 31536000  # seconds per year
+TS_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+HOT_LON = (2.0, -74.0, 116.0)  # Paris / NYC / Beijing-ish cluster centers
+HOT_LAT = (48.0, 40.0, 39.0)
+
+# per-page bbox half-size (pages get a small footprint for bbox→tiles tests)
+BBOX_W_BASE = 0.05
+BBOX_W_STEP = 0.01
+
+
+def _base_lon(doc_id: Column) -> Column:
+    return ((doc_id * F.lit(LON_MULT)) % F.lit(360000000)) / F.lit(1000000.0) - F.lit(180.0)
+
+
+def _base_lat(doc_id: Column) -> Column:
+    return ((doc_id * F.lit(LAT_MULT) + F.lit(LAT_ADD)) % F.lit(170000000)) / F.lit(1000000.0) - F.lit(85.0)
+
+
+def _hot(doc_id: Column, centers, frac_mult: int) -> Column:
+    k = doc_id % F.lit(3)
+    center = (
+        F.when(k == 0, F.lit(centers[0]))
+        .when(k == 1, F.lit(centers[1]))
+        .otherwise(F.lit(centers[2]))
+    )
+    return center + (F.floor(doc_id / F.lit(frac_mult)) % F.lit(1000)) / F.lit(2000.0)
+
+
+def lon_expr(doc_id: Column) -> Column:
+    return F.when(doc_id % 5 == 0, _hot(doc_id, HOT_LON, 5)).otherwise(_base_lon(doc_id))
+
+
+def lat_expr(doc_id: Column) -> Column:
+    return F.when(doc_id % 5 == 0, _hot(doc_id, HOT_LAT, 7)).otherwise(_base_lat(doc_id))
+
+
+def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load documents parquet and derive the full pages table.
+
+    Column pruning matters at scale: ``html`` is built lazily from ``text``
+    and Catalyst drops it unless a query asks for it (SURVEY §4: the
+    ``html:binary`` column must never be read unless needed).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    return docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("https://site"), (d % 97).cast("string"), F.lit(".example/"),
+            F.col("lang"), F.lit("/page/"), d.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(TS_EPOCH) + (d * TS_MULT) % TS_MOD).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        lon_expr(d).alias("lon"),
+        lat_expr(d).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the same pages derivation as a CTE prefix.  Every oracle
+# query in __spark_entry__.oracle_sql() starts with this, so the two engines
+# compute from identical inputs.
+# ---------------------------------------------------------------------------
+
+PAGES_CTE = f"""
+WITH pages AS (
+  SELECT
+    doc_id,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/' || lang || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + ((doc_id * {TS_MULT}) % {TS_MOD}) * INTERVAL 1 SECOND AS warc_ts,
+    text,
+    lang,
+    CASE WHEN doc_id % 5 = 0 THEN
+      (CASE doc_id % 3 WHEN 0 THEN {HOT_LON[0]} WHEN 1 THEN {HOT_LON[1]} ELSE {HOT_LON[2]} END)
+        + (CAST(FLOOR(doc_id / 5) AS BIGINT) % 1000) / 2000.0
+    ELSE ((doc_id * {LON_MULT}) % 360000000) / 1000000.0 - 180.0 END AS lon,
+    CASE WHEN doc_id % 5 = 0 THEN
+      (CASE doc_id % 3 WHEN 0 THEN {HOT_LAT[0]} WHEN 1 THEN {HOT_LAT[1]} ELSE {HOT_LAT[2]} END)
+        + (CAST(FLOOR(doc_id / 7) AS BIGINT) % 1000) / 2000.0
+    ELSE ((doc_id * {LAT_MULT} + {LAT_ADD}) % 170000000) / 1000000.0 - 85.0 END AS lat
+  FROM documents
+)
+"""

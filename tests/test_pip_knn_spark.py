@@ -1,0 +1,82 @@
+"""Parity tests for the PIP join and kNN operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.geom import GRID_PAGES, points_strictly_inside_multi
+from datacube_core_spark.geom.polygon import pack_multipolygon
+from datacube_core_spark.operators.knn import knn_join
+from datacube_core_spark.operators.pip import pip_join
+from datacube_core_spark.sources.pages import pages
+from datacube_core_spark.sources.regions import region_multipolygons, regions, regions_complex
+
+from .conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def pages_pdf(spark):
+    return pages(spark, SF_TINY).select("doc_id", "lon", "lat").toPandas()
+
+
+def test_pip_join_rect_patchwork_parity(spark, pages_pdf):
+    p = pages(spark, SF_TINY)
+    r = regions(spark)
+    got = pip_join(p, r, GRID_PAGES, keep_cols=["doc_id"]).select("doc_id", "region_id").toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.doc_id, got.region_id)}
+
+    xs = pages_pdf.lon.to_numpy()
+    ys = pages_pdf.lat.to_numpy()
+    ids = pages_pdf.doc_id.to_numpy()
+    exp_pairs = set()
+    for rid, mp in region_multipolygons().items():
+        inside = points_strictly_inside_multi(xs, ys, mp)
+        for d in ids[inside]:
+            exp_pairs.add((int(d), rid))
+    assert got_pairs == exp_pairs
+    assert len(got) == len(exp_pairs)
+
+
+def test_pip_join_complex_shapes(spark, pages_pdf):
+    # donut / multipolygon / concave / shared-edge / dateline shapes vs
+    # pure-python oracle — exercises holes and intersects∧¬touches.
+    shapes = regions_complex()
+    rows = [
+        (i, name, bytearray(pack_multipolygon(mp)))
+        for i, (name, mp) in enumerate(sorted(shapes.items()))
+    ]
+    rdf = spark.createDataFrame(rows, "region_id INT, name STRING, geom BINARY")
+    p = pages(spark, SF_TINY)
+    got = pip_join(p, rdf, GRID_PAGES, keep_cols=["doc_id"]).select("doc_id", "region_id").toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.doc_id, got.region_id)}
+
+    xs, ys, ids = pages_pdf.lon.to_numpy(), pages_pdf.lat.to_numpy(), pages_pdf.doc_id.to_numpy()
+    exp_pairs = set()
+    for i, (name, mp) in enumerate(sorted(shapes.items())):
+        inside = points_strictly_inside_multi(xs, ys, mp)
+        for d in ids[inside]:
+            exp_pairs.add((int(d), i))
+    assert got_pairs == exp_pairs
+
+
+def test_knn_parity_brute_force(spark, pages_pdf):
+    p = pages(spark, SF_TINY)
+    q = (
+        p.where(F.col("doc_id") % 101 == 0)
+        .select(F.col("doc_id").alias("qid"), "lon", "lat")
+    )
+    k = 5
+    got = knn_join(p, q, GRID_PAGES, k=k).toPandas()
+
+    xs, ys, ids = pages_pdf.lon.to_numpy(), pages_pdf.lat.to_numpy(), pages_pdf.doc_id.to_numpy()
+    order = np.argsort(ids, kind="stable")
+    xs, ys, ids = xs[order], ys[order], ids[order]
+    for qid_v in pages_pdf.doc_id[pages_pdf.doc_id % 101 == 0]:
+        qx = float(pages_pdf.loc[pages_pdf.doc_id == qid_v, "lon"].iloc[0])
+        qy = float(pages_pdf.loc[pages_pdf.doc_id == qid_v, "lat"].iloc[0])
+        d2 = (xs - qx) ** 2 + (ys - qy) ** 2
+        idx = np.lexsort((ids, d2))[:k]
+        exp = [(int(ids[i]), float(d2[i])) for i in idx]
+        sub = got[got.qid == int(qid_v)].sort_values("rank")
+        assert [int(v) for v in sub.doc_id] == [e[0] for e in exp], f"qid {qid_v}"
+        np.testing.assert_allclose(sub.dist_sq.to_numpy(), [e[1] for e in exp], rtol=0, atol=0)
