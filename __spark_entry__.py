@@ -1,38 +1,253 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 re-expressed
+Spark-first; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over the
+same parquet tables.  Pages/regions are synthesized deterministically from
+the ``documents`` table with integer arithmetic (see
+``datacube_core_spark/sources/pages.py``) so both engines compute from
+bit-identical inputs.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datacube_core_spark.geom import GRID_PAGES
+from datacube_core_spark.operators.knn import knn_join
+from datacube_core_spark.operators.pip import pip_join
+from datacube_core_spark.operators.tiling import explode_bbox_tiles, with_tile
+from datacube_core_spark.sources.pages import boxed_pages, pages, pages_cte
+from datacube_core_spark.sources.regions import REGIONS_CTE, regions
+
+# replication for correctness runs: 500 docs @ sf0.01 -> 8k pages
+Q_REPL = 16
+KNN_K = 5
+
+_G = GRID_PAGES
+_SX = _G.tile_size[1]  # 4.0
+_SY = _G.tile_size[0]
+_OX = _G.origin[1]  # -180.0
+_OY = _G.origin[0]  # -90.0
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tile_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages per GridSpec tile (point→tile assignment + hash agg)."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    return (
+        with_tile(p, _G)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_bbox_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-range join: per-page footprint bbox exploded to overlapping
+    tiles (reference GridSpec.tiles semantics), counted per tile."""
+    p = boxed_pages(pages(spark, sf_dir, repl=Q_REPL))
+    return (
+        explode_bbox_tiles(p, _G)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join pairs (broadcast cells + exact refine)."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    r = regions(spark)
+    return pip_join(p, r, _G, keep_cols=["doc_id"]).select("doc_id", "region_id")
+
+
+def q_pip_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    r = regions(spark)
+    return (
+        pip_join(p, r, _G, keep_cols=["doc_id"])
+        .groupBy("region_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN over cell rings; ties broken by (dist_sq, doc_id)."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    q = p.where(F.col("doc_id") % 1009 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    return knn_join(p, q, _G, k=KNN_K).select("qid", "doc_id", "dist_sq", "rank")
+
+
+def q_solar_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """solar_day grouping: UTC ts + int(lon*240) seconds → date
+    (reference datacube/api/query.py:347-379 semantics)."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    offset = (F.col("lon") * F.lit(240.0)).cast("long")
+    solar = F.to_date(F.timestamp_seconds(F.unix_timestamp(F.col("warc_ts")) + offset))
+    return p.select(solar.alias("solar_date")).groupBy("solar_date").agg(F.count("*").alias("n"))
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_datasets_through_time analog: events per day bucket
+    (reference drivers/postgres/_api.py:821-878 → groupBy(date_trunc))."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.select(F.to_date(F.date_trunc("day", F.col("ts"))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-detection self-join (reference
+    drivers/postgres/_api.py:727-800): group by content hash, HAVING n>1.
+    Duplicates planted deterministically (docs with doc_id%7==0 get a twin)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    h = F.md5(F.encode(F.col("text"), "UTF-8"))
+    return (
+        corpus.select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"), F.max("doc_id").alias("dup_max"))
+        .where(F.col("n") > 1)
+    )
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis aggregate: per-language doc count + char sum."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(F.col("text"))).alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_count": q_tile_count,
+        "bbox_tiles": q_bbox_tiles,
+        "pip_pairs": q_pip_pairs,
+        "pip_region_count": q_pip_region_count,
+        "knn": q_knn,
+        "solar_day": q_solar_day,
+        "time_buckets": q_time_buckets,
+        "dup_detect": q_dup_detect,
+        "lang_stats": q_lang_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+_P = pages_cte(Q_REPL)
+
+_TX = f"CAST(FLOOR((lon - {_OX}) / {_SX}) AS INT)"
+_TY = f"CAST(FLOOR((lat - {_OY}) / {_SY}) AS INT)"
+
+_BOXED = f"""
+boxed AS (
+  SELECT doc_id,
+         lon - (0.05 + (doc_id % 10) * 0.01) AS "left",
+         lat - (0.05 + (doc_id % 10) * 0.01) AS "bottom",
+         lon + (0.05 + (doc_id % 10) * 0.01) AS "right",
+         lat + (0.05 + (doc_id % 10) * 0.01) AS "top"
+  FROM pages
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["tile_count"] = f"""{_P}
+SELECT {_TX} AS tile_x, {_TY} AS tile_y, COUNT(*) AS n
+FROM pages GROUP BY 1, 2
+"""
+
+    sqls["bbox_tiles"] = f"""{_P}, {_BOXED}
+SELECT tx.tile_x, ty.tile_y, COUNT(*) AS n
+FROM boxed,
+     UNNEST(generate_series(CAST(FLOOR(("left" - {_OX}) / {_SX}) AS INT),
+                            CAST(CEIL(("right" - {_OX}) / {_SX}) AS INT) - 1)) AS tx(tile_x),
+     UNNEST(generate_series(CAST(FLOOR(("bottom" - {_OY}) / {_SY}) AS INT),
+                            CAST(CEIL(("top" - {_OY}) / {_SY}) AS INT) - 1)) AS ty(tile_y)
+GROUP BY 1, 2
+"""
+
+    pip_join_sql = f"""pages p JOIN regions r
+  ON p.lon > r."left" AND p.lon < r."right" AND p.lat > r."bottom" AND p.lat < r."top\""""
+
+    sqls["pip_pairs"] = f"""{_P}, {REGIONS_CTE}
+SELECT p.doc_id, r.region_id FROM {pip_join_sql}
+"""
+
+    sqls["pip_region_count"] = f"""{_P}, {REGIONS_CTE}
+SELECT r.region_id, COUNT(*) AS n FROM {pip_join_sql}
+GROUP BY 1
+"""
+
+    sqls["knn"] = f"""{_P},
+q AS (SELECT doc_id AS qid, lon AS q_lon, lat AS q_lat FROM pages WHERE doc_id % 1009 = 0)
+SELECT qid, doc_id, dist_sq, rank FROM (
+  SELECT q.qid, p.doc_id,
+         (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) AS dist_sq,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat), p.doc_id
+         ) AS INT) AS rank
+  FROM pages p CROSS JOIN q
+) WHERE rank <= {KNN_K}
+"""
+
+    sqls["solar_day"] = f"""{_P}
+SELECT CAST(warc_ts + CAST(TRUNC(lon * 240.0) AS BIGINT) * INTERVAL 1 SECOND AS DATE) AS solar_date,
+       COUNT(*) AS n
+FROM pages GROUP BY 1
+"""
+
+    sqls["time_buckets"] = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sqls["dup_detect"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper, MAX(doc_id) AS dup_max
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    sqls["lang_stats"] = """
+SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS sum_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+    return sqls
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: tile assignment + PIP join
+    + per-(tile, region) counts — the north-rule pipeline end-to-end."""
+    sf_dir = "/root/testdata/sf0.001"
+    p = pages(spark, sf_dir, repl=4)
+    r = regions(spark)
+    joined = pip_join(p, r, _G, keep_cols=["doc_id", "url"])
+    tiled = with_tile(joined, _G)
+    return tiled.groupBy("tile_x", "tile_y", "region_id").agg(F.count("*").alias("n_pages"))

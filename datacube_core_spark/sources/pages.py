@@ -65,15 +65,32 @@ def lat_expr(doc_id: Column) -> Column:
     return F.when(doc_id % 5 == 0, _hot(doc_id, HOT_LAT, 7)).otherwise(_base_lat(doc_id))
 
 
-def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+REPL_STRIDE = 100_000  # uid = rep * REPL_STRIDE + doc_id; requires doc_id < stride
+
+# uid * LON_MULT must not overflow int64 (DuckDB raises on overflow, Spark
+# wraps — either way parity would break): uid < 2^63 / LON_MULT ≈ 3.47e9.
+MAX_REPL = 34_000
+
+
+def pages(spark: SparkSession, sf_dir: str, repl: int = 1) -> DataFrame:
     """Load documents parquet and derive the full pages table.
+
+    ``repl`` replicates each document deterministically (uid = rep *
+    REPL_STRIDE + doc_id) so page volume can scale past the small
+    driver-provided documents table; every derived column is a pure
+    function of uid, so any replication level stays oracle-checkable.
 
     Column pruning matters at scale: ``html`` is built lazily from ``text``
     and Catalyst drops it unless a query asks for it (SURVEY §4: the
     ``html:binary`` column must never be read unless needed).
     """
+    assert 1 <= repl <= MAX_REPL, f"repl must be in [1, {MAX_REPL}]"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d = F.col("doc_id")
+    if repl > 1:
+        docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
+        d = F.col("rep").cast("long") * F.lit(REPL_STRIDE) + F.col("doc_id")
+    else:
+        d = F.col("doc_id")
     return docs.select(
         d.alias("doc_id"),
         F.concat(
@@ -89,13 +106,37 @@ def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boxed_pages(df: DataFrame) -> DataFrame:
+    """Pages with a small per-page footprint bbox (for grid-range joins).
+
+    Half-width w = 0.05 + (doc_id % 10) * 0.01 — integer-arithmetic-derived
+    so the DuckDB oracle reproduces it exactly.
+    """
+    w = F.lit(BBOX_W_BASE) + (F.col("doc_id") % 10).cast("double") * F.lit(BBOX_W_STEP)
+    return df.select(
+        "doc_id",
+        (F.col("lon") - w).alias("left"),
+        (F.col("lat") - w).alias("bottom"),
+        (F.col("lon") + w).alias("right"),
+        (F.col("lat") + w).alias("top"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle: the same pages derivation as a CTE prefix.  Every oracle
 # query in __spark_entry__.oracle_sql() starts with this, so the two engines
 # compute from identical inputs.
 # ---------------------------------------------------------------------------
 
-PAGES_CTE = f"""
+def pages_cte(repl: int = 1) -> str:
+    if repl > 1:
+        src = (
+            f"(SELECT rep * {REPL_STRIDE} + doc_id AS doc_id, text, lang FROM documents, "
+            f"UNNEST(generate_series(0, {repl - 1})) AS r(rep))"
+        )
+    else:
+        src = "(SELECT doc_id, text, lang FROM documents)"
+    return f"""
 WITH pages AS (
   SELECT
     doc_id,
@@ -111,6 +152,9 @@ WITH pages AS (
       (CASE doc_id % 3 WHEN 0 THEN {HOT_LAT[0]} WHEN 1 THEN {HOT_LAT[1]} ELSE {HOT_LAT[2]} END)
         + (CAST(FLOOR(doc_id / 7) AS BIGINT) % 1000) / 2000.0
     ELSE ((doc_id * {LAT_MULT} + {LAT_ADD}) % 170000000) / 1000000.0 - 85.0 END AS lat
-  FROM documents
+  FROM {src}
 )
 """
+
+
+PAGES_CTE = pages_cte(1)

@@ -1,0 +1,75 @@
+"""Mirror of the driver's correctness gate: run every __spark_entry__
+query AND its DuckDB oracle on the same parquet, compare row multisets
+(columns sorted by name, order-insensitive)."""
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from .conftest import SF_TINY
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_TINY}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    assert name in sqls, f"{name} lacks an oracle"
+
+    sdf = q(spark, SF_TINY)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(sqls[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: schema mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+
+    ms_s = _rows_to_multiset(spark_cols, spark_rows)
+    ms_d = _rows_to_multiset(duck_cols, duck_rows)
+    if ms_s != ms_d:
+        diff_s = [r for r in ms_s if r not in set(ms_d)][:5]
+        diff_d = [r for r in ms_d if r not in set(ms_s)][:5]
+        raise AssertionError(f"{name}: value mismatch\n spark-only: {diff_s}\n duck-only: {diff_d}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"tile_x", "tile_y", "region_id", "n_pages"}
