@@ -87,6 +87,14 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1) -> DataFrame:
     assert 1 <= repl <= MAX_REPL, f"repl must be in [1, {MAX_REPL}]"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if repl > 1:
+        # The documents parquet is one small file -> one input split; the
+        # replication explode would otherwise fan out inside a SINGLE task
+        # and serialize the whole pipeline.  Round-robin the seed rows
+        # across the cluster first (tiny shuffle, unlocks full parallelism
+        # for everything downstream — this is the local analog of reading
+        # a many-file Iceberg table).
+        n_parts = spark.sparkContext.defaultParallelism * 2
+        docs = docs.repartition(n_parts)
         docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
         d = F.col("rep").cast("long") * F.lit(REPL_STRIDE) + F.col("doc_id")
     else:
