@@ -134,6 +134,94 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis: token count, language-ID, punctuation,
+    quality score, fingerprint — all pure Catalyst."""
+    from datacube_core_spark.functions.text import (
+        fingerprint_col,
+        lang_id_col,
+        punct_count_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        lang_id_col(t).alias("lang_pred"),
+        punct_count_col(t).alias("n_punct"),
+        quality_score_col(t).alias("quality"),
+        fingerprint_col(t).alias("fp"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the planted corpus (fingerprint groups)."""
+    from datacube_core_spark.operators.dedup import exact_dup_groups
+    from datacube_core_spark.sources.corpus import dedup_corpus
+
+    return exact_dup_groups(dedup_corpus(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 over the planted corpus."""
+    from datacube_core_spark.operators.dedup import jaccard_pairs
+    from datacube_core_spark.sources.corpus import dedup_corpus
+
+    return jaccard_pairs(dedup_corpus(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (verified); rows-only check (the sketch
+    uses Spark's xxhash64, not expressible in DuckDB)."""
+    from datacube_core_spark.operators.dedup import minhash_lsh_pairs
+    from datacube_core_spark.sources.corpus import dedup_corpus
+
+    return minhash_lsh_pairs(dedup_corpus(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 near-dup pairs; rows-only check (xxhash64)."""
+    from datacube_core_spark.operators.dedup import simhash_near_pairs
+    from datacube_core_spark.sources.corpus import dedup_corpus
+
+    return simhash_near_pairs(dedup_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (brute-force baseline)."""
+    from datacube_core_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("qid"), "embedding")
+    return brute_force_topk(emb, q, k=10)
+
+
+def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.5 (brute-force exact; the LSH
+    path is q_ann_lsh)."""
+    from datacube_core_spark.operators.similarity import _dvec, cosine_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("a"), _dvec(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), _dvec(F.col("embedding")).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    cos = cosine_col(F.col("va"), F.col("vb"))
+    return pairs.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= 0.5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 (the 100TB scale path); rows-only check
+    (approximate by design)."""
+    from datacube_core_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("qid"), "embedding")
+    return lsh_topk(emb, q, k=10, n_bits=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -145,6 +233,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_buckets": q_time_buckets,
         "dup_detect": q_dup_detect,
         "lang_stats": q_lang_stats,
+        "text_features": q_text_features,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near": q_simhash_near,
+        "ann_topk": q_ann_topk,
+        "cos_neardup": q_cos_neardup,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -237,6 +333,78 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS sum_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY 1
+"""
+
+    from datacube_core_spark.functions.text import (
+        sql_fingerprint,
+        sql_lang_id,
+        sql_punct_count,
+        sql_quality_score,
+        sql_token_count,
+    )
+    from datacube_core_spark.sources.corpus import CORPUS_CTE
+
+    sqls["text_features"] = f"""
+SELECT doc_id,
+       {sql_token_count()} AS n_tokens,
+       {sql_lang_id()} AS lang_pred,
+       {sql_punct_count()} AS n_punct,
+       {sql_quality_score()} AS quality,
+       {sql_fingerprint()} AS fp
+FROM documents
+"""
+
+    sqls["exact_dedup"] = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT {sql_fingerprint()} AS fp, COUNT(*) AS n,
+       MIN(doc_id) AS keeper, MAX(doc_id) AS dup_max
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    sqls["ngram_jaccard"] = f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+  WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) AS jaccard
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN cnt ca ON ca.doc_id = a.doc_id
+JOIN cnt cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+HAVING COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) >= 0.5
+"""
+
+    _cosd = "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+    sqls["ann_topk"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id % 50 = 0)
+SELECT qid, vec_id, cos_sim, rank FROM (
+  SELECT q.qid, a.vec_id,
+         CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e)) > 0
+              THEN list_dot_product(a.e, q.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e)))
+              ELSE 0.0 END AS cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e)) > 0
+              THEN list_dot_product(a.e, q.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e)))
+              ELSE 0.0 END DESC, a.vec_id ASC) AS INT) AS rank
+  FROM v a CROSS JOIN q
+) WHERE rank <= 10
+"""
+
+    sqls["cos_neardup"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
+            THEN {_cosd} ELSE 0.0 END AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
+           THEN {_cosd} ELSE 0.0 END >= 0.5
 """
 
     return sqls
