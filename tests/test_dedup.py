@@ -1,0 +1,122 @@
+"""Parity tests for the sketch-based dedup operators.
+
+MinHash/SimHash use Spark's xxhash64 (not available in DuckDB), so the
+oracle here is pure-python re-computation over the *hash values Spark
+itself produces* — this isolates and verifies the sketch/aggregation
+logic (permutations, banding, bit-majority, blocking) independently.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.operators.dedup import (
+    _MH_PRIME,
+    _perm_params,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingles_col,
+    simhash,
+    simhash_near_pairs,
+)
+from datacube_core_spark.sources.corpus import dedup_corpus
+
+from .conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return dedup_corpus(spark, SF_TINY)
+
+
+def _shingle_sets(spark, corpus, n=3):
+    rows = corpus.select(
+        "doc_id", shingles_col(F.col("text"), n).alias("sh")
+    ).collect()
+    return {int(r["doc_id"]): set(r["sh"]) for r in rows}
+
+
+def test_jaccard_pairs_bruteforce(spark, corpus):
+    sets = _shingle_sets(spark, corpus)
+    exp = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                exp.add((a, b))
+    got = {(int(r["a"]), int(r["b"])) for r in jaccard_pairs(corpus, 3, 0.5).collect()}
+    assert got == exp
+    assert len(got) > 0  # planted near-dups must surface
+
+
+def test_minhash_signature_parity(spark, corpus):
+    # recompute signatures in numpy from Spark's own shingle hashes
+    sh = corpus.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("shingle")
+    ).select("doc_id", ((F.xxhash64("shingle") % F.lit(1 << 32) + F.lit(1 << 32)) % F.lit(1 << 32)).alias("h"))
+    rows = sh.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append(int(r["h"]))
+    params = _perm_params()
+    exp = {}
+    for d, hs in by_doc.items():
+        h = np.array(hs, dtype=np.uint64)
+        sig = [int(((h * pa + pb) % _MH_PRIME).min()) for pa, pb in params]
+        exp[d] = sig
+    got = {int(r["doc_id"]): [int(v) for v in r["sig"]] for r in minhash_signatures(corpus).collect()}
+    assert got == exp
+
+
+def test_minhash_lsh_finds_planted_dups(spark, corpus):
+    got = {(int(r["a"]), int(r["b"])) for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    # exact twins (jaccard 1.0) must ALL be found: identical signatures
+    twins = {
+        (int(r["doc_id"]), int(r["doc_id"]) + 10_000_000)
+        for r in corpus.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 10_000_000)).collect()
+    }
+    missing = twins - got
+    assert not missing, f"missing exact twins: {sorted(missing)[:5]}"
+    # verification stage guarantees precision: every reported pair is a
+    # true >= 0.5 jaccard pair
+    sets = _shingle_sets(spark, corpus)
+    for a, b in got:
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        assert inter / (len(sa) + len(sb) - inter) >= 0.5
+
+
+def test_simhash_parity(spark, corpus):
+    toks = corpus.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    by_doc = {}
+    for r in toks.collect():
+        by_doc.setdefault(int(r["doc_id"]), []).append(int(r["h"]))
+    exp = {}
+    for d, hs in by_doc.items():
+        h = np.array(hs, dtype=np.int64).astype(np.uint64)
+        val = np.uint64(0)
+        for b in range(64):
+            votes = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            if votes.sum() > 0:
+                val |= np.uint64(1) << np.uint64(b)
+        exp[d] = int(np.int64(val))
+    got = {int(r["doc_id"]): int(r["simhash"]) for r in simhash(corpus).collect()}
+    assert got == exp
+
+
+def test_simhash_near_pairs_exact_twins(spark, corpus):
+    got = simhash_near_pairs(corpus, max_hamming=3)
+    pairs = {(int(r["a"]), int(r["b"])): int(r["hamming"]) for r in got.collect()}
+    twins = {
+        (int(r["doc_id"]), int(r["doc_id"]) + 10_000_000)
+        for r in corpus.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 10_000_000)).collect()
+    }
+    for t in twins:
+        assert pairs.get(t) == 0, f"exact twin {t} not at hamming 0"
