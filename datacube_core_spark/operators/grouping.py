@@ -1,0 +1,129 @@
+"""Observation grouping + pixel-fuser semantics (reference parity core).
+
+* :func:`group_datasets` — reference ``datacube/api/core.py:512-563``:
+  datasets are sorted by (sort_key, id) — the id tie-break at ``:530-531``
+  — grouped by a label, groups sorted by label, each group an ordered
+  tuple of datasets.  Spark shape:
+  ``groupBy(label).agg(sort_array(collect_list(struct(sort_key, id, …))))``
+  — ``sort_array`` on structs sorts lexicographically by field order,
+  reproducing the sort + tie-break exactly.
+
+* :func:`solar_day_col` — reference ``datacube/api/query.py:347-379``:
+  UTC timestamp + int(longitude · 240) seconds, truncated toward zero,
+  cast to date.
+
+* :func:`fuse_first_valid` — reference ``datacube/storage/_load.py:35-99``
+  (``reproject_and_fuse`` default fuser): first source wins, later
+  sources fill only nodata holes; source order = the group order above,
+  so output bytes are deterministic.  Implemented as a pure-Catalyst
+  ``aggregate`` + ``zip_with`` over sorted per-source pixel arrays — no
+  Python in the plan.  Golden rules from reference
+  ``tests/storage/test_storage.py:32-124`` are reproduced in
+  tests/test_grouping_fuser.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def solar_day_col(ts: Column, lon: Column) -> Column:
+    """Solar-adjusted date: UTC ts + int(lon*240) seconds → date."""
+    offset = (lon * F.lit(240.0)).cast("long")
+    return F.to_date(F.timestamp_seconds(F.unix_timestamp(ts) + offset))
+
+
+def group_datasets(
+    df: DataFrame,
+    group_key: Column,
+    sort_key: Column,
+    id_col: str,
+    payload_cols: Sequence[str],
+    dimension: str = "time",
+) -> DataFrame:
+    """One row per group: (dimension label, ordered array of datasets).
+
+    Order within a group is (sort_key asc, id asc) — the reference's
+    stable sort with id tie-break; groups come back sorted by label.
+    """
+    entry = F.struct(
+        sort_key.alias("_sort"),
+        F.col(id_col).cast("long").alias("_id"),
+        *[F.col(c) for c in payload_cols],
+    )
+    return (
+        df.select(group_key.alias(dimension), entry.alias("_e"))
+        .groupBy(dimension)
+        .agg(F.sort_array(F.collect_list("_e")).alias("datasets"))
+        .orderBy(dimension)
+    )
+
+
+def _fuse_two(acc: Column, nxt: Column, nodata: float) -> Column:
+    """Element-wise: keep acc where valid, else take nxt.  NaN-aware when
+    nodata is NaN (reference ``invalid_mask``/``valid_mask`` semantics,
+    ``utils/masking.py:109-153``)."""
+    if isinstance(nodata, float) and math.isnan(nodata):
+        return F.zip_with(acc, nxt, lambda a, b: F.when(F.isnan(a), b).otherwise(a))
+    return F.zip_with(acc, nxt, lambda a, b: F.when(a == F.lit(nodata), b).otherwise(a))
+
+
+def fuse_first_valid(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sort_key: Column,
+    id_col: str,
+    array_col: str,
+    nodata: float,
+    n_pixels_col: Optional[str] = None,
+) -> DataFrame:
+    """Fuse overlapping per-source pixel arrays within each group.
+
+    Rows: (group_cols..., sort_key, id, array<double> pixels).  Output:
+    (group_cols..., fused array) where fused[i] is the first valid value
+    across sources in (sort_key, id) order — reference first-valid-wins.
+
+    Entirely JVM: sort_array(collect_list(struct(sort, id, arr))) then a
+    left fold with zip_with.  Arrays must be equal length within a group
+    (same tile geobox — guaranteed by the tiling stage).
+    """
+    entry = F.struct(
+        sort_key.alias("_sort"), F.col(id_col).cast("long").alias("_id"), F.col(array_col).alias("_arr")
+    )
+    grouped = df.groupBy(*group_cols).agg(F.sort_array(F.collect_list(entry)).alias("_entries"))
+
+    arrs = F.transform(F.col("_entries"), lambda e: e["_arr"])
+    if isinstance(nodata, float) and math.isnan(nodata):
+        fold = lambda acc, x: F.zip_with(acc, x, lambda a, b: F.when(F.isnan(a), b).otherwise(a))  # noqa: E731
+    else:
+        fold = lambda acc, x: F.zip_with(acc, x, lambda a, b: F.when(a == F.lit(nodata), b).otherwise(a))  # noqa: E731
+    fused = F.aggregate(
+        F.slice(arrs, 2, F.greatest(F.size(arrs) - 1, F.lit(0))),
+        F.element_at(arrs, 1),
+        fold,
+    )
+    return grouped.select(*group_cols, fused.alias("fused"), F.size("_entries").alias("n_sources"))
+
+
+# ---------------------------------------------------------------------------
+# time bucketing (virtual/transformations.py:439-479 equivalents)
+# ---------------------------------------------------------------------------
+
+def time_bucket_col(ts: Column, freq: str) -> Column:
+    """year/month/week/day/fiscal_year buckets as dates.
+
+    fiscal_year uses the reference's Q-JUN convention (year ends June 30):
+    fiscal year N covers Jul 1 (N-1) .. Jun 30 N → label = year of
+    (ts + 6 months)."""
+    if freq in ("year", "month", "week", "day"):
+        return F.to_date(F.date_trunc(freq, ts))
+    if freq == "fiscal_year":
+        shifted = F.add_months(F.to_date(ts), 6)
+        return F.make_date(F.year(shifted), F.lit(1), F.lit(1))
+    if freq == "earliest_time":
+        return F.to_date(ts)
+    raise ValueError(f"unknown bucket freq: {freq}")

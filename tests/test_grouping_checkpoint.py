@@ -1,0 +1,170 @@
+"""Tests: group_datasets ordering, fuser golden rules, time parsing,
+bitmask predicates, checkpoint/resume."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.operators.checkpoint import CheckpointedJob
+from datacube_core_spark.operators.grouping import (
+    fuse_first_valid,
+    group_datasets,
+    solar_day_col,
+    time_bucket_col,
+)
+from datacube_core_spark.plans.query import (
+    Query,
+    Range,
+    flags_to_mask_value,
+    make_mask_pred,
+    time_to_search_dims,
+    value_between_pred,
+)
+
+
+def test_group_datasets_sort_and_tiebreak(spark):
+    rows = [
+        # (id, ts_label, sort_val): same label + same sort -> id tie-break
+        (3, "a", 10.0), (1, "a", 10.0), (2, "a", 5.0),
+        (5, "b", 1.0), (4, "b", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, label STRING, sv DOUBLE")
+    out = group_datasets(df, F.col("label"), F.col("sv"), "id", ["id"], dimension="grp").collect()
+    assert [r["grp"] for r in out] == ["a", "b"]
+    a = [e["_id"] for e in out[0]["datasets"]]
+    assert a == [2, 1, 3]  # sv=5 first; then sv=10 tie-broken by id 1 < 3
+    b = [e["_id"] for e in out[1]["datasets"]]
+    assert b == [5, 4]
+
+
+def test_fuser_golden_rules(spark):
+    # reference tests/storage/test_storage.py:32-124 semantics:
+    # first source wins; later sources fill only nodata holes
+    nodata = -1.0
+    rows = [
+        (0, 0, 1, 0.0, [1.0, -1.0, 3.0, -1.0]),
+        (0, 0, 2, 1.0, [9.0, 2.0, 9.0, -1.0]),
+        (0, 0, 3, 2.0, [7.0, 7.0, 7.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "tx INT, ty INT, id LONG, sv DOUBLE, arr ARRAY<DOUBLE>")
+    out = fuse_first_valid(df, ["tx", "ty"], F.col("sv"), "id", "arr", nodata).collect()
+    assert len(out) == 1
+    assert out[0]["fused"] == [1.0, 2.0, 3.0, 4.0]
+    assert out[0]["n_sources"] == 3
+
+    # NaN-nodata variant
+    nan = float("nan")
+    rows2 = [
+        (0, 0, 1, 0.0, [1.0, nan]),
+        (0, 0, 2, 1.0, [5.0, 2.0]),
+    ]
+    df2 = spark.createDataFrame(rows2, "tx INT, ty INT, id LONG, sv DOUBLE, arr ARRAY<DOUBLE>")
+    out2 = fuse_first_valid(df2, ["tx", "ty"], F.col("sv"), "id", "arr", nan).collect()
+    assert out2[0]["fused"] == [1.0, 2.0]
+
+    # single source passes through
+    df3 = spark.createDataFrame([(1, 1, 9, 0.0, [8.0, -1.0])], "tx INT, ty INT, id LONG, sv DOUBLE, arr ARRAY<DOUBLE>")
+    out3 = fuse_first_valid(df3, ["tx", "ty"], F.col("sv"), "id", "arr", -1.0).collect()
+    assert out3[0]["fused"] == [8.0, -1.0]
+
+
+def test_time_parsing_period_snapping():
+    # FIXTURES.md §4.7 (reference api/query.py:306-344)
+    r = time_to_search_dims("2000")
+    assert r.begin == datetime.datetime(2000, 1, 1, 0, 0)
+    assert r.end == datetime.datetime(2000, 12, 31, 23, 59, 59, 999999)
+
+    r = time_to_search_dims("2000-03")
+    assert r.begin == datetime.datetime(2000, 3, 1)
+    assert r.end == datetime.datetime(2000, 3, 31, 23, 59, 59, 999999)
+
+    r = time_to_search_dims(("2000", "2001-06"))
+    assert r.begin == datetime.datetime(2000, 1, 1)
+    assert r.end == datetime.datetime(2001, 6, 30, 23, 59, 59, 999999)
+
+    r = time_to_search_dims(("2000", None))
+    assert r.begin == datetime.datetime(2000, 1, 1)
+    assert r.end >= datetime.datetime(2026, 1, 1)
+
+    with pytest.raises(ValueError):
+        time_to_search_dims(("2000", "2001", "2002"))
+    with pytest.raises(TypeError):
+        time_to_search_dims(2000)
+
+
+def test_query_predicate(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0, datetime.datetime(2024, 3, 10), "en"),
+         (2, 50.0, 5.0, datetime.datetime(2024, 3, 10), "de"),
+         (3, 5.0, 5.0, datetime.datetime(2025, 1, 1), "en")],
+        "doc_id LONG, lon DOUBLE, lat DOUBLE, warc_ts TIMESTAMP, lang STRING",
+    )
+    q = Query(x=(0, 10), y=(0, 10), time="2024", lang="en")
+    got = sorted(r["doc_id"] for r in q.apply(df).collect())
+    assert got == [1]
+
+
+def test_bitmask_predicates(spark):
+    df = spark.createDataFrame([(0b1010,), (0b0010,), (0b1000,)], "flags LONG")
+    # bits 1 (cloud) and 3 (shadow)
+    defs = {
+        "cloud": {"bits": 1, "values": {0: "no_cloud", 1: "cloud"}},
+        "shadow": {"bits": 3, "values": {0: False, 1: True}},
+    }
+    mask, value = flags_to_mask_value(defs, cloud="cloud", shadow=True)
+    assert mask == 0b1010 and value == 0b1010
+    got = df.where(make_mask_pred(F.col("flags"), mask, value)).collect()
+    assert [r["flags"] for r in got] == [0b1010]
+
+
+def test_value_between_half_open(spark):
+    df = spark.createDataFrame([(1,), (5,), (10,)], "v INT")
+    got = sorted(r["v"] for r in df.where(value_between_pred(F.col("v"), 1, 10)).collect())
+    assert got == [1, 5]  # 10 excluded: half-open
+
+
+def test_fiscal_year_bucket(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 6, 30),), (datetime.datetime(2024, 7, 1),)], "ts TIMESTAMP"
+    )
+    out = df.select(time_bucket_col(F.col("ts"), "fiscal_year").alias("fy")).collect()
+    # Q-JUN: FY label = year containing the period end (Jun 30)
+    assert out[0]["fy"] == datetime.date(2024, 1, 1)
+    assert out[1]["fy"] == datetime.date(2025, 1, 1)
+
+
+def test_checkpoint_resume_no_recompute(spark, tmp_path):
+    base = str(tmp_path / "job")
+    cells = spark.createDataFrame([(x, y) for x in range(4) for y in range(2)], "cell_x INT, cell_y INT")
+    calls = []
+
+    def make_processor(tag):
+        def process(batch):
+            calls.append((tag, tuple(batch)))
+            rows = [(cx, cy, f"{tag}:{cx},{cy}") for cx, cy in batch]
+            return spark.createDataFrame(rows, "cell_x INT, cell_y INT, payload STRING"), len(rows)
+        return process
+
+    job1 = CheckpointedJob(spark, base, job_id="run1")
+    ran1 = job1.run(cells, make_processor("r1"), batch_size=2, max_batches=2)  # "killed" after 2 batches
+    assert ran1 == 2
+    assert job1.completed_cells().count() == 4
+
+    job2 = CheckpointedJob(spark, base, job_id="run2")
+    ran2 = job2.run(cells, make_processor("r2"), batch_size=2)
+    assert ran2 == 2  # only the remaining 4 cells, in 2 batches
+
+    done_cells = {(int(r["cell_x"]), int(r["cell_y"])) for r in job2.completed_cells().collect()}
+    assert len(done_cells) == 8
+
+    out = job2.committed_output().collect()
+    assert len(out) == 8  # every cell exactly once — no recompute, no dupes
+    processed_by_r2 = {c for tag, batch in calls if tag == "r2" for c in batch}
+    processed_by_r1 = {c for tag, batch in calls if tag == "r1" for c in batch}
+    assert not (processed_by_r1 & processed_by_r2)
+
+    # lineage + metrics recorded for every cell
+    assert job2.lineage().count() == 8
+    assert job2.metrics().count() == 8
