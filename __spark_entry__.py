@@ -222,6 +222,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=10, n_bits=10)
 
 
+def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector round trip: rasterize the region patchwork at 1°
+    pixels (pure Catalyst), then sample every page's snapped pixel center
+    (inverse-affine lookup).  Output (doc_id, region_id, value)."""
+    from datacube_core_spark.operators.raster import rasterize_rect_regions, sample_rasters
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "lon", "lat")
+    rasters = rasterize_rect_regions(regions(spark), _G, res=1.0)
+    out = sample_rasters(p, rasters, _G, res=1.0)
+    return out.select("doc_id", "region_id", F.col("value").cast("int").alias("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -241,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "cos_neardup": q_cos_neardup,
         "ann_lsh": q_ann_lsh,
+        "raster_sample": q_raster_sample,
     }
 
 
@@ -405,6 +418,38 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
            THEN {_cosd} ELSE 0.0 END >= 0.5
+"""
+
+    # raster_sample: candidate (tile, region) pairs by grid-range
+    # arithmetic; value = strict PIP of the page's snapped pixel center,
+    # using EXACTLY the engine's tile-relative formulas (incl. clamps)
+    sqls["raster_sample"] = f"""{_P}, {REGIONS_CTE},
+cand AS (
+  SELECT tx.tile_x, ty.tile_y, r.region_id, r."left", r."bottom", r."right", r."top"
+  FROM regions r,
+       UNNEST(generate_series(CAST(FLOOR((r."left" - {_OX}) / {_SX}) AS INT),
+                              CAST(CEIL((r."right" - {_OX}) / {_SX}) AS INT) - 1)) AS tx(tile_x),
+       UNNEST(generate_series(CAST(FLOOR((r."bottom" - {_OY}) / {_SY}) AS INT),
+                              CAST(CEIL((r."top" - {_OY}) / {_SY}) AS INT) - 1)) AS ty(tile_y)
+),
+pt AS (
+  SELECT doc_id, lon, lat, {_TX} AS tile_x, {_TY} AS tile_y FROM pages
+),
+px AS (
+  SELECT p.doc_id, p.lon, p.lat, c.region_id, c."left" AS rl, c."bottom" AS rb, c."right" AS rr, c."top" AS rt,
+         p.tile_x * {_SX} + ({_OX}) AS tile_left,
+         (p.tile_y + 1) * {_SY} + ({_OY}) AS tile_top
+  FROM pt p JOIN cand c ON p.tile_x = c.tile_x AND p.tile_y = c.tile_y
+),
+pc AS (
+  SELECT doc_id, region_id, rl, rb, rr, rt,
+         tile_left + (LEAST(GREATEST(CAST(FLOOR((lon - tile_left) / 1.0) AS INT), 0), 3) + 0.5) * 1.0 AS cx,
+         tile_top - (LEAST(GREATEST(CAST(FLOOR((tile_top - lat) / 1.0) AS INT), 0), 3) + 0.5) * 1.0 AS cy
+  FROM px
+)
+SELECT doc_id, region_id,
+       CASE WHEN cx > rl AND cx < rr AND cy > rb AND cy < rt THEN 1 ELSE 0 END AS value
+FROM pc
 """
 
     return sqls
