@@ -1,0 +1,167 @@
+"""Tests: virtual-product combinators, formula compiler, streaming jobs."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.functions.expr import (
+    compile_formula,
+    compile_nodata_mask,
+    formula_with_nodata,
+    parse_names,
+)
+from datacube_core_spark.geom import GRID_PAGES, GridSpec
+from datacube_core_spark.plans.virtual import (
+    Aggregate,
+    Collate,
+    Juxtapose,
+    Product,
+    Reproject,
+    Transform,
+)
+from datacube_core_spark.sources.pages import pages
+from datacube_core_spark.streaming.jobs import (
+    stream_pages,
+    streaming_cell_counts,
+    streaming_dedup,
+)
+
+from .conftest import SF_TINY
+
+
+def test_formula_compiler(spark):
+    df = spark.createDataFrame([(10.0, 2.0, 3)], "a DOUBLE, b DOUBLE, c LONG")
+    env = {c: F.col(c) for c in df.columns}
+    row = df.select(
+        compile_formula("(a + b) / (a - b)", env).alias("ndvi_like"),
+        compile_formula("-a ** 2", env).alias("p"),
+        compile_formula("c << 2", env).alias("shift"),
+        compile_formula("(c & 2) == 2", env).alias("flag"),
+        compile_formula("a // 3", env).alias("fd"),
+    ).collect()[0]
+    assert row["ndvi_like"] == pytest.approx(12.0 / 8.0)
+    assert row["p"] == -100.0  # python precedence: -(a**2)
+    assert row["shift"] == 12
+    assert row["flag"] is True
+    assert row["fd"] == 3
+
+    assert parse_names("(a + b) / (a - c)") == {"a", "b", "c"}
+    with pytest.raises(ValueError):
+        compile_formula("__import__('os')", env)
+    with pytest.raises(KeyError):
+        compile_formula("nope + 1", env)
+
+
+def test_formula_nodata_propagation(spark):
+    df = spark.createDataFrame([(1.0, 5.0), (-999.0, 5.0), (1.0, -999.0)], "a DOUBLE, b DOUBLE")
+    env = {c: F.col(c) for c in df.columns}
+    nodata = {"a": -999.0, "b": -999.0}
+    out = df.select(formula_with_nodata("a + b", env, nodata, -1.0).alias("v")).collect()
+    assert [r["v"] for r in out] == [6.0, -1.0, -1.0]
+
+
+def _leaf(repl=1):
+    return Product(lambda spark, sf_dir: pages(spark, sf_dir).select("doc_id", "lon", "lat", "warc_ts", "lang"))
+
+
+def test_transform_and_reproject(spark):
+    vp = Reproject(Transform(_leaf(), {"lon2": "lon * 2"}), GRID_PAGES)
+    df = vp.build(spark, SF_TINY)
+    row = df.where(F.col("doc_id") == 1).collect()[0]
+    assert row["lon2"] == pytest.approx(row["lon"] * 2)
+    assert row["tile_x"] == GRID_PAGES.point_tile(row["lon"], row["lat"])[0]
+
+
+def test_collate_provenance_and_schema_check(spark):
+    a = Product(lambda s, d: pages(s, d).where(F.col("doc_id") % 2 == 0).select("doc_id", "warc_ts"))
+    b = Product(lambda s, d: pages(s, d).where(F.col("doc_id") % 2 == 1).select("doc_id", "warc_ts"))
+    out = Collate([a, b], index_measurement_name="src").build(spark, SF_TINY)
+    n_total = pages(spark, SF_TINY).count()
+    assert out.count() == n_total
+    assert set(r["src"] for r in out.select("src").distinct().collect()) == {0, 1}
+
+    bad = Product(lambda s, d: pages(s, d).select("doc_id", "warc_ts", "lang"))
+    with pytest.raises(ValueError, match="identical measurement"):
+        Collate([a, bad]).build(spark, SF_TINY)
+
+
+def test_juxtapose_collision_error(spark):
+    a = Product(lambda s, d: pages(s, d).select("doc_id", F.col("lon").alias("m1")))
+    b = Product(lambda s, d: pages(s, d).select("doc_id", F.col("lat").alias("m2")))
+    out = Juxtapose([a, b], on=["doc_id"]).build(spark, SF_TINY)
+    assert set(out.columns) == {"doc_id", "m1", "m2"}
+    assert out.count() == pages(spark, SF_TINY).count()
+
+    dup = Product(lambda s, d: pages(s, d).select("doc_id", F.col("lat").alias("m1")))
+    with pytest.raises(ValueError, match="collision"):
+        Juxtapose([a, dup], on=["doc_id"]).build(spark, SF_TINY)
+
+
+def test_aggregate_monthly(spark):
+    vp = Aggregate(
+        Product(lambda s, d: pages(s, d).select(F.col("warc_ts").alias("time"), "lon")),
+        bucket=lambda t: F.to_date(F.date_trunc("month", t)),
+        aggs={"lon": "mean"},
+    )
+    out = vp.build(spark, SF_TINY)
+    assert "lon_mean" in out.columns
+    assert out.count() <= 12
+
+
+def test_streaming_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    p = pages(spark, SF_TINY)
+    p.write.mode("overwrite").parquet(src)
+
+    stream = stream_pages(spark, src)
+    assert stream.isStreaming
+    counts = streaming_cell_counts(stream, GRID_PAGES, window="1 day", watermark="1 day")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("cell_counts_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # append mode only emits windows the watermark has passed; with
+    # availableNow the final windows stay open, so compare the emitted
+    # subset against the batch computation
+    got = {
+        (r["bucket"], r["tile_x"], r["tile_y"]): r["n"]
+        for r in spark.sql("SELECT * FROM cell_counts_t").collect()
+    }
+    from datacube_core_spark.operators.tiling import with_tile
+
+    batch = (
+        with_tile(p, GRID_PAGES)
+        .groupBy(F.window("warc_ts", "1 day").alias("w"), "tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "tile_x", "tile_y", "n")
+    )
+    exp = {(r["bucket"], r["tile_x"], r["tile_y"]): r["n"] for r in batch.collect()}
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    p = pages(spark, SF_TINY)
+    dup = p.unionByName(p.limit(50))  # 50 duplicate urls
+    dup.write.mode("overwrite").parquet(src)
+
+    out = streaming_dedup(stream_pages(spark, src), watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(DISTINCT url) c, COUNT(*) n FROM dedup_t").collect()[0]
+    assert n["c"] == n["n"]  # no duplicate urls survive
+    assert n["n"] == p.select("url").distinct().count()
