@@ -234,6 +234,66 @@ def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "region_id", F.col("value").cast("int").alias("value"))
 
 
+def q_dup_leniency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detection with time leniency (reference 500ms-merge
+    semantics, here 10-minute gap chaining on events)."""
+    from datacube_core_spark.operators.dupes import duplicates_with_leniency
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = duplicates_with_leniency(
+        e, ["user_id", "event_type"], ts_col="ts", leniency_ms=600_000, id_col="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", "cluster", "n",
+        F.element_at("ids", 1).alias("min_id"),
+        F.element_at("ids", -1).alias("max_id"),
+    )
+
+
+def q_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-overlap time-bucket join: events get a deterministic
+    [ts, ts + (1..7)h] validity range, counted per day bucket."""
+    from datacube_core_spark.operators.dupes import range_bucket_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ranged = e.select(
+        "event_id",
+        F.col("ts").alias("b"),
+        F.timestamp_seconds(
+            F.unix_timestamp("ts") + ((F.col("event_id") % 7) + 1) * 3600
+        ).alias("e"),
+    )
+    return range_bucket_join(ranged, "b", "e", 86400)
+
+
+def q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation over skewed cells — must equal the
+    plain groupBy (oracle is the direct SQL aggregate)."""
+    from datacube_core_spark.operators.skew import salted_agg
+    from datacube_core_spark.operators.tiling import with_tile as _wt
+
+    p = _wt(pages(spark, sf_dir, repl=Q_REPL), _G).select("tile_x", "tile_y", "doc_id", "lon")
+    return salted_agg(
+        p,
+        ["tile_x", "tile_y"],
+        {"n": ("doc_id", "count"), "sum_id": ("doc_id", "sum"), "max_lon": ("lon", "max")},
+        salt_factor=8,
+    )
+
+
+def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance closure (iterative join+union replacing the reference's
+    recursive CTE) over a synthetic halving tree on doc ids."""
+    from datacube_core_spark.operators.lineage import lineage_closure
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = docs.where(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("dataset_id"), F.floor(F.col("doc_id") / 2).cast("long").alias("source_id")
+    )
+    roots = docs.where(F.col("doc_id") % 97 == 0).select("doc_id").withColumnRenamed("doc_id", "dataset_id")
+    return lineage_closure(edges, roots, direction="sources")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -254,6 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_neardup": q_cos_neardup,
         "ann_lsh": q_ann_lsh,
         "raster_sample": q_raster_sample,
+        "dup_leniency": q_dup_leniency,
+        "range_buckets": q_range_buckets,
+        "salted_cell_agg": q_salted_cell_agg,
+        "lineage": q_lineage,
     }
 
 
@@ -418,6 +482,52 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
            THEN {_cosd} ELSE 0.0 END >= 0.5
+"""
+
+    sqls["dup_leniency"] = """
+WITH c AS (
+  SELECT user_id, event_type, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+              THEN 1 ELSE 0 END AS newc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(SUM(newc) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cluster
+  FROM c
+)
+SELECT user_id, event_type, cluster, COUNT(*) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM s GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+"""
+
+    sqls["range_buckets"] = """
+WITH r AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS b0,
+         CAST(FLOOR(epoch(ts + ((event_id % 7) + 1) * INTERVAL 1 HOUR) / 86400) AS BIGINT) AS b1
+  FROM events
+)
+SELECT make_timestamp(g.bucket_idx * 86400 * 1000000) AS bucket, COUNT(*) AS n
+FROM r, UNNEST(generate_series(b0, b1)) AS g(bucket_idx)
+GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["salted_cell_agg"] = f"""{_P}
+SELECT {_TX} AS tile_x, {_TY} AS tile_y,
+       COUNT(doc_id) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id, MAX(lon) AS max_lon
+FROM pages GROUP BY 1, 2
+"""
+
+    sqls["lineage"] = """
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS root_id, doc_id AS node, 0 AS distance
+  FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT root_id, CAST(FLOOR(node / 2) AS BIGINT) AS node, distance + 1
+  FROM anc WHERE node > 0
+)
+SELECT root_id, node, distance FROM anc
 """
 
     # raster_sample: candidate (tile, region) pairs by grid-range
