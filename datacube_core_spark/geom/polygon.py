@@ -152,6 +152,29 @@ def multipolygon_rect_interiors_intersect(mp: MultiPolygon, left, bottom, right,
     return any(rect_interiors_intersect(p, left, bottom, right, top) for p in mp)
 
 
+def rect_closed_intersects(poly: Polygon, left: float, bottom: float, right: float, top: float) -> bool:
+    """Shapely-style CLOSED ``intersects`` of polygon vs rectangle: shared
+    boundary points count (used where the reference calls plain
+    ``.intersects`` without the ¬touches refinement, e.g. GeoboxTiles).
+
+    net clipped area > 0 → interiors overlap; else the polygon touches the
+    rect iff any ring passes through the closed rect (its clip against the
+    rect is non-empty, possibly degenerate)."""
+    bl, bb_, br, bt = polygon_bbox(poly)
+    if bl > right or br < left or bb_ > top or bt < bottom:
+        return False
+    if clipped_area(poly, left, bottom, right, top) > 0.0:
+        return True
+    for ring in poly:
+        if len(clip_ring_by_rect(ring, left, bottom, right, top)) > 0:
+            return True
+    return False
+
+
+def multipolygon_rect_closed_intersects(mp: MultiPolygon, left, bottom, right, top) -> bool:
+    return any(rect_closed_intersects(p, left, bottom, right, top) for p in mp)
+
+
 # ---------------------------------------------------------------------------
 # Vectorized point-in-polygon: strict interior (boundary = touches = False),
 # even-odd rule over all rings (outer + holes handled uniformly).
