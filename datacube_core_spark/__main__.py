@@ -1,0 +1,101 @@
+"""spark-submit entry point.
+
+Package and run:
+
+    python scripts/make_package.py                       # builds dist/datacube_core_spark.zip
+    spark-submit --py-files dist/datacube_core_spark.zip \
+        --master local[32] \
+        run_job.py --job headline --sf-dir /root/testdata/sf0.1
+
+or directly as a module (driver-side):
+
+    python -m datacube_core_spark --job headline --sf-dir /root/testdata/sf0.1
+
+Jobs:
+  headline      tile assignment + PIP join + per-(tile, region) counts
+  checkpointed  the same pipeline per-cell with checkpoint/lineage/metrics
+                tables (resume by re-running with the same --state-dir)
+  knn           kNN over cell rings for sampled query points
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="datacube_core_spark")
+    ap.add_argument("--job", default="headline", choices=["headline", "checkpointed", "knn"])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--repl", type=int, default=100)
+    ap.add_argument("--state-dir", default="/tmp/dcs_state")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--output", default=None, help="optional parquet output path")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .geom import GRID_PAGES
+    from .operators.pip import PipIndex
+    from .operators.tiling import with_tile
+    from .session import get_spark
+    from .sources.pages import pages
+    from .sources.regions import regions
+
+    spark = get_spark(app_name=f"dcs-{args.job}", master=args.master)
+    t0 = time.perf_counter()
+
+    if args.job == "headline":
+        p = pages(spark, args.sf_dir, repl=args.repl)
+        index = PipIndex(spark, regions(spark), GRID_PAGES)
+        joined = index.join(p, keep_cols=["doc_id"])
+        out = with_tile(joined, GRID_PAGES).groupBy("tile_x", "tile_y", "region_id").agg(
+            F.count("*").alias("n")
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+        else:
+            n = out.count()
+    elif args.job == "checkpointed":
+        from .operators.checkpoint import CheckpointedJob
+
+        p = pages(spark, args.sf_dir, repl=args.repl)
+        index = PipIndex(spark, regions(spark), GRID_PAGES)
+        tiled = with_tile(p, GRID_PAGES)
+        cells = tiled.select(
+            F.col("tile_x").alias("cell_x"), F.col("tile_y").alias("cell_y")
+        ).distinct()
+        job = CheckpointedJob(spark, args.state_dir)
+
+        def process(batch):
+            batch_df = spark.createDataFrame(batch, "tile_x INT, tile_y INT")
+            sub = tiled.join(F.broadcast(batch_df), on=["tile_x", "tile_y"], how="left_semi")
+            out = index.join(sub, keep_cols=["doc_id", "tile_x", "tile_y"]).groupBy(
+                F.col("tile_x").alias("cell_x"), F.col("tile_y").alias("cell_y"), "region_id"
+            ).agg(F.count("*").alias("n"))
+            return out, len(batch)
+
+        ran = job.run(cells, process, batch_size=256)
+        n = job.committed_output().count()
+        print(json.dumps({"batches_run": ran, "state_dir": args.state_dir}))
+    else:  # knn
+        from .operators.knn import knn_join
+
+        p = pages(spark, args.sf_dir, repl=args.repl)
+        q = p.where(F.col("doc_id") % 1009 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+        out = knn_join(p, q, GRID_PAGES, k=5)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        n = out.count()
+
+    print(json.dumps({"job": args.job, "rows": n, "secs": round(time.perf_counter() - t0, 3)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
