@@ -202,13 +202,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine ≥ 0.5 (brute-force exact; the LSH
     path is q_ann_lsh)."""
-    from datacube_core_spark.operators.similarity import _dvec, cosine_col
+    from datacube_core_spark.operators.similarity import _dvec, dot_col, norm_col
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("a"), _dvec(F.col("embedding")).alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), _dvec(F.col("embedding")).alias("vb"))
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    base = base.withColumn("n0", norm_col(F.col("v")))  # norm once per vector, not per pair
+    a = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n0").alias("na"))
+    b = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n0").alias("nb"))
     pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
-    cos = cosine_col(F.col("va"), F.col("vb"))
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
     return pairs.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= 0.5)
 
 

@@ -68,10 +68,16 @@ def brute_force_topk(
     The query side is broadcast (small); the vector side streams — at
     scale this is a map-only pass + per-query top-k (no full sort).
     """
+    # norms are precomputed per vector (NOT per pair) — the final
+    # expression dot/(na*nb) is unchanged, so results stay bit-identical
+    # to the naive form (and to the DuckDB oracle)
     v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
+    v = v.withColumn("na", norm_col(F.col("v")))
     q = queries.select(F.col(query_id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("nb", norm_col(F.col("qv")))
     pairs = v.crossJoin(F.broadcast(q))
-    cos = cosine_col(F.col("v"), F.col("qv"))
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot_col(F.col("v"), F.col("qv")) / den).otherwise(F.lit(0.0))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         pairs.select("qid", "vec_id", cos.alias("cos_sim"))
@@ -127,8 +133,11 @@ def lsh_topk(
         probes += [F.col("code0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
     q = q.withColumn("code", F.explode(F.array(*probes)))
 
-    pairs = v.join(F.broadcast(q.select("qid", "qv", "code")), on="code")
-    cos = cosine_col(F.col("v"), F.col("qv"))
+    v = v.withColumn("na", norm_col(F.col("v")))
+    q = q.withColumn("nb", norm_col(F.col("qv")))
+    pairs = v.join(F.broadcast(q.select("qid", "qv", "nb", "code")), on="code")
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot_col(F.col("v"), F.col("qv")) / den).otherwise(F.lit(0.0))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         pairs.select("qid", "vec_id", cos.alias("cos_sim"))
@@ -154,8 +163,14 @@ def cosine_neardup_pairs(
     probes = [F.col("code0")] + [F.col("code0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
     exploded = v.withColumn("code", F.explode(F.array(*probes)))
 
-    left = exploded.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "code")
-    right = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("code0").alias("code"))
-    cand = left.join(right, "code").where(F.col("a") < F.col("b")).select("a", "b", "va", "vb").distinct()
-    cos = cosine_col(F.col("va"), F.col("vb"))
+    v = v.withColumn("n0", norm_col(F.col("v")))
+    exploded = exploded.withColumn("n0", norm_col(F.col("v")))
+    left = exploded.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n0").alias("na"), "code")
+    right = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n0").alias("nb"), F.col("code0").alias("code"))
+    cand = (
+        left.join(right, "code").where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb", "na", "nb").distinct()
+    )
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
     return cand.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= F.lit(threshold))
