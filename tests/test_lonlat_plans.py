@@ -1,0 +1,98 @@
+"""Tests: antimeridian helpers + physical-plan assertions (pushdown,
+broadcast, no-Python in JVM paths)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.geom import GRID_PAGES, box_ring
+from datacube_core_spark.geom.lonlat import (
+    chop_along_antimeridian,
+    clip_lon180,
+    lonlat_bounds,
+)
+from datacube_core_spark.geom.polygon import points_strictly_inside_multi
+
+from .conftest import SF_TINY
+
+
+def test_lonlat_bounds_safe_mode():
+    # shape crossing the dateline stored with wrapped (negative) east part
+    mp = [[np.array([(175.0, 0.0), (-175.0, 0.0), (-175.0, 10.0), (175.0, 10.0)])]]
+    bb_quick = lonlat_bounds(mp, "quick")
+    assert bb_quick.left == -175.0 and bb_quick.right == 175.0  # naive, wrong span
+    bb = lonlat_bounds(mp, "safe")
+    assert (bb.left, bb.right) == (175.0, 185.0)  # unwrapped, tight
+    assert (bb.bottom, bb.top) == (0.0, 10.0)
+
+    # non-wrapping shape unchanged by safe mode
+    mp2 = [[box_ring(-30, -10, 40, 10)]]
+    assert lonlat_bounds(mp2, "safe") == lonlat_bounds(mp2, "quick")
+
+
+def test_clip_lon180():
+    assert clip_lon180(-180.0 + 1e-9) == 180.0
+    assert clip_lon180(180.0 - 1e-9) == 180.0 - 1e-9
+    assert clip_lon180(-179.5) == -179.5
+
+
+def test_chop_along_antimeridian():
+    # extended-longitude box 175..185 → two parts: 175..180 and -180..-175
+    mp = [[box_ring(175.0, 0.0, 185.0, 10.0)]]
+    parts = chop_along_antimeridian(mp)
+    assert len(parts) == 2
+    xs = np.array([(177.0, -177.0), (5.0, 5.0)]).T
+    inside = points_strictly_inside_multi(xs[:, 0], xs[:, 1], parts)
+    assert inside.tolist() == [True, True]
+    # nothing outside the band
+    out = points_strictly_inside_multi(np.array([170.0, -170.0]), np.array([5.0, 5.0]), parts)
+    assert out.tolist() == [False, False]
+
+
+# ---------------------------------------------------------------------------
+# physical-plan assertions — the "is it actually the plan we want" gate
+# ---------------------------------------------------------------------------
+
+def test_pushdown_reaches_parquet_scan(spark):
+    from datacube_core_spark.catalog import PageIndex
+
+    idx = PageIndex(spark, SF_TINY)
+    df = idx.search_returning(["doc_id"], lang="en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan or "EqualTo(lang,en)" in plan
+    # column pruning: html/text must not be read
+    assert "html" not in plan.split("ReadSchema")[-1][:300]
+
+
+def test_pip_rect_path_has_no_python(spark):
+    from datacube_core_spark.operators.pip import PipIndex
+    from datacube_core_spark.sources.pages import pages
+    from datacube_core_spark.sources.regions import regions
+
+    p = pages(spark, SF_TINY)
+    index = PipIndex(spark, regions(spark), GRID_PAGES)
+    out = index.join(p, keep_cols=["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "rect-region PIP must be pure JVM"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_plan_is_jvm(spark):
+    from datacube_core_spark.operators.dedup import minhash_signatures
+    from datacube_core_spark.sources.corpus import dedup_corpus
+
+    sig = minhash_signatures(dedup_corpus(spark, SF_TINY))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_knn_join_is_broadcast(spark):
+    from datacube_core_spark.operators.knn import knn_join
+    from datacube_core_spark.sources.pages import pages
+
+    p = pages(spark, SF_TINY)
+    q = p.where(F.col("doc_id") % 250 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    out = knn_join(p, q, GRID_PAGES, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
