@@ -59,3 +59,61 @@ def streaming_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Dedup-on-arrival: keep the first page per url within the watermark
     horizon (archive_less_mature semantics for the streaming path)."""
     return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+def streaming_cell_state(
+    stream: DataFrame,
+    grid: GridSpec,
+    watermark: str = "1 day",
+    timeout_duration: str = "30 days",
+) -> DataFrame:
+    """Custom stateful operator: per-cell running observation state
+    (count, min/max ts) maintained with ``applyInPandasWithState`` —
+    the engine's incremental analog of the checkpoint/metrics tables.
+
+    Emits one updated row per cell per micro-batch:
+    (tile_x, tile_y, n, first_ts, last_ts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tx, ty = point_tile_cols(grid, F.col("lon"), F.col("lat"))
+    keyed = (
+        stream.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .withWatermark("warc_ts", watermark)
+        .select("tile_x", "tile_y", "warc_ts")
+    )
+
+    out_schema = "tile_x INT, tile_y INT, n LONG, first_ts TIMESTAMP, last_ts TIMESTAMP"
+    state_schema = "n LONG, first_us LONG, last_us LONG"
+
+    def update(key, pdfs, state: GroupState):
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["warc_ts"])
+            if len(ts) == 0:
+                continue
+            n += len(ts)
+            lo = ts.min().value // 1000
+            hi = ts.max().value // 1000
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "tile_x": [key[0]],
+                "tile_y": [key[1]],
+                "n": [n],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return keyed.groupBy("tile_x", "tile_y").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

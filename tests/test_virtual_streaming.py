@@ -165,3 +165,36 @@ def test_streaming_dedup(spark, tmp_path):
     n = spark.sql("SELECT COUNT(DISTINCT url) c, COUNT(*) n FROM dedup_t").collect()[0]
     assert n["c"] == n["n"]  # no duplicate urls survive
     assert n["n"] == p.select("url").distinct().count()
+
+
+def test_streaming_cell_state_matches_batch(spark, tmp_path):
+    from datacube_core_spark.streaming.jobs import streaming_cell_state
+
+    src = str(tmp_path / "state_src")
+    p = pages(spark, SF_TINY)
+    p.write.mode("overwrite").parquet(src)
+
+    out = streaming_cell_state(stream_pages(spark, src), GRID_PAGES)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cell_state_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last update per cell must equal the batch aggregate
+    got_df = spark.sql(
+        "SELECT tile_x, tile_y, last(n) AS n FROM cell_state_t GROUP BY tile_x, tile_y"
+    )
+    got = {(r["tile_x"], r["tile_y"]): r["n"] for r in got_df.collect()}
+
+    from datacube_core_spark.operators.tiling import with_tile
+
+    exp = {
+        (r["tile_x"], r["tile_y"]): r["n"]
+        for r in with_tile(p, GRID_PAGES).groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")).collect()
+    }
+    # every cell's final running count equals the batch count
+    assert got == exp
