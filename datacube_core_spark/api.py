@@ -1,0 +1,117 @@
+"""Datacube-style load facade (reference ``Datacube.load`` lifecycle,
+SURVEY §3.1: parse → plan grid → scan → group → execute).
+
+For the pages payload the "pixel plane" is observation density / sampled
+values on the tile lattice:
+
+* :meth:`Datacube.find_datasets` — parse kwargs (Query) + predicate scan.
+* :meth:`Datacube.load_observations` — scan → tile assign → group
+  (solar_day or time bucket) with group_datasets ordering.
+* :meth:`Datacube.load_density` — the load_data analog: per-tile
+  page-count rasters.  The scalable form is SPARSE (tile, bucket, py,
+  px, n) — pure Catalyst, shuffles once on the tile key; ``dense=True``
+  assembles per-tile numpy arrays in a grouped kernel (the reference's
+  ``create_storage`` + fuse step, which is inherently per-tile).
+  Empty tiles never materialize — inner-join sparsity mirrors the
+  reference's ``_mk_empty`` chunk elision (``api/core.py:1052-1082``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .geom.grid import GRID_PAGES, GridSpec
+from .operators.grouping import group_datasets, solar_day_col
+from .operators.tiling import point_tile_cols, tile_bounds_cols, with_tile
+from .plans.query import Query
+from .sources.pages import pages
+
+
+class Datacube:
+    def __init__(self, spark: SparkSession, sf_dir: str, grid: GridSpec = GRID_PAGES, repl: int = 1):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.grid = grid
+        self.repl = repl
+
+    def find_datasets(self, **query) -> DataFrame:
+        return Query(**query).apply(pages(self.spark, self.sf_dir, repl=self.repl))
+
+    def load_observations(self, group_by: str = "time", **query) -> DataFrame:
+        """Grouped observations per tile: (tile_x, tile_y, <dim>, datasets)."""
+        df = with_tile(self.find_datasets(**query), self.grid)
+        if group_by == "solar_day":
+            label = solar_day_col(F.col("warc_ts"), F.col("lon"))
+            dim = "solar_day"
+        elif group_by == "time":
+            label = F.to_date(F.col("warc_ts"))
+            dim = "time"
+        else:
+            raise ValueError(f"unknown group_by {group_by!r}")
+        entry = F.struct(
+            F.col("warc_ts").alias("_sort"), F.col("doc_id").alias("_id"), F.col("doc_id"), F.col("url")
+        )
+        return (
+            df.select("tile_x", "tile_y", label.alias(dim), entry.alias("_e"))
+            .groupBy("tile_x", "tile_y", dim)
+            .agg(F.sort_array(F.collect_list("_e")).alias("datasets"))
+        )
+
+    def _pixel_cols(self, res: float):
+        size_y, size_x = self.grid.tile_size
+        oy, ox = self.grid.origin
+        w = int(round(abs(size_x) / res))
+        h = int(round(abs(size_y) / res))
+        tile_left = F.col("tile_x").cast("double") * F.lit(abs(size_x)) + F.lit(ox)
+        tile_top = (F.col("tile_y").cast("double") + 1) * F.lit(abs(size_y)) + F.lit(oy)
+        px = F.least(
+            F.greatest(F.floor((F.col("lon") - tile_left) / F.lit(res)).cast("int"), F.lit(0)),
+            F.lit(w - 1),
+        )
+        py = F.least(
+            F.greatest(F.floor((tile_top - F.col("lat")) / F.lit(res)).cast("int"), F.lit(0)),
+            F.lit(h - 1),
+        )
+        return h, w, py, px
+
+    def load_density(
+        self,
+        res: float,
+        time_bucket: Optional[str] = None,
+        dense: bool = False,
+        **query,
+    ) -> DataFrame:
+        """Per-tile page-density rasters at pixel size ``res``.
+
+        Sparse output: (tile_x, tile_y[, bucket], py, px, n) — row 0 is
+        the TOP pixel row (geobox orientation).  ``dense=True`` returns
+        (tile_x, tile_y[, bucket], h, w, raster array<long>).
+        """
+        df = with_tile(self.find_datasets(**query), self.grid)
+        h, w, py, px = self._pixel_cols(res)
+        keys = ["tile_x", "tile_y"]
+        cols = [F.col("tile_x"), F.col("tile_y")]
+        if time_bucket:
+            cols.append(F.to_date(F.date_trunc(time_bucket, F.col("warc_ts"))).alias("bucket"))
+            keys.append("bucket")
+        sparse = (
+            df.select(*cols, py.alias("py"), px.alias("px"))
+            .groupBy(*keys, "py", "px")
+            .agg(F.count("*").alias("n"))
+        )
+        if not dense:
+            return sparse
+
+        def to_dense(key: tuple, grp: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros((h, w), dtype=np.int64)
+            arr[grp["py"].to_numpy(), grp["px"].to_numpy()] = grp["n"].to_numpy()
+            return pd.DataFrame([(*key, h, w, arr.ravel().tolist())], columns=[*keys, "h", "w", "raster"])
+
+        key_schema = "tile_x INT, tile_y INT" + (", bucket DATE" if time_bucket else "")
+        schema = f"{key_schema}, h INT, w INT, raster ARRAY<LONG>"
+        return sparse.groupBy(*keys).applyInPandas(to_dense, schema=schema)
