@@ -297,6 +297,15 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage_closure(edges, roots, direction="sources")
 
 
+def q_page_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datacube.load analog: sparse per-tile page-density rasters at 0.5°
+    pixels (the create_storage binning step, pure Catalyst)."""
+    from datacube_core_spark.api import Datacube
+
+    dc = Datacube(spark, sf_dir, repl=Q_REPL)
+    return dc.load_density(0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -321,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_buckets": q_range_buckets,
         "salted_cell_agg": q_salted_cell_agg,
         "lineage": q_lineage,
+        "page_density": q_page_density,
     }
 
 
@@ -520,6 +530,15 @@ GROUP BY 1 ORDER BY 1
 SELECT {_TX} AS tile_x, {_TY} AS tile_y,
        COUNT(doc_id) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id, MAX(lon) AS max_lon
 FROM pages GROUP BY 1, 2
+"""
+
+    sqls["page_density"] = f"""{_P}
+SELECT tile_x, tile_y, py, px, COUNT(*) AS n FROM (
+  SELECT {_TX} AS tile_x, {_TY} AS tile_y,
+         LEAST(GREATEST(CAST(FLOOR(((({_TY}) + 1) * {_SY} + ({_OY}) - lat) / 0.5) AS INT), 0), 7) AS py,
+         LEAST(GREATEST(CAST(FLOOR((lon - (({_TX}) * {_SX} + ({_OX}))) / 0.5) AS INT), 0), 7) AS px
+  FROM pages
+) GROUP BY 1, 2, 3, 4
 """
 
     sqls["lineage"] = """
