@@ -34,23 +34,26 @@ from ..functions.text import fingerprint_col
 def shingles_col(text_col, n: int = 3):
     """Distinct word n-gram shingles of lowercased text as an array column."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    last = F.size(toks) - (n - 1)  # sequence(1, last) would run DESCENDING if last < 1
-    grams = F.transform(
-        F.sequence(F.lit(1), last), lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )
+    n_grams = F.size(toks) - (n - 1)
+    sz = F.greatest(n_grams, F.lit(0))
+    # zip_with over n shifted length-aligned slices — ~4x faster than the
+    # per-index slice+array_join form (measured; per-element element_at is
+    # ~3x slower still)
+    grams = F.slice(toks, 1, sz)
+    for i in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, i + 1, sz), lambda a, b: F.concat_ws(" ", a, b))
     empty = F.array().cast("array<string>")
-    return F.when(last >= 1, F.array_distinct(grams)).otherwise(empty)
+    return F.when(n_grams >= 1, F.array_distinct(grams)).otherwise(empty)
 
 
 def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per (doc, distinct shingle): the substrate for Jaccard and
-    minhash.  ``n_sh`` carries each doc's distinct-shingle count."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
-    )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    return sh.join(counts, "doc_id")
+    minhash.  ``n_sh`` carries each doc's distinct-shingle count —
+    computed from the array BEFORE the explode (single pass, no join)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("_shs")
+    ).withColumn("n_sh", F.size("_shs"))
+    return base.select("doc_id", "n_sh", F.explode("_shs").alias("shingle"))
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,10 @@ _LAST_WORD_RE = r"\s+\S+$"
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # the documents parquet is one small file -> one input split; spread the
+    # rows so the downstream shingle explode parallelizes (local analog of a
+    # many-file table)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
     exact = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + F.lit(PLANT_EXACT)).alias("doc_id"), "text"
     )
