@@ -266,7 +266,10 @@ def q_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") + ((F.col("event_id") % 7) + 1) * 3600
         ).alias("e"),
     )
-    return range_bucket_join(ranged, "b", "e", 86400)
+    out = range_bucket_join(ranged, "b", "e", 86400)
+    # day-aligned buckets -> DATE output (timestamp normalization across
+    # engines is hasher-dependent; dates are unambiguous)
+    return out.select(F.col("bucket").cast("date").alias("bucket"), "n")
 
 
 def q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,7 +524,7 @@ WITH r AS (
          CAST(FLOOR(epoch(ts + ((event_id % 7) + 1) * INTERVAL 1 HOUR) / 86400) AS BIGINT) AS b1
   FROM events
 )
-SELECT make_timestamp(g.bucket_idx * 86400 * 1000000) AS bucket, COUNT(*) AS n
+SELECT CAST(make_timestamp(g.bucket_idx * 86400 * 1000000) AS DATE) AS bucket, COUNT(*) AS n
 FROM r, UNNEST(generate_series(b0, b1)) AS g(bucket_idx)
 GROUP BY 1 ORDER BY 1
 """
