@@ -127,3 +127,14 @@ def time_bucket_col(ts: Column, freq: str) -> Column:
     if freq == "earliest_time":
         return F.to_date(ts)
     raise ValueError(f"unknown bucket freq: {freq}")
+
+
+def solar_offset_timedelta(lon: float, precision: str = "h"):
+    """Driver-side solar offset for a longitude (reference
+    ``datacube/api/query.py:382-404``): hour precision rounds lon·24/360;
+    second precision truncates lon·240."""
+    import datetime as _dt
+
+    if precision == "h":
+        return _dt.timedelta(hours=int(round(lon * 24 / 360)))
+    return _dt.timedelta(seconds=int(lon * 240))
