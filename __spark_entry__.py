@@ -149,9 +149,9 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return docs.select(
         "doc_id",
-        token_count_col(t).alias("n_tokens"),
+        token_count_col(t).cast("long").alias("n_tokens"),
         lang_id_col(t).alias("lang_pred"),
-        punct_count_col(t).alias("n_punct"),
+        punct_count_col(t).cast("long").alias("n_punct"),
         quality_score_col(t).alias("quality"),
         fingerprint_col(t).alias("fp"),
     )
@@ -423,7 +423,7 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
     sqls["lang_stats"] = """
-SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS sum_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY 1
 """
@@ -439,7 +439,7 @@ FROM documents GROUP BY 1
 
     sqls["text_features"] = f"""
 SELECT doc_id,
-       {sql_token_count()} AS n_tokens,
+       CAST({sql_token_count()} AS BIGINT) AS n_tokens,
        {sql_lang_id()} AS lang_pred,
        {sql_punct_count()} AS n_punct,
        {sql_quality_score()} AS quality,

@@ -125,23 +125,26 @@ def _perm_params(k: int = _MH_K) -> List[Tuple[int, int]]:
     return params
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, k: int = _MH_K, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, sig array<long>[k]) — minhash over xxhash64 shingle hashes.
-
-    Entirely JVM: explode shingles → h32 = xxhash64 & 0xffffffff →
-    k parallel min-aggregates of (a_k·h32 + b_k) mod p.
-    """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
-    )
+def _signatures_from_shingles(sh: DataFrame, k: int = _MH_K) -> DataFrame:
+    """(doc_id, sig) from a (doc_id, shingle) DataFrame: h32 = xxhash64 &
+    0xffffffff → k parallel min-aggregates of (a_k·h32 + b_k) mod p."""
     h32 = (F.xxhash64(F.col("shingle")) % F.lit(1 << 32) + F.lit(1 << 32)) % F.lit(1 << 32)
-    sh = sh.select("doc_id", h32.alias("h"))
+    hashed = sh.select("doc_id", h32.alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(pa) + F.lit(pb)) % F.lit(_MH_PRIME)).alias(f"m{i}")
         for i, (pa, pb) in enumerate(_perm_params(k))
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, k: int = _MH_K, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<long>[k]) — minhash over xxhash64 shingle hashes.
+    Entirely JVM."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    )
+    return _signatures_from_shingles(sh, k)
 
 
 def minhash_lsh_pairs(
@@ -161,7 +164,11 @@ def minhash_lsh_pairs(
     shingle-Jaccard so precision is exact; output is (a, b, jaccard).
     """
     rows = k // bands
-    sig = minhash_signatures(docs, n, k, id_col, text_col)
+    # one shingle pass shared by the signature build AND the exact-Jaccard
+    # verification (localCheckpoint: cheap materialization, avoids
+    # recomputing the corpus + shingling twice)
+    sh = with_shingles(docs, n, id_col, text_col).localCheckpoint(eager=False)
+    sig = _signatures_from_shingles(sh.select("doc_id", "shingle"), k)
     band_arr = F.array(
         *[
             F.struct(
@@ -185,7 +192,6 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
 
-    sh = with_shingles(docs, n, id_col, text_col)
     a = sh.select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
     common = (

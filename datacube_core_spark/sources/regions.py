@@ -66,7 +66,7 @@ def regions(spark: SparkSession) -> DataFrame:
 REGIONS_CTE = f"""
 regions AS (
   SELECT
-    rid AS region_id,
+    CAST(rid AS INT) AS region_id,
     -180.0 + (rid % {RX}) * {REGION_W} AS "left",
     -85.0 + CAST(FLOOR(rid / {RX}) AS BIGINT) * {REGION_H} AS "bottom",
     -180.0 + (rid % {RX}) * {REGION_W} + {REGION_W} AS "right",
