@@ -1,0 +1,193 @@
+"""Constructive geometry operations (reference §2.8 surface, pure numpy).
+
+The reference delegates these to shapely (``datacube/utils/geometry/
+_base.py:481-660``); shapely is absent here, so the subset the engine
+needs is implemented directly:
+
+* area / length / centroid (area-weighted, holes subtract)
+* envelope (bbox ring), boundary (the rings)
+* convex_hull (Andrew monotone chain)
+* simplify (Douglas–Peucker, ``tol`` in coordinate units)
+* buffer for axis-rectangles (exact) and convex polygons (edge offset +
+  miter; matches shapely's JOIN_STYLE.mitre for convex inputs) — general
+  concave buffering needs a full polygon-offset library and raises.
+* segmented / densify — max-segment-length vertex insertion (reference
+  ``segmented``/``densify`` at ``_base.py:627-648,422-444``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .bbox import BoundingBox
+from .polygon import MultiPolygon, Polygon, Ring, as_ring, box_ring, polygon_bbox, ring_area
+
+
+def _ring_area_centroid(raw: Ring) -> Tuple[float, float, float]:
+    """(unsigned area, cx, cy) of one ring via shoelace moments."""
+    r = as_ring(raw)
+    x, y = r[:, 0], r[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    a_signed = 0.5 * float(cross.sum())
+    if a_signed == 0.0:
+        return 0.0, float(x.mean()), float(y.mean())
+    cx = float(((x + x2) * cross).sum()) / (6.0 * a_signed)
+    cy = float(((y + y2) * cross).sum()) / (6.0 * a_signed)
+    return abs(a_signed), cx, cy
+
+
+def polygon_centroid(poly: Polygon) -> Tuple[float, float]:
+    """Area-weighted centroid; holes subtract (ring 0 = outer)."""
+    sa = sx = sy = 0.0
+    for idx, raw in enumerate(poly):
+        a, cx, cy = _ring_area_centroid(raw)
+        w = a if idx == 0 else -a
+        sa += w
+        sx += w * cx
+        sy += w * cy
+    if sa == 0:
+        r = as_ring(poly[0])
+        return float(r[:, 0].mean()), float(r[:, 1].mean())
+    return sx / sa, sy / sa
+
+
+def ring_length(ring: Ring) -> float:
+    r = as_ring(ring)
+    d = np.roll(r, -1, axis=0) - r
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def polygon_length(poly: Polygon) -> float:
+    """Total boundary length (outer + holes)."""
+    return sum(ring_length(r) for r in poly)
+
+
+def envelope(poly: Polygon) -> Ring:
+    l, b, r, t = polygon_bbox(poly)
+    return box_ring(l, b, r, t)
+
+
+def convex_hull(points) -> Ring:
+    """Andrew monotone chain; returns CCW hull ring."""
+    pts = np.unique(np.asarray(points, dtype=np.float64).reshape(-1, 2), axis=0)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: List = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: List = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def simplify_ring(ring: Ring, tol: float) -> Ring:
+    """Douglas–Peucker on a closed ring (split at the two extremes)."""
+    r = as_ring(ring)
+    if len(r) <= 4:
+        return r
+
+    def dp(pts: np.ndarray) -> np.ndarray:
+        if len(pts) <= 2:
+            return pts
+        a, b = pts[0], pts[-1]
+        ab = b - a
+        denom = np.hypot(*ab) or 1.0
+        d = np.abs(np.cross(ab, pts[1:-1] - a)) / denom
+        i = int(np.argmax(d))
+        if d[i] <= tol:
+            return np.array([a, b])
+        left = dp(pts[: i + 2])
+        right = dp(pts[i + 1 :])
+        return np.concatenate([left[:-1], right])
+
+    # a closed ring has no natural endpoints: anchor at vertex 0 and the
+    # vertex farthest from it, simplify the two open halves independently
+    d0 = np.hypot(r[:, 0] - r[0, 0], r[:, 1] - r[0, 1])
+    i1 = int(np.argmax(d0))
+    if i1 == 0:
+        return r
+    first = dp(r[: i1 + 1])
+    second = dp(np.vstack([r[i1:], r[:1]]))
+    out = np.concatenate([first[:-1], second[:-1]])
+    return out if len(out) >= 3 else r
+
+
+def is_convex(ring: Ring) -> bool:
+    r = as_ring(ring)
+    n = len(r)
+    sign = 0
+    for i in range(n):
+        o, a, b = r[i], r[(i + 1) % n], r[(i + 2) % n]
+        c = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+        if c != 0:
+            s = 1 if c > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+def buffer_polygon(poly: Polygon, dist: float) -> Polygon:
+    """Outward buffer: exact for axis-rects; miter edge-offset for convex
+    rings; concave input raises (needs a polygon-offset library)."""
+    ring = as_ring(poly[0])
+    if len(poly) > 1:
+        raise NotImplementedError("buffering polygons with holes is not supported")
+    # axis-rect fast path
+    xs, ys = np.unique(ring[:, 0]), np.unique(ring[:, 1])
+    if len(ring) == 4 and len(xs) == 2 and len(ys) == 2:
+        return [box_ring(xs[0] - dist, ys[0] - dist, xs[1] + dist, ys[1] + dist)]
+    if not is_convex(ring):
+        raise NotImplementedError("concave buffering requires a polygon-offset library")
+    # ensure CCW
+    if ring_area(ring) < 0:
+        ring = ring[::-1]
+    n = len(ring)
+    out = []
+    for i in range(n):
+        p_prev, p, p_next = ring[i - 1], ring[i], ring[(i + 1) % n]
+        # outward normals of adjacent edges (CCW ring -> outward = right of direction... for CCW, outward normal is (dy, -dx))
+        d1 = p - p_prev
+        d2 = p_next - p
+        n1 = np.array([d1[1], -d1[0]]) / (np.hypot(*d1) or 1.0)
+        n2 = np.array([d2[1], -d2[0]]) / (np.hypot(*d2) or 1.0)
+        bis = n1 + n2
+        norm = np.hypot(*bis)
+        if norm < 1e-12:
+            out.append(p + n1 * dist)
+            continue
+        bis /= norm
+        # miter length so both edges are offset exactly by dist
+        cos_half = float(np.clip(np.dot(bis, n1), 1e-6, 1.0))
+        out.append(p + bis * (dist / cos_half))
+    return [np.asarray(out, dtype=np.float64)]
+
+
+def segmented(ring: Ring, max_len: float) -> Ring:
+    """Insert vertices so no segment exceeds ``max_len``."""
+    r = as_ring(ring)
+    out = []
+    n = len(r)
+    for i in range(n):
+        a, b = r[i], r[(i + 1) % n]
+        out.append(a)
+        seg = np.hypot(*(b - a))
+        if seg > max_len:
+            k = int(np.ceil(seg / max_len))
+            for j in range(1, k):
+                out.append(a + (b - a) * (j / k))
+    return np.asarray(out, dtype=np.float64)
