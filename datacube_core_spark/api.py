@@ -115,3 +115,55 @@ class Datacube:
         key_schema = "tile_x INT, tile_y INT" + (", bucket DATE" if time_bucket else "")
         schema = f"{key_schema}, h INT, w INT, raster ARRAY<LONG>"
         return sparse.groupBy(*keys).applyInPandas(to_dense, schema=schema)
+
+
+def output_geobox(
+    like=None,
+    output_crs=None,
+    resolution=None,
+    align=None,
+    grid_spec: Optional[GridSpec] = None,
+    load_hints: Optional[dict] = None,
+    bbox=None,
+):
+    """Configure the output GeoBox with the reference's precedence
+    (reference ``datacube/api/core.py:870-930``):
+
+    ``like`` (returned as-is, incompatible with explicit specs)
+    > explicit ``output_crs`` + ``resolution`` (+ ``align``)
+    > product ``load_hints``
+    > product ``grid_spec`` (its resolution + alignment as defaults);
+    bounds come from ``bbox`` (the query geopolygon / dataset footprints
+    fold); snapping via ``GeoBox.from_bbox`` (_align_pix rule).
+    """
+    from .geom.bbox import BoundingBox
+    from .geom.grid import GeoBox
+
+    if like is not None:
+        assert output_crs is None, "'like' and 'output_crs' are not supported together"
+        assert resolution is None, "'like' and 'resolution' are not supported together"
+        assert align is None, "'like' and 'align' are not supported together"
+        return like
+
+    if load_hints:
+        output_crs = output_crs or load_hints.get("output_crs")
+        resolution = resolution or load_hints.get("resolution")
+        align = align or load_hints.get("align")
+
+    if output_crs is not None:
+        if resolution is None:
+            raise ValueError("Must specify 'resolution' when specifying 'output_crs'")
+        crs = output_crs
+    elif grid_spec is not None:
+        crs = grid_spec.crs
+        if resolution is None:
+            resolution = grid_spec.resolution
+        align = align or grid_spec.alignment
+    else:
+        raise ValueError("Product has no default CRS. Must specify 'output_crs' and 'resolution'")
+
+    if bbox is None:
+        raise ValueError("Bounds are not specified")
+    if not isinstance(bbox, BoundingBox):
+        bbox = BoundingBox(*bbox)
+    return GeoBox.from_bbox(bbox, resolution, crs=crs, align=align)

@@ -69,3 +69,36 @@ def test_density_time_buckets(spark, dc):
     total = d.agg(F.sum("n")).collect()[0][0]
     assert total == pages(spark, SF_TINY).count()
     assert d.select("bucket").distinct().count() <= 12
+
+
+def test_output_geobox_precedence():
+    from datacube_core_spark.api import output_geobox
+    from datacube_core_spark.geom import GRID_A, BoundingBox, GeoBox
+    from datacube_core_spark.geom.grid import GRID_PAGES
+
+    # like wins and is returned as-is
+    gb = GRID_A.tile_geobox((0, 0))
+    assert output_geobox(like=gb) is gb
+    with pytest.raises(AssertionError):
+        output_geobox(like=gb, output_crs="EPSG:4326")
+
+    # explicit crs requires resolution
+    with pytest.raises(ValueError, match="resolution"):
+        output_geobox(output_crs="EPSG:4326")
+
+    # grid_spec supplies crs/resolution/alignment defaults
+    out = output_geobox(grid_spec=GRID_A, bbox=BoundingBox(10.0, 10.0, 11.0, 11.0))
+    assert out.crs == "EPSG:4326"
+    assert out.resolution == (-0.1, 0.1)
+    assert out.shape == (10, 10)
+
+    # load_hints sit between explicit and grid_spec
+    out2 = output_geobox(
+        load_hints={"output_crs": "EPSG:4326", "resolution": (-0.5, 0.5)},
+        bbox=(0.0, 0.0, 2.0, 1.0),
+    )
+    assert out2.resolution == (-0.5, 0.5)
+    assert out2.shape == (2, 4)
+
+    with pytest.raises(ValueError, match="Bounds"):
+        output_geobox(grid_spec=GRID_A)
