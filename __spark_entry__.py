@@ -206,12 +206,12 @@ def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
-    base = base.withColumn("n0", norm_col(F.col("v"), 64))  # norm once per vector, not per pair
+    base = base.withColumn("n0", norm_col(F.col("v")))  # norm once per vector, not per pair
     a = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n0").alias("na"))
     b = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n0").alias("nb"))
     pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
     den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb"), 64) / den).otherwise(F.lit(0.0))
+    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
     return pairs.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= 0.5)
 
 

@@ -32,11 +32,11 @@ def _dvec(col: Column) -> Column:
 def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-fold dot product in double (deterministic order).
 
-    With ``dim`` known, unrolls to an explicit left-associated sum of
-    products — plain arithmetic that whole-stage codegen compiles (the
-    higher-order ``aggregate``/``zip_with`` form is interpreted and ~10x
-    slower); the addition order is identical, so results stay
-    bit-identical between the two forms and the DuckDB oracle."""
+    With ``dim`` given, unrolls to an explicit left-associated sum of
+    products; measured SLOWER than the fold here (the 64-term getItem
+    tree blows past codegen limits), so callers default to the fold —
+    kept because the two forms are bit-identical (same addition order)
+    and the unrolled one can win for small dims."""
     if dim is not None:
         # start from 0.0 exactly like the fold (guards the -0.0 corner:
         # 0.0 + -0.0 == +0.0, while a bare first term could keep -0.0)
@@ -75,7 +75,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
-    dim: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (qid, vec_id, cos_sim, rank).
 
@@ -114,7 +114,7 @@ def lsh_code_col(vec: Column, planes: np.ndarray) -> Column:
     bits = []
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(w)) for w in plane])
-        d = dot_col(vec, arr, dim=len(plane))
+        d = dot_col(vec, arr)
         bits.append(F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
     code = bits[0]
     for b in bits[1:]:
@@ -147,11 +147,11 @@ def lsh_topk(
         probes += [F.col("code0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
     q = q.withColumn("code", F.explode(F.array(*probes)))
 
-    v = v.withColumn("na", norm_col(F.col("v"), dim))
-    q = q.withColumn("nb", norm_col(F.col("qv"), dim))
+    v = v.withColumn("na", norm_col(F.col("v")))
+    q = q.withColumn("nb", norm_col(F.col("qv")))
     pairs = v.join(F.broadcast(q.select("qid", "qv", "nb", "code")), on="code")
     den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("v"), F.col("qv"), dim) / den).otherwise(F.lit(0.0))
+    cos = F.when(den > 0, dot_col(F.col("v"), F.col("qv")) / den).otherwise(F.lit(0.0))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         pairs.select("qid", "vec_id", cos.alias("cos_sim"))
@@ -177,8 +177,8 @@ def cosine_neardup_pairs(
     probes = [F.col("code0")] + [F.col("code0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
     exploded = v.withColumn("code", F.explode(F.array(*probes)))
 
-    v = v.withColumn("n0", norm_col(F.col("v"), dim))
-    exploded = exploded.withColumn("n0", norm_col(F.col("v"), dim))
+    v = v.withColumn("n0", norm_col(F.col("v")))
+    exploded = exploded.withColumn("n0", norm_col(F.col("v")))
     left = exploded.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n0").alias("na"), "code")
     right = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n0").alias("nb"), F.col("code0").alias("code"))
     cand = (
@@ -186,5 +186,5 @@ def cosine_neardup_pairs(
         .select("a", "b", "va", "vb", "na", "nb").distinct()
     )
     den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb"), dim) / den).otherwise(F.lit(0.0))
+    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
     return cand.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= F.lit(threshold))
