@@ -32,6 +32,22 @@ _SY = _G.tile_size[0]
 _OX = _G.origin[1]  # -180.0
 _OY = _G.origin[0]  # -90.0
 
+# PipIndex is a build-once object (driver-side tile enumeration + geometry
+# broadcast); memoize per SparkSession so consecutive queries share it
+_PIP_INDEX_CACHE: dict = {}
+
+
+def _pip_index(spark: SparkSession):
+    from datacube_core_spark.operators.pip import PipIndex
+
+    key = id(spark)
+    idx = _PIP_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = PipIndex(spark, regions(spark), _G)
+        _PIP_INDEX_CACHE.clear()
+        _PIP_INDEX_CACHE[key] = idx
+    return idx
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -61,15 +77,14 @@ def q_bbox_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join pairs (broadcast cells + exact refine)."""
     p = pages(spark, sf_dir, repl=Q_REPL)
-    r = regions(spark)
-    return pip_join(p, r, _G, keep_cols=["doc_id"]).select("doc_id", "region_id")
+    return _pip_index(spark).join(p, keep_cols=["doc_id"]).select("doc_id", "region_id")
 
 
 def q_pip_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = pages(spark, sf_dir, repl=Q_REPL)
-    r = regions(spark)
     return (
-        pip_join(p, r, _G, keep_cols=["doc_id"])
+        _pip_index(spark)
+        .join(p, keep_cols=["doc_id"])
         .groupBy("region_id")
         .agg(F.count("*").alias("n"))
     )
@@ -595,7 +610,6 @@ def entry(spark: SparkSession) -> DataFrame:
     + per-(tile, region) counts — the north-rule pipeline end-to-end."""
     sf_dir = "/root/testdata/sf0.001"
     p = pages(spark, sf_dir, repl=4)
-    r = regions(spark)
-    joined = pip_join(p, r, _G, keep_cols=["doc_id", "url"])
+    joined = _pip_index(spark).join(p, keep_cols=["doc_id", "url"])
     tiled = with_tile(joined, _G)
     return tiled.groupBy("tile_x", "tile_y", "region_id").agg(F.count("*").alias("n_pages"))
