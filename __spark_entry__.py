@@ -324,6 +324,17 @@ def q_page_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.load_density(0.5)
 
 
+def q_cell_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridWorkflow cell_observations: page footprint rects assigned to
+    grid cells with the exact interiors-intersect refine, counted."""
+    from datacube_core_spark.operators.grid_workflow import cell_observations
+    from datacube_core_spark.sources.pages import boxed_pages
+
+    p = boxed_pages(pages(spark, sf_dir, repl=Q_REPL))
+    obs = cell_observations(p, _G)
+    return obs.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -349,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_cell_agg": q_salted_cell_agg,
         "lineage": q_lineage,
         "page_density": q_page_density,
+        "cell_obs": q_cell_obs,
     }
 
 
@@ -557,6 +569,22 @@ SELECT tile_x, tile_y, py, px, COUNT(*) AS n FROM (
          LEAST(GREATEST(CAST(FLOOR((lon - (({_TX}) * {_SX} + ({_OX}))) / 0.5) AS INT), 0), 7) AS px
   FROM pages
 ) GROUP BY 1, 2, 3, 4
+"""
+
+    # cell_obs: grid-range enumeration + strict interval-overlap refine
+    sqls["cell_obs"] = f"""{_P}, {_BOXED}
+SELECT tile_x, tile_y, COUNT(*) AS n FROM (
+  SELECT b.*, tx.tile_x, ty.tile_y,
+         tx.tile_x * {_SX} + ({_OX}) AS tl,
+         ty.tile_y * {_SY} + ({_OY}) AS tb
+  FROM boxed b,
+       UNNEST(generate_series(CAST(FLOOR(("left" - {_OX}) / {_SX}) AS INT),
+                              CAST(CEIL(("right" - {_OX}) / {_SX}) AS INT) - 1)) AS tx(tile_x),
+       UNNEST(generate_series(CAST(FLOOR(("bottom" - {_OY}) / {_SY}) AS INT),
+                              CAST(CEIL(("top" - {_OY}) / {_SY}) AS INT) - 1)) AS ty(tile_y)
+)
+WHERE "left" < tl + {_SX} AND tl < "right" AND "bottom" < tb + {_SY} AND tb < "top"
+GROUP BY 1, 2
 """
 
     sqls["lineage"] = """

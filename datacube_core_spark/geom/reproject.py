@@ -84,11 +84,67 @@ def box_overlap(src_shape, dst_shape, st: Affine, tol: float):
     return (s0, s1), (d0, d1)
 
 
-def compute_reproject_roi(src: GeoBox, dst: GeoBox, tol: float = 0.05) -> SimpleNamespace:
+def gbox_boundary_pix(shape, pts_per_side: int = 2) -> np.ndarray:
+    """(N, 2) float32 (x, y) points along the pixel-space perimeter of an
+    image plane of the given (h, w) shape."""
+    h, w = shape
+    xx = np.linspace(0, w, pts_per_side, dtype="float32")
+    yy = np.linspace(0, h, pts_per_side, dtype="float32")
+    top = np.stack([xx, np.full_like(xx, yy[0])], axis=1)
+    bot = np.stack([xx, np.full_like(xx, yy[-1])], axis=1)
+    left = np.stack([np.full_like(yy, xx[0]), yy], axis=1)
+    right = np.stack([np.full_like(yy, xx[-1]), yy], axis=1)
+    return np.concatenate([top, bot, left, right], axis=0)
+
+
+def roi_boundary_pix(roi, pts_per_side: int = 2) -> np.ndarray:
+    """Boundary (x, y) points of a normalized (row-slice, col-slice) ROI."""
+    yy, xx = roi
+    xs = np.linspace(xx.start, xx.stop, pts_per_side, dtype="float32")
+    ys = np.linspace(yy.start, yy.stop, pts_per_side, dtype="float32")
+    top = np.stack([xs, np.full_like(xs, ys[0])], axis=1)
+    bot = np.stack([xs, np.full_like(xs, ys[-1])], axis=1)
+    left = np.stack([np.full_like(ys, xs[0]), ys], axis=1)
+    right = np.stack([np.full_like(ys, xs[-1]), ys], axis=1)
+    return np.concatenate([top, bot, left, right], axis=0)
+
+
+def roi_from_points(xy: np.ndarray, shape, padding: int = 0):
+    """Envelope ROI (row-slice, col-slice) of a point cloud, padded and
+    clipped to the image plane (reference ``tools.py:536-566``)."""
+    ny, nx = shape
+    lo = np.floor(xy.min(axis=0)).astype("int32") - padding
+    hi = np.ceil(xy.max(axis=0)).astype("int32") + padding
+    x0, x1 = int(np.clip(lo[0], 0, nx)), int(np.clip(hi[0], 0, nx))
+    y0, y1 = int(np.clip(lo[1], 0, ny)), int(np.clip(hi[1], 0, ny))
+    return (slice(y0, y1), slice(x0, x1))
+
+
+def _apply_affine_pts(a: Affine, xy: np.ndarray) -> np.ndarray:
+    x = a.a * xy[:, 0] + a.b * xy[:, 1] + a.c
+    y = a.d * xy[:, 0] + a.e * xy[:, 1] + a.f
+    return np.stack([x, y], axis=1)
+
+
+def get_scale_from_linear_transform(a: Affine):
+    """(sx, sy) scale components via the R·W·S decomposition (reference
+    ``tools.py:244-335``): with M = R W S and RᵀR = I, MᵀM = (WS)ᵀ(WS)
+    and WS is upper-triangular — its diagonal (the Cholesky factor's) is
+    the scale."""
+    m = np.array([[a.a, a.b], [a.d, a.e]], dtype=np.float64)
+    mtm = m.T @ m
+    u = np.linalg.cholesky(mtm).T  # upper-triangular factor
+    return abs(float(u[0, 0])), abs(float(u[1, 1]))
+
+
+def compute_reproject_roi(src: GeoBox, dst: GeoBox, tol: float = 0.05, padding: Optional[int] = None) -> SimpleNamespace:
     """Linear-path reproject plan: minimal overlap ROIs + shrink scale.
 
-    Returns SimpleNamespace(roi_src, roi_dst, scale, scale2, is_st,
-    transform) — scale > 1 means the source shrinks to fit dst.
+    Scale+translation transforms use the snapping ``box_overlap`` fast
+    path; rotated/sheared linear transforms use boundary back-projection
+    (reference ``compute_roi`` with 1-pixel padding).  Returns
+    SimpleNamespace(roi_src, roi_dst, scale, scale2, is_st, transform) —
+    scale > 1 means the source shrinks to fit dst.
     """
     tr = native_pix_transform_linear(src, dst)
     if tr is None:
@@ -98,13 +154,19 @@ def compute_reproject_roi(src: GeoBox, dst: GeoBox, tol: float = 0.05) -> Simple
         )
     st = is_affine_st(tr)
     back = ~tr  # dst pixel -> src pixel
-    if st:
+    if st and padding in (0, None):
         roi_src, roi_dst = box_overlap(src.shape, dst.shape, back, tol)
     else:
-        raise NotImplementedError("rotated/sheared linear transforms not supported yet")
+        pad = 1 if padding is None else padding
+        xy = _apply_affine_pts(back, gbox_boundary_pix(dst.shape, 2))
+        roi_src = roi_from_points(xy, src.shape, pad)
+        if roi_src[0].stop <= roi_src[0].start or roi_src[1].stop <= roi_src[1].start:
+            roi_dst = (slice(0, 0), slice(0, 0))
+        else:
+            xy2 = _apply_affine_pts(tr, roi_boundary_pix(roi_src, 2))
+            roi_dst = roi_from_points(xy2, dst.shape, 0)
 
-    sx = math.hypot(tr.a, tr.d)
-    sy = math.hypot(tr.b, tr.e)
+    sx, sy = get_scale_from_linear_transform(tr)
     scale2 = (1.0 / sx, 1.0 / sy)
     scale = min(scale2)
     return SimpleNamespace(

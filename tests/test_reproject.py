@@ -106,3 +106,44 @@ def test_paste_roundtrip_full():
     rr = compute_reproject_roi(a, a)
     paste(src, dst, rr)
     np.testing.assert_array_equal(src, dst)
+
+
+def test_rotated_linear_path():
+    from datacube_core_spark.geom.reproject import get_scale_from_linear_transform
+    import math as m
+
+    # dst rotated 30° relative to src, same pixel size
+    th = m.radians(30)
+    rot = Affine(m.cos(th), -m.sin(th), 5.0, m.sin(th), m.cos(th), 3.0)
+    src = GeoBox(100, 80, Affine.translation(0, 0) * Affine.scale(1.0, 1.0), "C")
+    dst = GeoBox(50, 40, rot, "C")
+    rr = compute_reproject_roi(src, dst)
+    assert not rr.is_st
+    ok, reason = can_paste(rr)
+    assert not ok and reason == "not ST"
+    # src ROI must cover the back-projected dst corners (+1 px padding)
+    corners = [(0, 0), (50, 0), (0, 40), (50, 40)]
+    for cx, cy in corners:
+        x, y = rot * (cx, cy)
+        if 0 <= x <= 100 and 0 <= y <= 80:
+            assert rr.roi_src[1].start <= x <= rr.roi_src[1].stop
+            assert rr.roi_src[0].start <= y <= rr.roi_src[0].stop
+    # pure rotation: scale is 1 on both axes
+    sx, sy = get_scale_from_linear_transform(rr.transform)
+    assert sx == pytest.approx(1.0) and sy == pytest.approx(1.0)
+
+
+def test_scale_decomposition_with_shear():
+    from datacube_core_spark.geom.reproject import get_scale_from_linear_transform
+    import math as m
+
+    # M = R(20°) · W(shear 0.3) · S(2, 5) — decomposition must recover S
+    th = m.radians(20)
+    r = np.array([[m.cos(th), -m.sin(th)], [m.sin(th), m.cos(th)]])
+    w = np.array([[1.0, 0.3], [0.0, 1.0]])
+    s = np.diag([2.0, 5.0])
+    mm = r @ w @ s
+    a = Affine(mm[0, 0], mm[0, 1], 0, mm[1, 0], mm[1, 1], 0)
+    sx, sy = get_scale_from_linear_transform(a)
+    assert sx == pytest.approx(2.0)
+    assert sy == pytest.approx(5.0)
