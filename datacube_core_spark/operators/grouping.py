@@ -129,6 +129,77 @@ def time_bucket_col(ts: Column, freq: str) -> Column:
     raise ValueError(f"unknown bucket freq: {freq}")
 
 
+def fuse_first_valid_salted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sort_key: Column,
+    id_col: str,
+    array_col: str,
+    nodata: float,
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Skew-robust first-valid-wins fuse: two-level aggregation.
+
+    ``fuse_first_valid`` collects ALL of a group's source arrays on one
+    reducer — a hot tile with thousands of overlapping sources bottlenecks
+    there.  This variant makes the fuse ASSOCIATIVE by carrying the
+    winning source's (sort_key, id) per pixel: partial fuses happen per
+    (group, salt), then partials merge by per-pixel min-(sort, id) among
+    valid values.  Result is identical to the unsalted operator (verified
+    in tests); both levels are pure Catalyst.
+    """
+    import math as _math
+
+    is_nan_nodata = isinstance(nodata, float) and _math.isnan(nodata)
+
+    def invalid(v: Column) -> Column:
+        return F.isnan(v) if is_nan_nodata else (v == F.lit(nodata))
+
+    def combine(a: Column, b: Column) -> Column:
+        """Per-pixel merge of two (s, i, v) candidates."""
+        a_bad = invalid(a["v"])
+        b_bad = invalid(b["v"])
+        a_first = (a["s"] < b["s"]) | ((a["s"] == b["s"]) & (a["i"] < b["i"]))
+        return F.when(a_bad, b).when(b_bad, a).when(a_first, a).otherwise(b)
+
+    def merge_arrays(x: Column, y: Column) -> Column:
+        return F.zip_with(x, y, combine)
+
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(salt_factor))
+    entry = F.struct(
+        sort_key.alias("_sort"), F.col(id_col).cast("long").alias("_id"), F.col(array_col).alias("_arr")
+    )
+    partial_in = df.withColumn("_salt", salt).groupBy(*group_cols, "_salt").agg(
+        F.sort_array(F.collect_list(entry)).alias("_entries")
+    )
+
+    def tag(e: Column) -> Column:
+        return F.transform(
+            e["_arr"], lambda x: F.struct(e["_sort"].alias("s"), e["_id"].alias("i"), x.alias("v"))
+        )
+
+    tagged = F.transform(F.col("_entries"), tag)
+    partial = F.aggregate(
+        F.slice(tagged, 2, F.greatest(F.size(tagged) - 1, F.lit(0))),
+        F.element_at(tagged, 1),
+        merge_arrays,
+    )
+    partials = partial_in.select(
+        *group_cols, partial.alias("_partial"), F.size("_entries").alias("_n")
+    )
+
+    merged_in = partials.groupBy(*group_cols).agg(
+        F.collect_list("_partial").alias("_ps"), F.sum("_n").alias("n_sources")
+    )
+    merged = F.aggregate(
+        F.slice(F.col("_ps"), 2, F.greatest(F.size("_ps") - 1, F.lit(0))),
+        F.element_at(F.col("_ps"), 1),
+        merge_arrays,
+    )
+    fused = F.transform(merged, lambda e: e["v"])
+    return merged_in.select(*group_cols, fused.alias("fused"), F.col("n_sources").cast("int").alias("n_sources"))
+
+
 def solar_offset_timedelta(lon: float, precision: str = "h"):
     """Driver-side solar offset for a longitude (reference
     ``datacube/api/query.py:382-404``): hour precision rounds lon·24/360;

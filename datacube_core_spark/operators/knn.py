@@ -44,10 +44,17 @@ def knn_join(
     id_col: str = "doc_id",
     query_id_col: str = "qid",
     max_r: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact k nearest pages for each query point.
 
     ``queries_df``: (qid, lon, lat).  Returns (qid, doc_id, dist_sq, rank).
+
+    ``broadcast_queries=True`` (default) broadcasts the exploded query
+    ring — right for a small query set.  ``False`` switches to a shuffle
+    equi-join on the tile id (both sides repartition on (ptx, pty)) — the
+    bulk-kNN / kNN-self-join path where queries are as numerous as pages;
+    AQE handles skewed tiles.
     """
     spark = pages_df.sparkSession
     size = min(abs(grid.tile_size[0]), abs(grid.tile_size[1]))
@@ -76,8 +83,9 @@ def knn_join(
         )
         dlon = F.col("lon") - F.col("q_lon")
         dlat = F.col("lat") - F.col("q_lat")
+        right = F.broadcast(cand_tiles) if broadcast_queries else cand_tiles
         cand = (
-            pages_t.join(F.broadcast(cand_tiles), on=["ptx", "pty"], how="inner")
+            pages_t.join(right, on=["ptx", "pty"], how="inner")
             .withColumn("dist_sq", dlon * dlon + dlat * dlat)
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(), F.col(id_col).asc())

@@ -168,3 +168,50 @@ def test_checkpoint_resume_no_recompute(spark, tmp_path):
     # lineage + metrics recorded for every cell
     assert job2.lineage().count() == 8
     assert job2.metrics().count() == 8
+
+
+def test_salted_fuse_equals_unsalted(spark):
+    import random
+
+    from datacube_core_spark.operators.grouping import fuse_first_valid_salted
+
+    rng = random.Random(7)
+    nodata = -1.0
+    rows = []
+    for tx in range(3):
+        for ty in range(2):
+            for sid in range(25):  # 25 overlapping sources per tile
+                arr = [
+                    (rng.random() * 10 if rng.random() > 0.5 else nodata)
+                    for _ in range(6)
+                ]
+                rows.append((tx, ty, sid, float(sid % 7), arr))
+    df = spark.createDataFrame(rows, "tx INT, ty INT, id LONG, sv DOUBLE, arr ARRAY<DOUBLE>")
+
+    plain = {
+        (r["tx"], r["ty"]): (list(r["fused"]), r["n_sources"])
+        for r in fuse_first_valid(df, ["tx", "ty"], F.col("sv"), "id", "arr", nodata).collect()
+    }
+    for factor in (1, 4, 16):
+        salted = {
+            (r["tx"], r["ty"]): (list(r["fused"]), r["n_sources"])
+            for r in fuse_first_valid_salted(
+                df, ["tx", "ty"], F.col("sv"), "id", "arr", nodata, salt_factor=factor
+            ).collect()
+        }
+        assert salted == plain, f"salt_factor={factor}"
+
+
+def test_salted_fuse_nan_nodata(spark):
+    from datacube_core_spark.operators.grouping import fuse_first_valid_salted
+
+    nan = float("nan")
+    rows = [
+        (0, 0, 1, 0.0, [1.0, nan, nan]),
+        (0, 0, 2, 1.0, [5.0, 2.0, nan]),
+        (0, 0, 3, 2.0, [7.0, 7.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, "tx INT, ty INT, id LONG, sv DOUBLE, arr ARRAY<DOUBLE>")
+    out = fuse_first_valid_salted(df, ["tx", "ty"], F.col("sv"), "id", "arr", nan, salt_factor=3).collect()
+    assert out[0]["fused"] == [1.0, 2.0, 7.0]
+    assert out[0]["n_sources"] == 3
