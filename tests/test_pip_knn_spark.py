@@ -80,3 +80,13 @@ def test_knn_parity_brute_force(spark, pages_pdf):
         sub = got[got.qid == int(qid_v)].sort_values("rank")
         assert [int(v) for v in sub.doc_id] == [e[0] for e in exp], f"qid {qid_v}"
         np.testing.assert_allclose(sub.dist_sq.to_numpy(), [e[1] for e in exp], rtol=0, atol=0)
+
+
+def test_knn_bulk_shuffle_mode_matches_broadcast(spark, pages_pdf):
+    p = pages(spark, SF_TINY)
+    q = p.where(F.col("doc_id") % 101 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    a = knn_join(p, q, GRID_PAGES, k=5, broadcast_queries=True)
+    b = knn_join(p, q, GRID_PAGES, k=5, broadcast_queries=False)
+    sa = {(r["qid"], r["rank"]): (r["doc_id"], r["dist_sq"]) for r in a.collect()}
+    sb = {(r["qid"], r["rank"]): (r["doc_id"], r["dist_sq"]) for r in b.collect()}
+    assert sa == sb
