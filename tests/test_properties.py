@@ -87,6 +87,14 @@ def test_pip_convex_matches_halfplane_test(cx, cy, n, r, px, py):
     # regular convex n-gon around (cx, cy)
     ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
     ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    # both formulations are valid within float representation; at points
+    # within ~1 ulp of an edge they may legitimately disagree — exclude
+    # that measure-zero band (exact-boundary cases are covered by the
+    # deterministic tests in test_geom_core.py)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        d = abs(np.cross(b - a, np.array([px, py]) - a)) / (np.hypot(*(b - a)) or 1.0)
+        assume(d > 1e-9)
     got = bool(points_strictly_inside(np.array([px]), np.array([py]), [ring])[0])
 
     # half-plane test: strictly left of every CCW edge
