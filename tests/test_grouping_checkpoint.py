@@ -215,3 +215,27 @@ def test_salted_fuse_nan_nodata(spark):
     out = fuse_first_valid_salted(df, ["tx", "ty"], F.col("sv"), "id", "arr", nan, salt_factor=3).collect()
     assert out[0]["fused"] == [1.0, 2.0, 7.0]
     assert out[0]["n_sources"] == 3
+
+
+def test_kernel_fuse_equals_catalyst(spark):
+    import random
+
+    from datacube_core_spark.operators.grouping import fuse_first_valid_kernel
+
+    rng = random.Random(11)
+    nodata = -1.0
+    rows = []
+    for tx in range(2):
+        for sid in range(30):
+            arr = [(rng.random() * 9 if rng.random() > 0.4 else nodata) for _ in range(5)]
+            rows.append((tx, 0, sid, float(sid % 5), arr))
+    df = spark.createDataFrame(rows, "tx INT, ty INT, id LONG, sv DOUBLE, arr ARRAY<DOUBLE>")
+    plain = {
+        (r["tx"], r["ty"]): (list(r["fused"]), r["n_sources"])
+        for r in fuse_first_valid(df, ["tx", "ty"], F.col("sv"), "id", "arr", nodata).collect()
+    }
+    kern = {
+        (r["tx"], r["ty"]): (list(r["fused"]), r["n_sources"])
+        for r in fuse_first_valid_kernel(df, ["tx", "ty"], ["sv"], "id", "arr", nodata).collect()
+    }
+    assert kern == plain
