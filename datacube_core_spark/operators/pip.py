@@ -26,7 +26,7 @@ broadcastable; the big side never shuffles before its aggregation.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -42,25 +42,39 @@ from .tiling import with_tile
 class PipIndex:
     """Build-once spatial index of a (small) region table over a GridSpec.
 
-    ``subcell_div``: generic-polygon classification granularity — the
-    subcell lattice is tile_size / subcell_div.
+    Generic-polygon classification uses an ADAPTIVE subcell lattice: each
+    region is classified at h = tile_size / 2^L with L chosen so its bbox
+    spans ~``target_cells_per_axis`` subcells — small regions get fine
+    lattices (thin boundary bands, few refine rows), large regions coarse
+    ones (bounded broadcast size).  Regions sharing a level share one
+    (level, sc_x, sc_y) join.
     """
 
-    def __init__(self, spark, regions_df: DataFrame, grid: GridSpec, subcell_div: int = 16):
+    MIN_LEVEL = 2
+    MAX_LEVEL = 8
+
+    def __init__(
+        self,
+        spark,
+        regions_df: DataFrame,
+        grid: GridSpec,
+        target_cells_per_axis: int = 48,
+    ):
+        import math as _math
+
         self.grid = grid
-        self.subcell_div = subcell_div
         size_y, size_x = grid.tile_size
-        self.hx = abs(size_x) / subcell_div
-        self.hy = abs(size_y) / subcell_div
+        self._base = min(abs(size_x), abs(size_y))
         self.ox = grid.origin[1]
         self.oy = grid.origin[0]
+        self.target_cells = target_cells_per_axis
 
         collected = regions_df.select("region_id", "geom").collect()
         self.geom_map: Dict[int, bytes] = {int(r["region_id"]): bytes(r["geom"]) for r in collected}
 
         rect_rows: List[tuple] = []
-        full_rows: List[tuple] = []
-        bnd_rows: List[tuple] = []
+        # level -> (full rows, boundary rows)
+        by_level: Dict[int, Tuple[List[tuple], List[tuple]]] = {}
         generic_geoms: Dict[int, bytes] = {}
         cache: Dict = {}
 
@@ -73,18 +87,13 @@ class PipIndex:
                     rect_rows.append((int(tx), int(ty), rid, l, b, r, t))
             else:
                 generic_geoms[rid] = blob
-                if self.hx != self.hy:
-                    # classification lattice must be square in index math;
-                    # fall back to per-axis handling via the finer pitch
-                    h = min(self.hx, self.hy)
-                else:
-                    h = self.hx
+                level = self._pick_level(mp)
+                h = self._base / (1 << level)
                 full, bnd = classify_subcells(mp, self.ox, self.oy, h)
-                full_rows.extend((int(cx), int(cy), rid) for cx, cy in full)
-                bnd_rows.extend((int(cx), int(cy), rid) for cx, cy in bnd)
-                self._h = h
+                fr, br = by_level.setdefault(level, ([], []))
+                fr.extend((int(cx), int(cy), rid) for cx, cy in full)
+                br.extend((int(cx), int(cy), rid) for cx, cy in bnd)
 
-        self._h = getattr(self, "_h", min(self.hx, self.hy))
         self.rect_candidates = (
             spark.createDataFrame(
                 rect_rows,
@@ -93,18 +102,31 @@ class PipIndex:
             if rect_rows
             else None
         )
-        self.full_cells = (
-            spark.createDataFrame(full_rows, "sc_x LONG, sc_y LONG, region_id INT") if full_rows else None
-        )
-        self.boundary_cells = (
-            spark.createDataFrame(bnd_rows, "sc_x LONG, sc_y LONG, region_id INT") if bnd_rows else None
-        )
+        # per-level classification tables
+        self.levels: Dict[int, Tuple[Optional[DataFrame], Optional[DataFrame]]] = {}
+        for level, (fr, br) in by_level.items():
+            fdf = spark.createDataFrame(fr, "sc_x LONG, sc_y LONG, region_id INT") if fr else None
+            bdf = spark.createDataFrame(br, "sc_x LONG, sc_y LONG, region_id INT") if br else None
+            self.levels[level] = (fdf, bdf)
         self._bc_geoms = spark.sparkContext.broadcast(generic_geoms) if generic_geoms else None
+
+    def _pick_level(self, mp) -> int:
+        """Finest level whose lattice keeps the region's bbox within
+        ~target_cells_per_axis subcells per axis."""
+        import math as _math
+
+        from ..geom.polygon import multipolygon_bbox
+
+        l, b, r, t = multipolygon_bbox(mp)
+        span = max(r - l, t - b, 1e-9)
+        ideal_h = span / self.target_cells
+        level = int(_math.floor(_math.log2(self._base / ideal_h)))
+        return max(self.MIN_LEVEL, min(self.MAX_LEVEL, level))
 
     # -- column helpers ----------------------------------------------------
 
-    def _subcell_cols(self, lon: str, lat: str):
-        h = self._h
+    def _subcell_cols(self, lon: str, lat: str, level: int):
+        h = self._base / (1 << level)
         scx = F.floor((F.col(lon) - F.lit(self.ox)) / F.lit(h)).cast("long")
         scy = F.floor((F.col(lat) - F.lit(self.oy)) / F.lit(h)).cast("long")
         return scx, scy
@@ -141,19 +163,19 @@ class PipIndex:
             )
             parts.append(rect)
 
-        if self.full_cells is not None or self.boundary_cells is not None:
-            scx, scy = self._subcell_cols(lon, lat)
+        for level, (full_cells, boundary_cells) in sorted(self.levels.items()):
+            scx, scy = self._subcell_cols(lon, lat, level)
             sub = pages_df.select(*base_cols, lon, lat).withColumn("sc_x", scx).withColumn("sc_y", scy)
 
             # tier 2: interior subcells — equi-join alone proves membership
-            if self.full_cells is not None:
+            if full_cells is not None:
                 parts.append(
-                    sub.join(F.broadcast(self.full_cells), on=["sc_x", "sc_y"], how="inner").select(*out_cols)
+                    sub.join(F.broadcast(full_cells), on=["sc_x", "sc_y"], how="inner").select(*out_cols)
                 )
 
             # tier 3: boundary subcells — exact numpy refine on the thin band
-            if self.boundary_cells is not None:
-                cand = sub.join(F.broadcast(self.boundary_cells), on=["sc_x", "sc_y"], how="inner").select(
+            if boundary_cells is not None:
+                cand = sub.join(F.broadcast(boundary_cells), on=["sc_x", "sc_y"], how="inner").select(
                     *out_cols
                 )
                 bc_geoms = self._bc_geoms

@@ -106,12 +106,13 @@ def rasterize_generic_regions(
     parts = []
     if index.rect_candidates is not None:
         parts.append(index.rect_candidates.select("tile_x", "tile_y", "region_id"))
-    for cells in (index.full_cells, index.boundary_cells):
-        if cells is not None:
-            hsub = index._h
-            tx = F.floor((F.col("sc_x") * F.lit(hsub)) / F.lit(abs(size_x))).cast("int")
-            ty = F.floor((F.col("sc_y") * F.lit(hsub)) / F.lit(abs(size_y))).cast("int")
-            parts.append(cells.select(tx.alias("tile_x"), ty.alias("tile_y"), "region_id").distinct())
+    for level, (full_cells, boundary_cells) in index.levels.items():
+        hsub = index._base / (1 << level)
+        for cells in (full_cells, boundary_cells):
+            if cells is not None:
+                tx = F.floor((F.col("sc_x") * F.lit(hsub)) / F.lit(abs(size_x))).cast("int")
+                ty = F.floor((F.col("sc_y") * F.lit(hsub)) / F.lit(abs(size_y))).cast("int")
+                parts.append(cells.select(tx.alias("tile_x"), ty.alias("tile_y"), "region_id").distinct())
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
