@@ -72,7 +72,7 @@ REPL_STRIDE = 100_000  # uid = rep * REPL_STRIDE + doc_id; requires doc_id < str
 MAX_REPL = 34_000
 
 
-def pages(spark: SparkSession, sf_dir: str, repl: int = 1) -> DataFrame:
+def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_STRIDE) -> DataFrame:
     """Load documents parquet and derive the full pages table.
 
     ``repl`` replicates each document deterministically (uid = rep *
@@ -84,7 +84,8 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1) -> DataFrame:
     and Catalyst drops it unless a query asks for it (SURVEY §4: the
     ``html:binary`` column must never be read unless needed).
     """
-    assert 1 <= repl <= MAX_REPL, f"repl must be in [1, {MAX_REPL}]"
+    # uid*LON_MULT must stay within int64: uid < 2^63 / LON_MULT ≈ 3.47e9
+    assert repl >= 1 and repl * stride < 3_400_000_000, "repl*stride too large (int64 overflow)"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if repl > 1:
         # The documents parquet is one small file -> one input split; the
@@ -96,7 +97,7 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1) -> DataFrame:
         n_parts = spark.sparkContext.defaultParallelism * 2
         docs = docs.repartition(n_parts)
         docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
-        d = F.col("rep").cast("long") * F.lit(REPL_STRIDE) + F.col("doc_id")
+        d = F.col("rep").cast("long") * F.lit(stride) + F.col("doc_id")
     else:
         d = F.col("doc_id")
     return docs.select(

@@ -35,12 +35,13 @@ from datacube_core_spark.sources.regions import regions
 
 cpus = int(os.environ["DCS_CPUS"])
 repl = int(os.environ["DCS_REPL"])
+stride = int(os.environ.get("DCS_STRIDE", "100000"))
 runs = int(os.environ["DCS_RUNS"])
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 spark = get_spark(app_name=f"dcs-scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus, 16))
-p = pages(spark, sf_dir, repl=repl)
+p = pages(spark, sf_dir, repl=repl, stride=stride)
 n_pages = p.count()
 index = PipIndex(spark, regions(spark), GRID_PAGES)
 
@@ -61,8 +62,8 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, repl: int, runs: int) -> dict:
-    env = dict(os.environ, DCS_REPO=REPO, DCS_CPUS=str(cpus), DCS_REPL=str(repl), DCS_RUNS=str(runs))
+def run_level(cpus: int, repl: int, runs: int, stride: int = 100_000) -> dict:
+    env = dict(os.environ, DCS_REPO=REPO, DCS_CPUS=str(cpus), DCS_REPL=str(repl), DCS_RUNS=str(runs), DCS_STRIDE=str(stride))
     out = subprocess.run(
         [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=1800
     )
@@ -98,7 +99,9 @@ def hardware_control() -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--repl", type=int, default=34000)
+    ap.add_argument("--repl", type=int, default=136000)
+    ap.add_argument("--stride", type=int, default=10_000,
+                    help="uid stride; small stride allows bigger repl (bench-only; doc_id must stay below it)")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--pairs", type=str, default="2:8,8:32")
     args = ap.parse_args()
@@ -110,7 +113,7 @@ def main() -> None:
         lo_c, hi_c = (int(v) for v in pair.split(":"))
         for c in (lo_c, hi_c):
             if c not in levels:
-                levels[c] = run_level(c, args.repl, args.runs)
+                levels[c] = run_level(c, args.repl, args.runs, args.stride)
         lo, hi = levels[lo_c], levels[hi_c]
         eff = (lo["sec"] / hi["sec"]) / (hi_c / lo_c)
         pairs.append((lo_c, hi_c, eff))
