@@ -335,6 +335,32 @@ def q_cell_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n"))
 
 
+def q_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-valid-wins fuser, oracle-checked: every page contributes a
+    deterministic 4-px source array (holes where (doc_id+j) % 3 == 0) to
+    its tile; sources fuse in (warc_ts, doc_id) order."""
+    from datacube_core_spark.operators.grouping import fuse_first_valid
+    from datacube_core_spark.operators.tiling import with_tile as _wt
+
+    p = _wt(pages(spark, sf_dir, repl=4), _G).select("tile_x", "tile_y", "doc_id", "warc_ts")
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda j: F.when((F.col("doc_id") + j) % 3 == 0, F.lit(-1.0)).otherwise(
+            (F.col("doc_id") % 100).cast("double") + j.cast("double")
+        ),
+    )
+    src = p.withColumn("arr", arr)
+    fused = fuse_first_valid(
+        src, ["tile_x", "tile_y"], F.col("warc_ts").cast("double"), "doc_id", "arr", -1.0
+    )
+    return fused.select(
+        "tile_x", "tile_y",
+        F.col("fused")[0].alias("p0"), F.col("fused")[1].alias("p1"),
+        F.col("fused")[2].alias("p2"), F.col("fused")[3].alias("p3"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -361,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage": q_lineage,
         "page_density": q_page_density,
         "cell_obs": q_cell_obs,
+        "fuse": q_fuse,
     }
 
 
@@ -585,6 +612,33 @@ SELECT tile_x, tile_y, COUNT(*) AS n FROM (
 )
 WHERE "left" < tl + {_SX} AND tl < "right" AND "bottom" < tb + {_SY} AND tb < "top"
 GROUP BY 1, 2
+"""
+
+    _P4 = pages_cte(4)
+    _pxv = lambda j: (
+        f"CASE WHEN (doc_id + {j}) % 3 = 0 THEN -1.0 "
+        f"ELSE CAST(doc_id % 100 AS DOUBLE) + {j}.0 END"
+    )
+    _first_valid = lambda j: (
+        f"COALESCE(MIN(CASE WHEN v{j} <> -1.0 THEN "
+        f"struct_pack(ord := rn, val := v{j}) END).val, -1.0) AS p{j}"
+    )
+    sqls["fuse"] = f"""{_P4},
+src AS (
+  SELECT CAST(FLOOR((lon - {_OX}) / {_SX}) AS INT) AS tile_x,
+         CAST(FLOOR((lat - {_OY}) / {_SY}) AS INT) AS tile_y,
+         doc_id, warc_ts,
+         {_pxv(0)} AS v0, {_pxv(1)} AS v1, {_pxv(2)} AS v2, {_pxv(3)} AS v3
+  FROM pages
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y ORDER BY CAST(epoch(warc_ts) AS DOUBLE), doc_id) AS rn
+  FROM src
+)
+SELECT tile_x, tile_y,
+       {_first_valid(0)}, {_first_valid(1)}, {_first_valid(2)}, {_first_valid(3)},
+       COUNT(*) AS n_sources
+FROM ordered GROUP BY 1, 2
 """
 
     sqls["lineage"] = """
