@@ -19,6 +19,7 @@ def lineage_closure(
     roots: DataFrame,
     max_depth: int = 20,
     direction: str = "sources",
+    levels_per_job: int = 4,
 ) -> DataFrame:
     """All ancestors (``sources``) or descendants (``derived``) of roots.
 
@@ -37,26 +38,41 @@ def lineage_closure(
         F.col("dataset_id").alias("node"),
         F.lit(0).alias("distance"),
     )
-    # localCheckpoint per iteration truncates the growing plan lineage —
-    # without it each fixpoint test re-executes every prior join and the
-    # loop goes quadratic in depth
+    # localCheckpoint truncates the growing plan lineage — without it each
+    # fixpoint test re-executes every prior join and the loop goes
+    # quadratic in depth.  Checkpoint + empty-check only every
+    # ``levels_per_job`` levels: each Spark action costs a fixed ~0.3s of
+    # scheduling, so per-level actions dominate shallow closures.
     edges = edges.localCheckpoint(eager=True)
     result = frontier.localCheckpoint(eager=True)
     frontier = result
-    for depth in range(1, max_depth + 1):
-        step = (
-            frontier.join(edges, frontier["node"] == edges[frm], "inner")
-            .select("root_id", F.col(to).alias("node"), F.lit(depth).alias("distance"))
-        )
-        # drop nodes already reached (keeps the shortest distance)
+    depth = 0
+    while depth < max_depth:
+        batch_end = min(depth + levels_per_job, max_depth)
+        new_steps = []
+        step = frontier
+        while depth < batch_end:
+            depth += 1
+            step = (
+                step.join(edges, step["node"] == edges[frm], "inner")
+                .select("root_id", F.col(to).alias("node"), F.lit(depth).alias("distance"))
+            )
+            new_steps.append(step)
+        batch = new_steps[0]
+        for s in new_steps[1:]:
+            batch = batch.unionByName(s)
+        # shortest distance per (root, node) within the batch, then drop
+        # nodes already reached in earlier batches
+        batch_min = batch.groupBy("root_id", "node").agg(F.min("distance").alias("distance"))
         seen = result.select(F.col("root_id").alias("r2"), F.col("node").alias("n2"))
-        step = (
-            step.join(seen, (step["root_id"] == seen["r2"]) & (step["node"] == seen["n2"]), "left_anti")
-            .distinct()
+        fresh = (
+            batch_min.join(
+                seen, (batch_min["root_id"] == seen["r2"]) & (batch_min["node"] == seen["n2"]), "left_anti"
+            )
             .localCheckpoint(eager=True)
         )
-        if len(step.take(1)) == 0:
+        if len(fresh.take(1)) == 0:
             break
-        result = result.unionByName(step).localCheckpoint(eager=True)
-        frontier = step
+        result = result.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
     return result
