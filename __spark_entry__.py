@@ -361,6 +361,19 @@ def q_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_archive_less_mature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """archive_less_mature dedup-on-arrival (batch form): events matching
+    on (user_id, event_type) within 10 minutes — first stays live, later
+    arrivals flagged archived."""
+    from datacube_core_spark.operators.dupes import archive_less_mature
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = archive_less_mature(
+        e, ["user_id", "event_type"], ts_col="ts", leniency_ms=600_000, id_col="event_id"
+    )
+    return out.select("event_id", "user_id", "event_type", "archived")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -388,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_density": q_page_density,
         "cell_obs": q_cell_obs,
         "fuse": q_fuse,
+        "archive_less_mature": q_archive_less_mature,
     }
 
 
@@ -570,6 +584,24 @@ WITH c AS (
 SELECT user_id, event_type, cluster, COUNT(*) AS n,
        MIN(event_id) AS min_id, MAX(event_id) AS max_id
 FROM s GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+"""
+
+    sqls["archive_less_mature"] = """
+WITH c AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+              THEN 1 ELSE 0 END AS newc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(newc) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cluster
+  FROM c
+)
+SELECT event_id, user_id, event_type,
+       ROW_NUMBER() OVER (PARTITION BY user_id, event_type, cluster ORDER BY ts, event_id) > 1 AS archived
+FROM s
 """
 
     sqls["range_buckets"] = """

@@ -56,6 +56,35 @@ def duplicates_with_leniency(
     )
 
 
+def archive_less_mature(
+    df: DataFrame,
+    match_fields: Sequence[str],
+    ts_col: str = "warc_ts",
+    leniency_ms: int = 500,
+    id_col: str = "doc_id",
+    flag_col: str = "archived",
+) -> DataFrame:
+    """Soft-archive duplicates arriving within the leniency window.
+
+    Reference ``index/abstract.py:902-988``: when a dataset arrives whose
+    key matches an existing one within ±delta, the less mature (later,
+    id-tie-broken) one is archived.  Batch shape: cluster rows by the gap
+    rule (same chaining as :func:`duplicates_with_leniency`), keep the
+    first row of each cluster live, flag the rest.  Output = input
+    columns + boolean ``flag_col``.
+    """
+    w = Window.partitionBy(*match_fields).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    gap_ms = ts_ms - F.lag(ts_ms).over(w)
+    new_cluster = F.when(gap_ms.isNull() | (gap_ms > F.lit(leniency_ms)), 1).otherwise(0)
+    clustered = df.withColumn("_new", new_cluster).withColumn(
+        "_cluster", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wc = Window.partitionBy(*match_fields, "_cluster").orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    out = clustered.withColumn(flag_col, F.row_number().over(wc) > 1)
+    return out.drop("_new", "_cluster")
+
+
 def range_bucket_join(
     df: DataFrame,
     begin_col: str,
