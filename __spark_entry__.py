@@ -189,8 +189,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (verified); rows-only check (the sketch
-    uses Spark's xxhash64, not expressible in DuckDB)."""
+    """MinHash+LSH near-dup pairs, fully oracle-checked: the md5-derived
+    shingle hash, permutations, band fold, candidate join and exact-Jaccard
+    verify all have bit-identical DuckDB twins."""
     from datacube_core_spark.operators.dedup import minhash_lsh_pairs
     from datacube_core_spark.sources.corpus import dedup_corpus
 
@@ -198,7 +199,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming≤3 near-dup pairs; rows-only check (xxhash64)."""
+    """SimHash Hamming≤3 near-dup pairs, fully oracle-checked (md5-derived
+    token hashes; pigeonhole blocking is lossless so the twin filters all
+    pairs directly)."""
     from datacube_core_spark.operators.dedup import simhash_near_pairs
     from datacube_core_spark.sources.corpus import dedup_corpus
 
@@ -215,24 +218,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine ≥ 0.5 (brute-force exact; the LSH
-    path is q_ann_lsh)."""
-    from datacube_core_spark.operators.similarity import _dvec, dot_col, norm_col
+    """Embedding near-dup pairs (cosine ≥ 0.9) over a corpus with planted
+    near-twins, via the scale path: hyperplane-LSH bucketing with Hamming-1
+    probing + exact cosine verify.  No cartesian product anywhere — the
+    oracle reproduces the literal hyperplane codes."""
+    from datacube_core_spark.operators.similarity import cosine_neardup_pairs
+    from datacube_core_spark.sources.vectors import neardup_embeddings
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
-    base = base.withColumn("n0", norm_col(F.col("v")))  # norm once per vector, not per pair
-    a = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n0").alias("na"))
-    b = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n0").alias("nb"))
-    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
-    return pairs.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= 0.5)
+    return cosine_neardup_pairs(neardup_embeddings(spark, sf_dir), threshold=0.9, n_bits=8)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 (the 100TB scale path); rows-only check
-    (approximate by design)."""
+    """LSH-bucketed ANN top-10 (the 100TB scale path), oracle-checked: the
+    hyperplane weights are plan-time literals reproduced in the DuckDB
+    twin, so the approximate candidate sets match exactly."""
     from datacube_core_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -542,7 +541,6 @@ GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
 HAVING COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) >= 0.5
 """
 
-    _cosd = "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
     sqls["ann_topk"] = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id % 50 = 0)
@@ -558,15 +556,14 @@ SELECT qid, vec_id, cos_sim, rank FROM (
 ) WHERE rank <= 10
 """
 
-    sqls["cos_neardup"] = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
-            THEN {_cosd} ELSE 0.0 END AS cos_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
-           THEN {_cosd} ELSE 0.0 END >= 0.5
-"""
+    from datacube_core_spark.operators.dedup import sql_minhash_lsh, sql_simhash_near
+    from datacube_core_spark.operators.similarity import sql_cosine_neardup, sql_lsh_topk
+    from datacube_core_spark.sources.vectors import NEARDUP_CTE
+
+    sqls["minhash_lsh"] = sql_minhash_lsh(CORPUS_CTE, n=3, threshold=0.5)
+    sqls["simhash_near"] = sql_simhash_near(CORPUS_CTE, max_hamming=3)
+    sqls["ann_lsh"] = sql_lsh_topk(k=10, n_bits=10, dim=64, qmod=50)
+    sqls["cos_neardup"] = sql_cosine_neardup(NEARDUP_CTE, "neardup", threshold=0.9, n_bits=8)
 
     sqls["dup_leniency"] = """
 WITH c AS (

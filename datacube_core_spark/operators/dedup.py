@@ -1,9 +1,14 @@
 """Deduplication suite over the documents corpus (task-brief first-class ops).
 
 All hot-path computation stays JVM-side (Catalyst higher-order functions +
-``xxhash64``); there are NO Python UDFs in any of these pipelines — the
-sketches (minhash, simhash) are computed with explode + aggregate plans,
-which scale as ordinary shuffles.
+``md5``-derived integer hashes); there are NO Python UDFs in any of these
+pipelines — the sketches (minhash, simhash) are computed with explode +
+aggregate plans, which scale as ordinary shuffles.
+
+The hash primitive is ``md5`` because it is bit-identical in Spark and
+DuckDB: every sketch operator here ships with a ``sql_*`` twin generator
+producing the exact DuckDB SQL, so the driver's oracle gate verifies the
+full pipeline (hashing, permutations, banding, blocking) value-for-value.
 
 * exact dedup        — group by content fingerprint (md5 of normalized text)
 * n-gram Jaccard     — exact pairwise similarity via shingle equi-join
@@ -103,6 +108,43 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# cross-engine hash primitive (Spark ≡ DuckDB, bit-for-bit)
+# ---------------------------------------------------------------------------
+
+def md5_h32_col(col, start: int = 1):
+    """Unsigned 32-bit hash from md5 hex digits ``[start, start+8)``.
+
+    Spark: ``conv(substr(md5(utf8), start, 8), 16, 10)``; the DuckDB twin
+    is ``CAST(concat('0x', substr(md5(x), start, 8)) AS BIGINT)`` — both
+    engines produce the identical integer, which is what lets the sketch
+    operators below be oracle-verified end to end.
+    """
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), start, 8), 16, 10).cast("long")
+
+
+def sql_md5_h32(expr: str, start: int = 1) -> str:
+    """DuckDB twin of :func:`md5_h32_col`."""
+    return f"CAST(concat('0x', substr(md5({expr}), {start}, 8)) AS BIGINT)"
+
+
+# shared corpus→shingles CTE chain for the DuckDB twins (matches
+# shingles_col/with_shingles semantics; proven equivalent by the green
+# ngram_jaccard oracle)
+def sql_shingle_ctes(corpus_cte: str, n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""{corpus_cte.strip()},
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS s(i)
+  WHERE len(t) >= {n}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -110,6 +152,12 @@ def jaccard_pairs(
 # a*h32 + b < 2^62, no int64 overflow JVM-side)
 _MH_PRIME = 4294967291  # largest 32-bit prime
 _MH_K = 64
+
+# band-hash fold: (acc * MULT + m) % MOD — stays < 2^60, identical BIGINT
+# arithmetic in both engines (collisions only add candidates; the exact
+# verify stage removes them, and the oracle reproduces the same fold)
+_BH_MULT = 1000003
+_BH_MOD = 1 << 40
 
 
 def _perm_params(k: int = _MH_K) -> List[Tuple[int, int]]:
@@ -126,10 +174,9 @@ def _perm_params(k: int = _MH_K) -> List[Tuple[int, int]]:
 
 
 def _signatures_from_shingles(sh: DataFrame, k: int = _MH_K) -> DataFrame:
-    """(doc_id, sig) from a (doc_id, shingle) DataFrame: h32 = xxhash64 &
-    0xffffffff → k parallel min-aggregates of (a_k·h32 + b_k) mod p."""
-    h32 = (F.xxhash64(F.col("shingle")) % F.lit(1 << 32) + F.lit(1 << 32)) % F.lit(1 << 32)
-    hashed = sh.select("doc_id", h32.alias("h"))
+    """(doc_id, sig) from a (doc_id, shingle) DataFrame: h32 = 32-bit
+    md5-derived hash → k parallel min-aggregates of (a_k·h32 + b_k) mod p."""
+    hashed = sh.select("doc_id", md5_h32_col(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(pa) + F.lit(pb)) % F.lit(_MH_PRIME)).alias(f"m{i}")
         for i, (pa, pb) in enumerate(_perm_params(k))
@@ -138,9 +185,25 @@ def _signatures_from_shingles(sh: DataFrame, k: int = _MH_K) -> DataFrame:
     return sig.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
+def _band_hash_col(cols):
+    """Deterministic fold of band member columns into one join key;
+    DuckDB twin: :func:`_sql_band_hash`."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc * F.lit(_BH_MULT) + c) % F.lit(_BH_MOD)
+    return acc
+
+
+def _sql_band_hash(names) -> str:
+    acc = names[0]
+    for nm in names[1:]:
+        acc = f"(({acc}) * {_BH_MULT} + {nm}) % {_BH_MOD}"
+    return acc
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, k: int = _MH_K, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, sig array<long>[k]) — minhash over xxhash64 shingle hashes.
-    Entirely JVM."""
+    """(doc_id, sig array<long>[k]) — minhash over md5-derived shingle
+    hashes.  Entirely JVM."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
     )
@@ -173,7 +236,7 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.hash(*[F.col("sig")[bi * rows + j] for j in range(rows)]).alias("bh"),
+                _band_hash_col([F.col("sig")[bi * rows + j] for j in range(rows)]).alias("bh"),
             )
             for bi in range(bands)
         ]
@@ -204,20 +267,72 @@ def minhash_lsh_pairs(
     return common.select("a", "b", jac.alias("jaccard")).where(F.col("jaccard") >= F.lit(threshold))
 
 
+def sql_minhash_lsh(
+    corpus_cte: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 16,
+    k: int = _MH_K,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` (verify=True) — reproduces
+    the md5-derived shingle hash, the 64 permutation min-aggregates, the
+    arithmetic band fold, the banded candidate join, and the exact-Jaccard
+    verification, value-for-value."""
+    rows = k // bands
+    params = _perm_params(k)
+    mins = ",\n       ".join(
+        f"MIN((h * {pa} + {pb}) % {_MH_PRIME}) AS m{i}" for i, (pa, pb) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"{_sql_band_hash([f'm{bi * rows + j}' for j in range(rows)])} AS bh FROM sig"
+        for bi in range(bands)
+    )
+    return f"""WITH {sql_shingle_ctes(corpus_cte, n)},
+h AS (SELECT doc_id, {sql_md5_h32('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) AS jaccard
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN cand ON cand.a = a.doc_id AND cand.b = b.doc_id
+JOIN cnt ca ON ca.doc_id = a.doc_id
+JOIN cnt cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+HAVING COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 def simhash_col_aggs(k: int = 64):
-    """64 per-bit majority sums over token hash ``h`` (helper)."""
-    return [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
-        for b in range(k)
-    ]
+    """64 per-bit majority sums over the two 32-bit token-hash halves
+    ``h_lo`` (bits 0..31) and ``h_hi`` (bits 32..63)."""
+    aggs = []
+    for b in range(k):
+        src = F.col("h_lo") if b < 32 else F.col("h_hi")
+        sh = b if b < 32 else b - 32
+        aggs.append(
+            F.sum(F.when(F.shiftright(src, sh).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+        )
+    return aggs
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long): per-token xxhash64, bitwise majority vote.
+    """(doc_id, simhash long): per-token md5-derived 64-bit hash (two
+    32-bit halves), bitwise majority vote.
 
     JVM-only plan: explode tokens → 64 conditional-sum aggregates →
     reassemble bits.  Bit b set iff the majority sum is > 0.
@@ -226,7 +341,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    th = toks.select("doc_id", F.xxhash64(F.col("tok")).alias("h"))
+    th = toks.select(
+        "doc_id",
+        md5_h32_col(F.col("tok"), 9).alias("h_lo"),
+        md5_h32_col(F.col("tok"), 1).alias("h_hi"),
+    )
     agg = th.groupBy("doc_id").agg(*simhash_col_aggs())
     bit_terms = [
         F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(0)
@@ -267,3 +386,43 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc
     cand = left.join(right, ["blk", "bv"]).where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("a", "b", hamming.alias("hamming")).where(F.col("hamming") <= F.lit(max_hamming))
+
+
+def sql_simhash_near(corpus_cte: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_near_pairs`.
+
+    The pigeonhole blocking is *lossless* for Hamming ≤ max_hamming (a
+    pair within distance d over (d+1) blocks must agree on ≥1 block), so
+    the twin can skip the blocking stage and filter all pairs directly —
+    the result set is provably identical.
+    """
+    s_exprs = []
+    for b in range(64):
+        src = "h_lo" if b < 32 else "h_hi"
+        sh = b if b < 32 else b - 32
+        s_exprs.append(f"SUM(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}")
+    bit_terms = [
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b if b < 63 else -(2 ** 63)} ELSE 0 END)"
+        for b in range(64)
+    ]
+    return f"""WITH {corpus_cte.strip()},
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM corpus
+),
+th AS (
+  SELECT doc_id,
+         {sql_md5_h32('tok', 9)} AS h_lo,
+         {sql_md5_h32('tok', 1)} AS h_hi
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, {', '.join(s_exprs)} FROM th GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id, {' + '.join(bit_terms)} AS simhash FROM agg
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -188,3 +188,62 @@ def cosine_neardup_pairs(
     den = F.col("na") * F.col("nb")
     cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
     return cand.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= F.lit(threshold))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins (hyperplane weights are plan-time literals, so the
+# oracle reproduces the exact sign-bit codes; candidate rule "probe codes
+# within Hamming 1" ≡ bit_count(xor(code_a, code_b)) <= 1)
+# ---------------------------------------------------------------------------
+
+def _sql_double(x: float) -> str:
+    return repr(float(x))
+
+
+def sql_lsh_code(e_expr: str, planes: np.ndarray) -> str:
+    """DuckDB twin of :func:`lsh_code_col` for a DOUBLE[] expression."""
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(_sql_double(w) for w in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({e_expr}, {arr}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    den = f"sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))"
+    return f"CASE WHEN {den} > 0 THEN list_dot_product({a}, {b}) / ({den}) ELSE 0.0 END"
+
+
+def sql_lsh_topk(k: int = 10, n_bits: int = 12, dim: int = 64, qmod: int = 50) -> str:
+    """DuckDB twin of :func:`lsh_topk` over the ``embeddings`` table with
+    queries = vec_id % qmod == 0."""
+    code = sql_lsh_code("e", _hyperplanes(dim, n_bits))
+    cos = _sql_cos("c.e", "q.e")
+    return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id, e, {code} AS code FROM v),
+q AS (SELECT vec_id AS qid, e, code FROM c WHERE vec_id % {qmod} = 0),
+cand AS (
+  SELECT q.qid, c.vec_id, {cos} AS cos_sim
+  FROM c JOIN q ON bit_count(xor(c.code, q.code)) <= 1
+)
+SELECT qid, vec_id, cos_sim, rank FROM (
+  SELECT qid, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
+def sql_cosine_neardup(source_cte: str, source_name: str, threshold: float = 0.9, n_bits: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`cosine_neardup_pairs` over a CTE exposing
+    (vec_id, e DOUBLE[])."""
+    code = sql_lsh_code("e", _hyperplanes(dim, n_bits))
+    cos = _sql_cos("a.e", "b.e")
+    return f"""WITH {source_cte.strip()},
+c AS (SELECT vec_id, e, {code} AS code FROM {source_name})
+SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cos_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id AND bit_count(xor(a.code, b.code)) <= 1
+WHERE {cos} >= {threshold}
+"""

@@ -1,9 +1,10 @@
 """Parity tests for the sketch-based dedup operators.
 
-MinHash/SimHash use Spark's xxhash64 (not available in DuckDB), so the
-oracle here is pure-python re-computation over the *hash values Spark
-itself produces* — this isolates and verifies the sketch/aggregation
-logic (permutations, banding, bit-majority, blocking) independently.
+MinHash/SimHash hash via md5-derived 32-bit integers (bit-identical in
+DuckDB — the driver oracle now covers the full pipelines); the tests here
+additionally re-compute the sketches in pure python over the hash values
+Spark itself produces, isolating the sketch/aggregation logic
+(permutations, banding, bit-majority, blocking).
 """
 
 import numpy as np
@@ -14,6 +15,7 @@ from datacube_core_spark.operators.dedup import (
     _MH_PRIME,
     _perm_params,
     jaccard_pairs,
+    md5_h32_col,
     minhash_lsh_pairs,
     minhash_signatures,
     shingles_col,
@@ -58,7 +60,7 @@ def test_minhash_signature_parity(spark, corpus):
     # recompute signatures in numpy from Spark's own shingle hashes
     sh = corpus.select(
         "doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("shingle")
-    ).select("doc_id", ((F.xxhash64("shingle") % F.lit(1 << 32) + F.lit(1 << 32)) % F.lit(1 << 32)).alias("h"))
+    ).select("doc_id", md5_h32_col(F.col("shingle")).alias("h"))
     rows = sh.collect()
     by_doc = {}
     for r in rows:
@@ -94,13 +96,17 @@ def test_minhash_lsh_finds_planted_dups(spark, corpus):
 def test_simhash_parity(spark, corpus):
     toks = corpus.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "doc_id",
+        md5_h32_col(F.col("tok"), 9).alias("h_lo"),
+        md5_h32_col(F.col("tok"), 1).alias("h_hi"),
+    )
     by_doc = {}
     for r in toks.collect():
-        by_doc.setdefault(int(r["doc_id"]), []).append(int(r["h"]))
+        by_doc.setdefault(int(r["doc_id"]), []).append((int(r["h_hi"]) << 32) | int(r["h_lo"]))
     exp = {}
     for d, hs in by_doc.items():
-        h = np.array(hs, dtype=np.int64).astype(np.uint64)
+        h = np.array(hs, dtype=np.uint64)
         val = np.uint64(0)
         for b in range(64):
             votes = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1

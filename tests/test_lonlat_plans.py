@@ -87,6 +87,18 @@ def test_minhash_plan_is_jvm(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
 
 
+def test_cos_neardup_has_no_cartesian_product(spark):
+    """The embedding near-dup entry must be the LSH-bucketed plan: an
+    equi-join on the hyperplane code, never a cartesian product."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_cos_neardup(spark, SF_TINY)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_knn_join_is_broadcast(spark):
     from datacube_core_spark.operators.knn import knn_join
     from datacube_core_spark.sources.pages import pages
