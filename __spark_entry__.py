@@ -181,11 +181,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.5 over the planted corpus."""
+    """3-gram Jaccard pairs ≥ 0.5 over the planted corpus, with the
+    100TB skew guard active (df-cut at 50: ultra-common shingles dropped
+    before the equi-join; the oracle reproduces the same cut)."""
     from datacube_core_spark.operators.dedup import jaccard_pairs
     from datacube_core_spark.sources.corpus import dedup_corpus
 
-    return jaccard_pairs(dedup_corpus(spark, sf_dir), n=3, threshold=0.5)
+    return jaccard_pairs(dedup_corpus(spark, sf_dir), n=3, threshold=0.5, max_df=50)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,15 +364,28 @@ def q_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_archive_less_mature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """archive_less_mature dedup-on-arrival (batch form): events matching
-    on (user_id, event_type) within 10 minutes — first stays live, later
-    arrivals flagged archived."""
+    on (user_id, event_type) within 10 minutes — the MOST MATURE row of a
+    cluster stays live ('final' < 'interim' < 'nrt', reference
+    index/abstract.py:979), ties broken by arrival (ts, id); later/less
+    mature arrivals flagged archived.  Maturity is derived
+    deterministically from event_id so both engines see the same value."""
     from datacube_core_spark.operators.dupes import archive_less_mature
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    out = archive_less_mature(
-        e, ["user_id", "event_type"], ts_col="ts", leniency_ms=600_000, id_col="event_id"
+    maturity = (
+        F.when(F.col("event_id") % 3 == 0, "final")
+        .when(F.col("event_id") % 3 == 1, "interim")
+        .otherwise("nrt")
     )
-    return out.select("event_id", "user_id", "event_type", "archived")
+    out = archive_less_mature(
+        e.withColumn("maturity", maturity),
+        ["user_id", "event_type"],
+        ts_col="ts",
+        leniency_ms=600_000,
+        id_col="event_id",
+        maturity_col="maturity",
+    )
+    return out.select("event_id", "user_id", "event_type", "maturity", "archived")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -521,25 +536,9 @@ SELECT {sql_fingerprint()} AS fp, COUNT(*) AS n,
 FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
-    sqls["ngram_jaccard"] = f"""
-WITH {CORPUS_CTE.strip()},
-toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM corpus
-),
-sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
-  WHERE len(t) >= 3
-),
-cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
-SELECT a.doc_id AS a, b.doc_id AS b,
-       COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) AS jaccard
-FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-JOIN cnt ca ON ca.doc_id = a.doc_id
-JOIN cnt cb ON cb.doc_id = b.doc_id
-GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
-HAVING COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) >= 0.5
-"""
+    from datacube_core_spark.operators.dedup import sql_jaccard_pairs
+
+    sqls["ngram_jaccard"] = sql_jaccard_pairs(CORPUS_CTE, n=3, threshold=0.5, max_df=50)
 
     sqls["ann_topk"] = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -586,6 +585,9 @@ FROM s GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
     sqls["archive_less_mature"] = """
 WITH c AS (
   SELECT event_id, user_id, event_type, ts,
+         CASE WHEN event_id % 3 = 0 THEN 'final'
+              WHEN event_id % 3 = 1 THEN 'interim'
+              ELSE 'nrt' END AS maturity,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
               THEN 1 ELSE 0 END AS newc
@@ -596,8 +598,9 @@ WITH c AS (
                             ROWS UNBOUNDED PRECEDING) AS cluster
   FROM c
 )
-SELECT event_id, user_id, event_type,
-       ROW_NUMBER() OVER (PARTITION BY user_id, event_type, cluster ORDER BY ts, event_id) > 1 AS archived
+SELECT event_id, user_id, event_type, maturity,
+       ROW_NUMBER() OVER (PARTITION BY user_id, event_type, cluster
+                          ORDER BY maturity, ts, event_id) > 1 AS archived
 FROM s
 """
 

@@ -12,15 +12,26 @@ completed cells.  Semantics come from the reference:
   one Iceberg commit); this sandbox has no Iceberg runtime so they are
   parquet directories with the same schema and commit discipline:
 
-  - ``checkpoints``: cell_x, cell_y, job_id, status, attempt, rows, secs, ts
+  - ``checkpoints``: cell_x, cell_y, job_id, batch_id, status, attempt,
+    rows, secs, ts
   - ``lineage``:     cell_x, cell_y, job_id, n_inputs, input_min, input_max
   - ``metrics``:     job_id, stage, cell_x, cell_y, rows, secs, ts
 
-Output data for a batch is written BEFORE its checkpoint rows; a batch's
-output is considered committed only if its checkpoint rows exist, so a
-kill between the two writes re-processes the batch and readers filter
-uncommitted output via a semi-join (exactly the validity rule an Iceberg
-snapshot commit would give atomically).
+Commit discipline (the Iceberg-snapshot validity rule, made explicit):
+every batch writes its output under a *batch-scoped partition*
+(``output/batch_id=<job>-<seq>/``) BEFORE appending its checkpoint rows,
+which carry the same ``batch_id``.  A batch's output is committed iff a
+``done`` checkpoint row with its batch_id exists; ``committed_output()``
+semi-joins on batch_id, so a kill in the window between the output append
+and the checkpoint append leaves an *orphaned* batch directory that is
+never read — the retry writes a fresh batch_id and no duplicates can
+surface (this is exactly what an Iceberg snapshot commit gives
+atomically: data files exist, but only manifests referenced by a
+committed snapshot are scanned).
+
+Each batch's plan executes ONCE: row counts are collected with
+``DataFrame.observe`` on the write action itself, never via a second
+``.count()`` pass.
 """
 
 from __future__ import annotations
@@ -28,17 +39,28 @@ from __future__ import annotations
 import os
 import time
 import uuid
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 CHECKPOINT_SCHEMA = (
-    "cell_x INT, cell_y INT, job_id STRING, status STRING, attempt INT, "
-    "rows LONG, secs DOUBLE, ts TIMESTAMP"
+    "cell_x INT, cell_y INT, job_id STRING, batch_id STRING, status STRING, "
+    "attempt INT, rows LONG, secs DOUBLE, ts TIMESTAMP"
 )
 LINEAGE_SCHEMA = "cell_x INT, cell_y INT, job_id STRING, n_inputs LONG, input_min LONG, input_max LONG"
 METRICS_SCHEMA = "job_id STRING, stage STRING, cell_x INT, cell_y INT, rows LONG, secs DOUBLE, ts TIMESTAMP"
+
+
+def _has_parquet(path: str) -> bool:
+    """True if any .parquet file exists under path (recursively — output
+    batches live in batch_id=... subdirectories)."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 class CheckpointedJob:
@@ -54,7 +76,7 @@ class CheckpointedJob:
     # -- table readers (empty-safe) ---------------------------------------
 
     def _read(self, path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        if _has_parquet(path):
             return self.spark.read.schema(schema).parquet(path)
         return self.spark.createDataFrame([], schema)
 
@@ -70,17 +92,29 @@ class CheckpointedJob:
     def completed_cells(self) -> DataFrame:
         return self.checkpoints().where(F.col("status") == "done").select("cell_x", "cell_y").distinct()
 
+    def committed_batches(self) -> DataFrame:
+        return self.checkpoints().where(F.col("status") == "done").select("batch_id").distinct()
+
     def remaining(self, all_cells: DataFrame) -> DataFrame:
         """find_diff: task cells minus completed cells (left anti join)."""
         return all_cells.join(self.completed_cells(), on=["cell_x", "cell_y"], how="left_anti")
 
     # -- committed-output reader ------------------------------------------
 
-    def committed_output(self) -> DataFrame:
-        """Output rows whose (cell_x, cell_y) checkpoint exists — the
-        Iceberg-snapshot validity rule as a semi-join."""
+    def committed_output(self, schema: Optional[str] = None) -> DataFrame:
+        """Output rows from committed batches only (semi-join on batch_id
+        — the Iceberg-snapshot validity rule).  Orphaned batch directories
+        from runs killed between the output append and the checkpoint
+        append are never read.
+
+        Empty-safe: with no output written yet, returns an empty frame
+        with ``schema`` if given, else the minimal (cell_x, cell_y,
+        batch_id) shape.
+        """
+        if not _has_parquet(self.output_path):
+            return self.spark.createDataFrame([], schema or "cell_x INT, cell_y INT, batch_id STRING")
         out = self.spark.read.parquet(self.output_path)
-        return out.join(F.broadcast(self.completed_cells()), on=["cell_x", "cell_y"], how="left_semi")
+        return out.join(F.broadcast(self.committed_batches()), on="batch_id", how="left_semi")
 
     # -- the run loop ------------------------------------------------------
 
@@ -90,33 +124,50 @@ class CheckpointedJob:
         process_batch: Callable[[List[Tuple[int, int]]], Tuple[DataFrame, int]],
         batch_size: int = 64,
         max_batches: Optional[int] = None,
+        fail_before_checkpoint: Optional[int] = None,
     ) -> int:
         """Process all not-yet-done cells in batches.
 
         ``cells``: DataFrame(cell_x, cell_y).  ``process_batch`` maps a
         list of cell tuples to (output_df_with_cell_cols, n_input_rows);
         output must carry cell_x/cell_y columns.  Returns #batches run.
-        ``max_batches`` lets tests simulate a kill mid-run.
+        ``max_batches`` lets tests simulate a kill between batches;
+        ``fail_before_checkpoint`` (1-based batch number) simulates the
+        harder kill *inside* the commit window — after the output append,
+        before the checkpoint append.
         """
         todo = [(int(r["cell_x"]), int(r["cell_y"])) for r in self.remaining(cells).collect()]
         todo.sort()
         batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
         ran = 0
-        for batch in batches:
+        for seq, batch in enumerate(batches, start=1):
             if max_batches is not None and ran >= max_batches:
                 break
+            batch_id = f"{self.job_id}-{seq:06d}"
             t0 = time.perf_counter()
             out_df, n_inputs = process_batch(batch)
-            out_df.write.mode("append").parquet(self.output_path)
+            # observe() rides the write action: one execution, no second
+            # count() pass over the batch plan
+            obs = Observation()
+            out_df = out_df.withColumn("batch_id", F.lit(batch_id)).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            )
+            out_df.write.mode("append").partitionBy("batch_id").parquet(self.output_path)
+            n_rows = int(obs.get["rows"])
             secs = time.perf_counter() - t0
-            n_rows = out_df.count()
+
+            if fail_before_checkpoint is not None and seq == fail_before_checkpoint:
+                raise RuntimeError(f"simulated kill inside commit window (batch {batch_id})")
 
             now = F.current_timestamp()
-            ckpt_rows = [(cx, cy, self.job_id, "done", 1, n_rows, float(secs)) for cx, cy in batch]
+            ckpt_rows = [
+                (cx, cy, self.job_id, batch_id, "done", 1, n_rows, float(secs)) for cx, cy in batch
+            ]
             (
                 self.spark.createDataFrame(
                     ckpt_rows,
-                    "cell_x INT, cell_y INT, job_id STRING, status STRING, attempt INT, rows LONG, secs DOUBLE",
+                    "cell_x INT, cell_y INT, job_id STRING, batch_id STRING, status STRING, "
+                    "attempt INT, rows LONG, secs DOUBLE",
                 )
                 .withColumn("ts", now)
                 .write.mode("append")

@@ -85,16 +85,37 @@ def jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All (a, b) doc pairs with shingle-Jaccard ≥ threshold, a < b.
 
     Relational plan: shingle equi-join → per-pair intersection count →
     |A∪B| = n_a + n_b − common.  The shingle join is the standard
-    set-similarity join; skew on ultra-common shingles is handled by AQE
-    (and at 100 TB by dropping top-frequency shingles — df-cut — before
-    the join, which preserves recall for high thresholds).
+    set-similarity join.
+
+    ``max_df`` is the 100 TB skew guard: shingles appearing in more than
+    ``max_df`` docs are dropped BEFORE the equi-join, bounding every join
+    bucket to ≤ max_df² candidate pairs (a single stop-shingle like
+    "the the the" otherwise creates a quadratic bucket that AQE cannot
+    split — the explosion is in the post-join groupBy, not the join key).
+    With the cut, Jaccard is computed over the *kept*-shingle space
+    (n_a/n_b are recounted after the cut), so the semantics stay exact
+    for that space; pairs whose every shared shingle is ultra-common are
+    the documented false negatives.  The DuckDB twin
+    (:func:`sql_jaccard_pairs`) reproduces the same cut, so oracle
+    parity holds for any cutoff.
     """
     sh = with_shingles(docs, n, id_col, text_col)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= F.lit(max_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle").withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+        )
     a = sh.select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
     common = (
@@ -265,6 +286,32 @@ def minhash_lsh_pairs(
     )
     jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
     return common.select("a", "b", jac.alias("jaccard")).where(F.col("jaccard") >= F.lit(threshold))
+
+
+def sql_jaccard_pairs(
+    corpus_cte: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`jaccard_pairs`, including the df-cut."""
+    src, cnt = "sh", "cnt"
+    cut = ""
+    if max_df is not None:
+        cut = f""",
+df_keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_keep USING (shingle)),
+cntk AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY 1)"""
+        src, cnt = "shk", "cntk"
+    return f"""WITH {sql_shingle_ctes(corpus_cte, n)}{cut}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) AS jaccard
+FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN {cnt} ca ON ca.doc_id = a.doc_id
+JOIN {cnt} cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+HAVING COUNT(*) / (ca.n_sh + cb.n_sh - COUNT(*)) >= {threshold}
+"""
 
 
 def sql_minhash_lsh(

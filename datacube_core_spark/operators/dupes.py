@@ -63,15 +63,27 @@ def archive_less_mature(
     leniency_ms: int = 500,
     id_col: str = "doc_id",
     flag_col: str = "archived",
+    maturity_col: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
-    """Soft-archive duplicates arriving within the leniency window.
+    """Soft-archive less-mature duplicates arriving within the leniency
+    window.
 
-    Reference ``index/abstract.py:902-988``: when a dataset arrives whose
-    key matches an existing one within ±delta, the less mature (later,
-    id-tie-broken) one is archived.  Batch shape: cluster rows by the gap
-    rule (same chaining as :func:`duplicates_with_leniency`), keep the
-    first row of each cluster live, flag the rest.  Output = input
-    columns + boolean ``flag_col``.
+    Reference ``index/abstract.py:918-988`` (``find_less_mature``): when a
+    dataset's key matches an existing one within ±delta, the **less
+    mature** one is archived — maturity compares as strings with
+    ``'final' < 'interim' < 'nrt'`` (reference comment "final" < "nrt" at
+    ``abstract.py:979``), and equal maturity inside a match is an error
+    (``abstract.py:970-975``).
+
+    Batch shape: cluster rows by the gap rule (same chaining as
+    :func:`duplicates_with_leniency`), then keep the first row of each
+    cluster by ``(maturity asc, ts asc, id asc)`` — the most mature
+    survives; without ``maturity_col`` the rule degrades to documented
+    first-arrival-wins ``(ts, id)``.  With ``strict=True`` the reference's
+    equal-maturity error is reproduced: any cluster holding two rows of
+    the survivor's maturity raises ValueError.  Output = input columns +
+    boolean ``flag_col``.
     """
     w = Window.partitionBy(*match_fields).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
     ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
@@ -80,8 +92,28 @@ def archive_less_mature(
     clustered = df.withColumn("_new", new_cluster).withColumn(
         "_cluster", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    wc = Window.partitionBy(*match_fields, "_cluster").orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    keep_order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    if maturity_col is not None:
+        keep_order = [F.col(maturity_col).asc()] + keep_order
+    wc = Window.partitionBy(*match_fields, "_cluster").orderBy(*keep_order)
     out = clustered.withColumn(flag_col, F.row_number().over(wc) > 1)
+    if strict and maturity_col is not None:
+        # a cluster is ambiguous when its two most-mature rows tie —
+        # sorted maturity list has equal first two elements
+        ambiguous = (
+            clustered.groupBy(*match_fields, "_cluster")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sort_array(F.collect_list(F.col(maturity_col))).alias("_ms"),
+            )
+            .where((F.col("_n") > 1) & (F.element_at("_ms", 1) == F.element_at("_ms", 2)))
+        )
+        first = ambiguous.limit(1).collect()
+        if first:
+            raise ValueError(
+                "equal-maturity duplicates within a leniency cluster "
+                f"(reference abstract.py:970 raises): {first[0].asDict()}"
+            )
     return out.drop("_new", "_cluster")
 
 

@@ -46,9 +46,15 @@ def knn_join(
     max_r: int = 64,
     broadcast_queries: bool = True,
 ) -> DataFrame:
-    """Exact k nearest pages for each query point.
+    """k nearest pages for each query point, with per-query exactness.
 
-    ``queries_df``: (qid, lon, lat).  Returns (qid, doc_id, dist_sq, rank).
+    ``queries_df``: (qid, lon, lat).  Returns (qid, doc_id, dist_sq, rank,
+    exact).  ``exact=True`` rows carry the ring-escalation guarantee;
+    ``exact=False`` marks queries resolved only by hitting ``max_r``
+    (ring exhausted before the k-th candidate fell inside the guaranteed
+    radius — results may be incomplete or non-minimal), so callers can
+    distinguish guaranteed answers from truncated ones instead of
+    silently trusting them.
 
     ``broadcast_queries=True`` (default) broadcasts the exploded query
     ring — right for a small query set.  ``False`` switches to a shuffle
@@ -99,12 +105,17 @@ def knn_join(
         stats = topk.groupBy("qid").agg(F.count("*").alias("n"), F.max("dist_sq").alias("maxd"))
         # strict <: a tie exactly at the ring boundary could hide an
         # equal-distance, lower-id page just outside the ring
-        resolved_q = stats.where((F.col("n") >= k) & (F.col("maxd") < F.lit(guarantee))).select("qid")
+        guaranteed = F.col("n") >= k
+        guaranteed = guaranteed & (F.col("maxd") < F.lit(guarantee))
         exhausted = r >= max_r
         if exhausted:
-            resolved_q = stats.select("qid")
+            # everything still pending resolves now; rows that fail the
+            # guarantee are flagged exact=False rather than silently kept
+            resolved_q = stats.select("qid", guaranteed.alias("exact"))
+        else:
+            resolved_q = stats.where(guaranteed).select("qid", F.lit(True).alias("exact"))
 
-        batch = topk.join(F.broadcast(resolved_q), on="qid", how="left_semi")
+        batch = topk.join(F.broadcast(resolved_q), on="qid", how="inner")
         results = batch if results is None else results.unionByName(batch)
 
         pending = pending.join(F.broadcast(resolved_q), on="qid", how="left_anti")

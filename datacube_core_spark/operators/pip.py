@@ -64,6 +64,16 @@ class PipIndex:
 
         self.grid = grid
         size_y, size_x = grid.tile_size
+        # the subcell lattice (classify_subcells, _subcell_cols, and the
+        # subcell→tile arithmetic in rasterize_generic_regions) is square;
+        # a rectangular tile would make subcells straddle tile boundaries
+        # on the longer axis — fail loudly instead of mis-assigning
+        if abs(size_x) != abs(size_y):
+            raise ValueError(
+                f"PipIndex requires |tile_size.x| == |tile_size.y| "
+                f"(got {abs(size_x)} x {abs(size_y)}); per-axis subcell "
+                "lattices are not implemented"
+            )
         self._base = min(abs(size_x), abs(size_y))
         self.ox = grid.origin[1]
         self.oy = grid.origin[0]

@@ -56,6 +56,43 @@ def test_jaccard_pairs_bruteforce(spark, corpus):
     assert len(got) > 0  # planted near-dups must surface
 
 
+def test_jaccard_df_cut(spark, corpus):
+    """The df-cut skew guard: (a) a cutoff above the max observed df is a
+    no-op (exact results preserved); (b) a stop-shingle shared by many docs
+    is excluded from the join, bounding the bucket, while pairs connected
+    by rare shingles are still found."""
+    from datacube_core_spark.operators.dedup import with_shingles
+
+    # (a) recall preservation: cutoff >= max df → identical output
+    max_df_observed = (
+        with_shingles(corpus).groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    exact = {(int(r["a"]), int(r["b"]), float(r["jaccard"])) for r in jaccard_pairs(corpus, 3, 0.5).collect()}
+    cut = {
+        (int(r["a"]), int(r["b"]), float(r["jaccard"]))
+        for r in jaccard_pairs(corpus, 3, 0.5, max_df=max_df_observed).collect()
+    }
+    assert cut == exact and len(exact) > 0
+
+    # (b) stop-shingle: 40 docs all containing the same trigram "x y z"
+    # plus per-doc unique filler; 2 docs that are near-identical via rare
+    # shingles.  With max_df=3 the hot shingle leaves the join, and the
+    # rare-shingle pair survives.
+    rows = [(i, f"x y z u{i} v{i} w{i} q{i}") for i in range(40)]
+    rows += [(100, "p q r s t u"), (101, "p q r s t v")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(int(r["a"]), int(r["b"])) for r in jaccard_pairs(docs, 3, 0.5, max_df=3).collect()}
+    assert (100, 101) in got
+    # every stop-shingle-only pair is cut: docs 0..39 share ONLY "x y z"
+    assert all(a >= 100 for a, b in got)
+    # and the join substrate itself is bounded: no shingle with df > 3 remains
+    sh = with_shingles(docs)
+    keep = sh.groupBy("shingle").count().where(F.col("count") <= 3)
+    assert sh.join(keep.select("shingle"), "shingle").groupBy("shingle").count().agg(
+        F.max("count")
+    ).collect()[0][0] <= 3
+
+
 def test_minhash_signature_parity(spark, corpus):
     # recompute signatures in numpy from Spark's own shingle hashes
     sh = corpus.select(

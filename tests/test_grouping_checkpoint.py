@@ -170,6 +170,41 @@ def test_checkpoint_resume_no_recompute(spark, tmp_path):
     assert job2.metrics().count() == 8
 
 
+def test_checkpoint_crash_inside_commit_window(spark, tmp_path):
+    """The hard kill: dies AFTER a batch's output append but BEFORE its
+    checkpoint append.  The orphaned batch directory must never be read
+    (no duplicates when the retry re-processes the batch)."""
+    import pytest as _pytest
+
+    base = str(tmp_path / "job")
+    cells = spark.createDataFrame([(x, 0) for x in range(4)], "cell_x INT, cell_y INT")
+
+    def process(batch):
+        rows = [(cx, cy, f"{cx},{cy}") for cx, cy in batch]
+        return spark.createDataFrame(rows, "cell_x INT, cell_y INT, payload STRING"), len(rows)
+
+    job1 = CheckpointedJob(spark, base, job_id="run1")
+    with _pytest.raises(RuntimeError, match="commit window"):
+        job1.run(cells, process, batch_size=2, fail_before_checkpoint=2)
+    assert job1.completed_cells().count() == 2  # only batch 1 committed
+
+    job2 = CheckpointedJob(spark, base, job_id="run2")
+    ran = job2.run(cells, process, batch_size=2)
+    assert ran == 1  # just the 2 uncommitted cells
+
+    out = job2.committed_output().collect()
+    assert len(out) == 4, "orphaned first-attempt rows must not surface"
+    assert {(int(r["cell_x"]), int(r["cell_y"])) for r in out} == {(x, 0) for x in range(4)}
+
+
+def test_committed_output_empty_safe(spark, tmp_path):
+    job = CheckpointedJob(spark, str(tmp_path / "nothing-yet"), job_id="x")
+    assert job.committed_output().count() == 0
+    assert job.committed_output("cell_x INT, cell_y INT, v STRING").columns == [
+        "cell_x", "cell_y", "v",
+    ]
+
+
 def test_salted_fuse_equals_unsalted(spark):
     import random
 

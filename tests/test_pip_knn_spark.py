@@ -90,3 +90,38 @@ def test_knn_bulk_shuffle_mode_matches_broadcast(spark, pages_pdf):
     sa = {(r["qid"], r["rank"]): (r["doc_id"], r["dist_sq"]) for r in a.collect()}
     sb = {(r["qid"], r["rank"]): (r["doc_id"], r["dist_sq"]) for r in b.collect()}
     assert sa == sb
+
+
+def test_knn_exact_flag(spark):
+    """Queries resolved by the ring guarantee carry exact=True; queries
+    resolved only by max_r exhaustion are flagged exact=False (ADVICE:
+    silently-truncated results must be distinguishable)."""
+    p = pages(spark, SF_TINY)
+    q = p.where(F.col("doc_id") % 101 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    # normal run: every query resolves inside the escalation guarantee
+    full = knn_join(p, q, GRID_PAGES, k=5).toPandas()
+    assert bool(full.exact.all())
+    # max_r=1 starves the escalation: queries whose 5th neighbour lies
+    # beyond one ring must surface as exact=False (and none silently pass)
+    starved = knn_join(p, q, GRID_PAGES, k=5, max_r=1).toPandas()
+    assert not bool(starved.exact.all())
+    inexact_qids = set(starved.loc[~starved.exact, "qid"])
+    # cross-check against the guarantee: those flagged inexact either
+    # have < 5 rows or a max dist beyond the 1-ring radius
+    size = min(abs(GRID_PAGES.tile_size[0]), abs(GRID_PAGES.tile_size[1]))
+    for qid_v, sub in starved.groupby("qid"):
+        violates = len(sub) < 5 or float(sub.dist_sq.max()) >= (1 * size) ** 2
+        assert (qid_v in inexact_qids) == violates
+
+
+def test_pip_index_rejects_rectangular_tiles(spark):
+    """Subcell lattice is square; rectangular tiles must fail loudly
+    (ADVICE: silent subcell→tile mis-assignment otherwise)."""
+    import pytest as _pytest
+    from datacube_core_spark.geom.grid import GridSpec
+    from datacube_core_spark.operators.pip import PipIndex
+    from datacube_core_spark.sources.regions import regions
+
+    rect_grid = GridSpec(crs="EPSG:4326", tile_size=(6.0, 4.0), resolution=(-0.05, 0.05), origin=(-90.0, -180.0))
+    with _pytest.raises(ValueError, match="tile_size"):
+        PipIndex(spark, regions(spark), rect_grid)

@@ -93,3 +93,52 @@ def test_lineage_closure(spark):
     roots2 = spark.createDataFrame([(1,)], "dataset_id LONG")
     desc = {(r["node"], r["distance"]) for r in lineage_closure(edges, roots2, direction="derived").collect()}
     assert desc == {(1, 0), (2, 1), (4, 1), (3, 2)}
+
+
+def test_archive_less_mature_maturity_rule(spark):
+    """The ADVICE repro: an nrt dataset arriving BEFORE its final version
+    must be the one archived (reference keeps the most mature, 'final' <
+    'nrt'); without maturity the rule is documented first-arrival-wins."""
+    from datacube_core_spark.operators.dupes import archive_less_mature
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # cluster A: nrt arrives first, final 200ms later -> final survives
+        (1, "p1", t0, "nrt"),
+        (2, "p1", t0 + datetime.timedelta(milliseconds=200), "final"),
+        # cluster B (outside leniency of A): single row stays live
+        (3, "p1", t0 + datetime.timedelta(seconds=10), "nrt"),
+        # different key: interim vs nrt -> interim survives
+        (4, "p2", t0, "nrt"),
+        (5, "p2", t0 + datetime.timedelta(milliseconds=100), "interim"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, key STRING, warc_ts TIMESTAMP, maturity STRING")
+    out = {
+        int(r["doc_id"]): bool(r["archived"])
+        for r in archive_less_mature(df, ["key"], maturity_col="maturity").collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+    # first-arrival-wins when no maturity column is given
+    legacy = {
+        int(r["doc_id"]): bool(r["archived"])
+        for r in archive_less_mature(df, ["key"]).collect()
+    }
+    assert legacy == {1: False, 2: True, 3: False, 4: False, 5: True}
+
+
+def test_archive_less_mature_strict_raises_on_tie(spark):
+    from datacube_core_spark.operators.dupes import archive_less_mature
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "p1", t0, "final"),
+        (2, "p1", t0 + datetime.timedelta(milliseconds=100), "final"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, key STRING, warc_ts TIMESTAMP, maturity STRING")
+    with pytest.raises(ValueError, match="equal-maturity"):
+        archive_less_mature(df, ["key"], maturity_col="maturity", strict=True)
+    # non-strict: documented (ts, id) fallback, no raise
+    out = {int(r["doc_id"]): bool(r["archived"]) for r in
+           archive_less_mature(df, ["key"], maturity_col="maturity").collect()}
+    assert out == {1: False, 2: True}
