@@ -253,6 +253,34 @@ def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "region_id", F.col("value").cast("int").alias("value"))
 
 
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CRS raster pipeline end-to-end: rasterize regions on the
+    4326 grid → WARP (nearest, pure-numpy kernel, closed-form 4326→3857)
+    onto the Web-Mercator grid → sample every page's merc pixel.  The
+    DuckDB oracle reproduces nearest-warp semantics arithmetically (the
+    sampled value is the strict-PIP of the src pixel center containing
+    the back-projection of the page's dst pixel center)."""
+    from datacube_core_spark.geom import GRID_MERC
+    from datacube_core_spark.operators.raster import rasterize_rect_regions
+    from datacube_core_spark.operators.warp import (
+        merc_region_tiles,
+        sample_merc_rasters,
+        warp_rasters_to_grid,
+    )
+
+    regs = regions(spark)
+    src = rasterize_rect_regions(regs, _G, res=1.0)
+    cand = merc_region_tiles(regs, GRID_MERC)
+    warped = warp_rasters_to_grid(src, _G, 1.0, GRID_MERC, 256_000.0, cand, "nearest")
+    p = (
+        pages(spark, sf_dir, repl=Q_REPL)
+        .where((F.col("lat") > -85.0) & (F.col("lat") < 85.0))
+        .select("doc_id", "lon", "lat")
+    )
+    out = sample_merc_rasters(p, warped, GRID_MERC, 256_000.0)
+    return out.select("doc_id", "region_id", F.col("value").cast("int").alias("value"))
+
+
 def q_dup_leniency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate detection with time leniency (reference 500ms-merge
     semantics, here 10-minute gap chaining on events)."""
@@ -408,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_neardup": q_cos_neardup,
         "ann_lsh": q_ann_lsh,
         "raster_sample": q_raster_sample,
+        "reproject": q_reproject,
         "dup_leniency": q_dup_leniency,
         "range_buckets": q_range_buckets,
         "salted_cell_agg": q_salted_cell_agg,
@@ -715,6 +744,14 @@ SELECT doc_id, region_id,
        CASE WHEN cx > rl AND cx < rr AND cy > rb AND cy < rt THEN 1 ELSE 0 END AS value
 FROM pc
 """
+
+    from datacube_core_spark.geom import GRID_MERC
+    from datacube_core_spark.geom.grid import GRID_PAGES as _GP
+    from datacube_core_spark.operators.warp import sql_reproject_sample
+
+    sqls["reproject"] = sql_reproject_sample(
+        _P, REGIONS_CTE.strip(), _GP, 1.0, GRID_MERC, 256_000.0
+    )
 
     return sqls
 

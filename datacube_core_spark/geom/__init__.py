@@ -12,6 +12,7 @@ from .grid import (
     GRID_C,
     GRID_D,
     GRID_E,
+    GRID_MERC,
     GRID_PAGES,
     GeoBox,
     GridSpec,
@@ -47,6 +48,7 @@ __all__ = [
     "GRID_C",
     "GRID_D",
     "GRID_E",
+    "GRID_MERC",
     "GRID_PAGES",
     "box_ring",
     "clipped_area",

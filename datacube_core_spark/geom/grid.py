@@ -314,3 +314,14 @@ GRID_E = GridSpec("EPSG:4326", tile_size=(100, 100), resolution=(-10, 10), origi
 
 # Default grid for the pages engine: whole-degree tiles over lon/lat.
 GRID_PAGES = GridSpec("EPSG:4326", tile_size=(4.0, 4.0), resolution=(-0.01, 0.01), origin=(-90.0, -180.0))
+
+# Web-Mercator output grid for the cross-CRS warp path.  The origin is
+# deliberately NOT a multiple of the pixel size away from y=0: merc_y(0)
+# is a libm-sensitive ~±1e-16, so y=0 must sit mid-pixel, never on a
+# pixel/tile boundary (floor() would otherwise disagree across engines).
+GRID_MERC = GridSpec(
+    "EPSG:3857",
+    tile_size=(2_048_000.0, 2_048_000.0),
+    resolution=(-256_000.0, 256_000.0),
+    origin=(-20_864_000.0, -20_864_000.0),
+)

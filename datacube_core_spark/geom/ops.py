@@ -191,3 +191,55 @@ def segmented(ring: Ring, max_len: float) -> Ring:
             for j in range(1, k):
                 out.append(a + (b - a) * (j / k))
     return np.asarray(out, dtype=np.float64)
+
+
+def to_crs_multipolygon(
+    mp: MultiPolygon,
+    src_crs: str,
+    dst_crs: str,
+    resolution: Optional[float] = None,
+    wrapdateline: bool = False,
+) -> MultiPolygon:
+    """Project a multipolygon to another CRS with auto-segmentize —
+    reference ``Geometry.to_crs`` (``_base.py:679-715``).
+
+    ``resolution`` defaults to the reference's rule: 1 (degree) for a
+    geographic source, 100_000 (metres) for a projected one; pass
+    ``float('inf')`` to disable densification.  ``wrapdateline=True`` on
+    a projection INTO a geographic CRS chops the result along the
+    antimeridian and clips longitudes to [-180, 180] (reference
+    ``:707-712``; here via the already-ported ``lonlat`` helpers).
+    """
+    import math as _math
+
+    from .lonlat import chop_along_antimeridian, clip_lon180
+    from .mercator import get_transformer, _norm_crs, EPSG_4326
+
+    s, d = _norm_crs(src_crs), _norm_crs(dst_crs)
+    if s == d:
+        return mp
+    fwd = get_transformer(s, d)
+    if resolution is None:
+        resolution = 1.0 if s == EPSG_4326 else 100_000.0
+
+    out: MultiPolygon = []
+    for poly in mp:
+        new_poly = []
+        for ring in poly:
+            r = as_ring(ring)
+            if _math.isfinite(resolution):
+                r = segmented(r, resolution)
+            xs, ys = fwd(r[:, 0], r[:, 1])
+            new_poly.append(np.stack([xs, ys], axis=1))
+        out.append(new_poly)
+
+    if wrapdateline and d == EPSG_4326:
+        # unwrap is only needed when the projected shape crossed the
+        # dateline; chop splits extended-longitude parts, clip snaps
+        # near-±180 vertices
+        out = chop_along_antimeridian(out)
+        out = [
+            [np.stack([np.array([clip_lon180(float(x)) for x in ring[:, 0]]), ring[:, 1]], axis=1) for ring in poly]
+            for poly in out
+        ]
+    return out

@@ -137,20 +137,97 @@ def get_scale_from_linear_transform(a: Affine):
     return abs(float(u[0, 0])), abs(float(u[1, 1]))
 
 
+def _pix_point_transforms(src: GeoBox, dst: GeoBox):
+    """(back, fwd) point maps between pixel planes for cross-CRS pairs
+    with a closed-form transform: back = dst pix → src pix, fwd = src pix
+    → dst pix (reference ``native_pix_transform``, tools.py:466-497)."""
+    from .mercator import get_transformer
+
+    d2s = get_transformer(dst.crs, src.crs)
+    s2d = get_transformer(src.crs, dst.crs)
+    inv_s, inv_d = ~src.affine, ~dst.affine
+
+    def back(xy: np.ndarray) -> np.ndarray:
+        wx = dst.affine.a * xy[:, 0] + dst.affine.b * xy[:, 1] + dst.affine.c
+        wy = dst.affine.d * xy[:, 0] + dst.affine.e * xy[:, 1] + dst.affine.f
+        sx, sy = d2s(wx, wy)
+        return np.stack(
+            [inv_s.a * sx + inv_s.b * sy + inv_s.c, inv_s.d * sx + inv_s.e * sy + inv_s.f], axis=1
+        )
+
+    def fwd(xy: np.ndarray) -> np.ndarray:
+        wx = src.affine.a * xy[:, 0] + src.affine.b * xy[:, 1] + src.affine.c
+        wy = src.affine.d * xy[:, 0] + src.affine.e * xy[:, 1] + src.affine.f
+        dx, dy = s2d(wx, wy)
+        return np.stack(
+            [inv_d.a * dx + inv_d.b * dy + inv_d.c, inv_d.d * dx + inv_d.e * dy + inv_d.f], axis=1
+        )
+
+    return back, fwd
+
+
+def _local_back_scale(back, center_xy: np.ndarray, eps: float = 0.5):
+    """(sx, sy) of the back map at a dst pixel point — src pixels per dst
+    pixel along each axis (reference ``get_scale_at_point``, tools.py:337)."""
+    pts = np.array(
+        [center_xy, center_xy + [eps, 0.0], center_xy + [0.0, eps]], dtype=np.float64
+    )
+    out = back(pts)
+    sx = abs(float(out[1, 0] - out[0, 0])) / eps
+    sy = abs(float(out[2, 1] - out[0, 1])) / eps
+    return sx, sy
+
+
 def compute_reproject_roi(src: GeoBox, dst: GeoBox, tol: float = 0.05, padding: Optional[int] = None) -> SimpleNamespace:
-    """Linear-path reproject plan: minimal overlap ROIs + shrink scale.
+    """Reproject plan: minimal overlap ROIs + shrink scale.
 
     Scale+translation transforms use the snapping ``box_overlap`` fast
     path; rotated/sheared linear transforms use boundary back-projection
-    (reference ``compute_roi`` with 1-pixel padding).  Returns
-    SimpleNamespace(roi_src, roi_dst, scale, scale2, is_st, transform) —
-    scale > 1 means the source shrinks to fit dst.
+    (reference ``compute_roi`` with 1-pixel padding); cross-CRS pairs
+    with a closed-form transform (EPSG:4326 ↔ 3857) use the reference's
+    non-linear path — 5-points-per-side boundary sampling
+    (``tools.py:569-658``).  Returns SimpleNamespace(roi_src, roi_dst,
+    scale, scale2, is_st, transform) — scale > 1 means the source
+    shrinks to fit dst.
     """
     tr = native_pix_transform_linear(src, dst)
     if tr is None:
-        raise NotImplementedError(
-            "cross-CRS reprojection requires a coordinate transformer "
-            "(pyproj not available in this environment)"
+        from .mercator import have_transform
+
+        if not have_transform(dst.crs, src.crs):
+            raise NotImplementedError(
+                "cross-CRS reprojection requires a coordinate transformer "
+                f"({src.crs} -> {dst.crs}: pyproj not available; closed-form "
+                "transforms exist only for EPSG:4326 <-> EPSG:3857)"
+            )
+        back, fwd = _pix_point_transforms(src, dst)
+        pad = 1 if padding is None else padding
+        with np.errstate(invalid="ignore", over="ignore"):
+            xy = back(gbox_boundary_pix(dst.shape, 5).astype(np.float64))
+        xy = xy[np.isfinite(xy).all(axis=1)]
+        if len(xy) == 0:
+            roi_src = (slice(0, 0), slice(0, 0))
+            roi_dst = (slice(0, 0), slice(0, 0))
+            scale2 = (1.0, 1.0)
+        else:
+            roi_src = roi_from_points(xy, src.shape, pad)
+            if roi_src[0].stop <= roi_src[0].start or roi_src[1].stop <= roi_src[1].start:
+                roi_dst = (slice(0, 0), slice(0, 0))
+                scale2 = (1.0, 1.0)
+            else:
+                xy2 = fwd(roi_boundary_pix(roi_src, 5).astype(np.float64))
+                xy2 = xy2[np.isfinite(xy2).all(axis=1)]
+                roi_dst = roi_from_points(xy2, dst.shape, 0)
+                center = np.array(
+                    [
+                        (roi_dst[1].start + roi_dst[1].stop) * 0.5,
+                        (roi_dst[0].start + roi_dst[0].stop) * 0.5,
+                    ]
+                )
+                scale2 = _local_back_scale(back, center)
+        scale = min(scale2) if min(scale2) > 0 else 1.0
+        return SimpleNamespace(
+            roi_src=roi_src, roi_dst=roi_dst, scale=scale, scale2=scale2, is_st=False, transform=None
         )
     st = is_affine_st(tr)
     back = ~tr  # dst pixel -> src pixel

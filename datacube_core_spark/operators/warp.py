@@ -1,0 +1,287 @@
+"""Distributed cross-CRS raster warp over tile grids.
+
+The reference's ``reproject`` virtual-product combinator warps natively
+loaded pixels to a target grid per tile (reference
+``datacube/virtual/impl.py:745-911``; kernel ``_warp.py:37-169``).  Spark
+restatement:
+
+1. **dst candidates** — (dst_tile, region) pairs by grid-range arithmetic
+   on the region bbox *transformed into the dst CRS* (Web Mercator is
+   axis-separable and monotone, so a lon/lat bbox maps to a merc bbox
+   exactly — pure Catalyst, no geometry code).
+2. **pairing** — each dst tile back-projects (monotone ⇒ corners suffice)
+   to a lon/lat window; overlapping src tiles enumerate with the same
+   ``sequence``/``explode`` pattern as the grid-range join, then inner-join
+   the src raster tiles on (src_tile, region).  Src tiles the region never
+   touched contribute nothing (their pixels are 0 by construction).
+3. **warp kernel** — ``mapInPandas`` over the pairs: each row runs the
+   pure-numpy ``geom.warp.reproject`` (nearest/bilinear/average) from the
+   src tile's GeoBox to the dst tile's GeoBox; dst pixels whose
+   back-projection falls outside *this* src tile get the partial-nodata
+   sentinel.
+4. **fuse** — per (dst_tile, region): element-wise ``greatest`` fold of
+   the partials (src tiles partition the plane, so exactly one partial is
+   valid per pixel), then missing → 0.  Pure Catalyst aggregation.
+
+At 100 TB the plan is: broadcastable candidate tables, one shuffle to
+group partials by dst tile, Arrow-batched kernels — the same shape as the
+PIP join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geom.affine import Affine
+from ..geom.grid import GeoBox, GridSpec
+from ..geom.mercator import merc_x_col, merc_y_col
+from ..geom.warp import reproject
+
+PARTIAL_NODATA = -1
+
+
+def _axis_seq(lo, hi, origin: float, step: float):
+    """sequence(floor((lo-o)/s), ceil((hi-o)/s)-1) — grid_range as columns."""
+    a = F.floor((lo - F.lit(origin)) / F.lit(step)).cast("int")
+    b = (F.ceil((hi - F.lit(origin)) / F.lit(step)) - 1).cast("int")
+    return F.sequence(a, F.greatest(b, a))
+
+
+def merc_region_tiles(regions_df: DataFrame, dst_grid: GridSpec) -> DataFrame:
+    """(dst_tx, dst_ty, region_id, merc bbox) for every dst tile whose
+    extent overlaps the region's merc bbox."""
+    sy, sx = dst_grid.tile_size
+    oy, ox = dst_grid.origin
+    mxl, mxr = merc_x_col(F.col("left")), merc_x_col(F.col("right"))
+    myb, myt = merc_y_col(F.col("bottom")), merc_y_col(F.col("top"))
+    base = regions_df.select(
+        "region_id", mxl.alias("mxl"), mxr.alias("mxr"), myb.alias("myb"), myt.alias("myt")
+    )
+    return (
+        base.withColumn("dst_tx", F.explode(_axis_seq(F.col("mxl"), F.col("mxr"), ox, abs(sx))))
+        .withColumn("dst_ty", F.explode(_axis_seq(F.col("myb"), F.col("myt"), oy, abs(sy))))
+        .select("dst_tx", "dst_ty", "region_id")
+    )
+
+
+def warp_rasters_to_grid(
+    rasters_df: DataFrame,
+    src_grid: GridSpec,
+    src_res: float,
+    dst_grid: GridSpec,
+    dst_res: float,
+    dst_candidates: DataFrame,
+    resampling: str = "nearest",
+) -> DataFrame:
+    """Warp per-(src_tile, region) rasters onto dst_grid tiles.
+
+    ``rasters_df``: (tile_x, tile_y, region_id, h, w, raster) on src_grid.
+    ``dst_candidates``: (dst_tx, dst_ty, region_id).
+    Returns (dst_tx, dst_ty, region_id, h, w, raster) on dst_grid with the
+    no-coverage pixels resolved to 0.
+    """
+    s_sy, s_sx = src_grid.tile_size
+    s_oy, s_ox = src_grid.origin
+    d_sy, d_sx = dst_grid.tile_size
+    d_oy, d_ox = dst_grid.origin
+    dh = int(round(abs(d_sy) / dst_res))
+    dw = int(round(abs(d_sx) / dst_res))
+    sh = int(round(abs(s_sy) / src_res))
+    sw = int(round(abs(s_sx) / src_res))
+    src_crs, dst_crs = src_grid.crs, dst_grid.crs
+
+    # dst tile bounds (merc) → exact lon/lat window (monotone inverse on
+    # corners) → overlapping src tiles.  atan/exp are Catalyst builtins.
+    from ..geom.mercator import PI, R_MERC
+
+    dxl = F.col("dst_tx").cast("double") * F.lit(abs(d_sx)) + F.lit(d_ox)
+    dxr = dxl + F.lit(abs(d_sx))
+    dyb = F.col("dst_ty").cast("double") * F.lit(abs(d_sy)) + F.lit(d_oy)
+    dyt = dyb + F.lit(abs(d_sy))
+
+    def inv_lon(xc):
+        return xc / F.lit(R_MERC) * F.lit(180.0) / F.lit(PI)
+
+    def inv_lat(yc):
+        return (F.lit(2.0) * F.atan(F.exp(yc / F.lit(R_MERC))) - F.lit(PI) / F.lit(2.0)) * F.lit(180.0) / F.lit(PI)
+
+    paired = (
+        dst_candidates.withColumn(
+            "src_tx", F.explode(_axis_seq(inv_lon(dxl), inv_lon(dxr), s_ox, abs(s_sx)))
+        )
+        .withColumn("src_ty", F.explode(_axis_seq(inv_lat(dyb), inv_lat(dyt), s_oy, abs(s_sy))))
+    )
+    src = rasters_df.select(
+        F.col("tile_x").alias("src_tx"),
+        F.col("tile_y").alias("src_ty"),
+        "region_id",
+        "raster",
+    )
+    joined = paired.join(src, on=["src_tx", "src_ty", "region_id"], how="inner")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                s_left = r.src_tx * abs(s_sx) + s_ox
+                s_top = (r.src_ty + 1) * abs(s_sy) + s_oy
+                d_left = r.dst_tx * abs(d_sx) + d_ox
+                d_top = (r.dst_ty + 1) * abs(d_sy) + d_oy
+                s_gbox = GeoBox(sw, sh, Affine(src_res, 0.0, s_left, 0.0, -src_res, s_top), src_crs)
+                d_gbox = GeoBox(dw, dh, Affine(dst_res, 0.0, d_left, 0.0, -dst_res, d_top), dst_crs)
+                src_arr = np.asarray(r.raster, dtype=np.int32).reshape(sh, sw)
+                dst_arr = np.full((dh, dw), PARTIAL_NODATA, dtype=np.int32)
+                reproject(src_arr, dst_arr, s_gbox, d_gbox, resampling, dst_nodata=PARTIAL_NODATA)
+                out.append(
+                    (int(r.dst_tx), int(r.dst_ty), int(r.region_id), dst_arr.ravel().tolist())
+                )
+            if out:
+                yield pd.DataFrame(out, columns=["dst_tx", "dst_ty", "region_id", "partial"])
+
+    partials = joined.mapInPandas(
+        kernel, schema="dst_tx INT, dst_ty INT, region_id INT, partial ARRAY<INT>"
+    )
+
+    # element-wise greatest fold over partials; uncovered pixels -> 0
+    empty = F.array_repeat(F.lit(PARTIAL_NODATA), dh * dw)
+    fused = partials.groupBy("dst_tx", "dst_ty", "region_id").agg(
+        F.aggregate(
+            F.collect_list("partial"), empty,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+        ).alias("raster0")
+    )
+    covered = F.transform(F.col("raster0"), lambda x: F.greatest(x, F.lit(0)))
+    # dst candidate tiles with no src raster at all are all-zero
+    out = dst_candidates.join(fused, on=["dst_tx", "dst_ty", "region_id"], how="left")
+    zeros = F.array_repeat(F.lit(0), dh * dw)
+    raster = F.when(F.col("raster0").isNull(), zeros).otherwise(covered)
+    return out.select(
+        "dst_tx", "dst_ty", "region_id",
+        F.lit(dh).alias("h"), F.lit(dw).alias("w"), raster.alias("raster"),
+    )
+
+
+def sample_merc_rasters(
+    points_df: DataFrame,
+    rasters_df: DataFrame,
+    dst_grid: GridSpec,
+    dst_res: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sample points (lon/lat) against merc-grid rasters: transform to
+    merc (pure Catalyst), inverse-affine pixel lookup, broadcast join."""
+    sy, sx = dst_grid.tile_size
+    oy, ox = dst_grid.origin
+    h = int(round(abs(sy) / dst_res))
+    w = int(round(abs(sx) / dst_res))
+
+    mx, my = merc_x_col(F.col(lon)), merc_y_col(F.col(lat))
+    pts = points_df.withColumn("mx", mx).withColumn("my", my)
+    pts = pts.withColumn("dst_tx", F.floor((F.col("mx") - F.lit(ox)) / F.lit(abs(sx))).cast("int"))
+    pts = pts.withColumn("dst_ty", F.floor((F.col("my") - F.lit(oy)) / F.lit(abs(sy))).cast("int"))
+
+    tile_left = F.col("dst_tx").cast("double") * F.lit(abs(sx)) + F.lit(ox)
+    tile_top = (F.col("dst_ty").cast("double") + 1) * F.lit(abs(sy)) + F.lit(oy)
+    col_i = F.floor((F.col("mx") - tile_left) / F.lit(dst_res)).cast("int")
+    row_i = F.floor((tile_top - F.col("my")) / F.lit(dst_res)).cast("int")
+    col_c = F.least(F.greatest(col_i, F.lit(0)), F.lit(w - 1))
+    row_c = F.least(F.greatest(row_i, F.lit(0)), F.lit(h - 1))
+    idx = row_c * F.lit(w) + col_c + F.lit(1)
+
+    joined = pts.join(F.broadcast(rasters_df), on=["dst_tx", "dst_ty"], how="inner")
+    return joined.withColumn(value_col, F.element_at(F.col("raster"), idx)).drop("raster", "h", "w", "mx", "my")
+
+
+def sql_reproject_sample(
+    pages_cte: str,
+    regions_cte: str,
+    src_grid: GridSpec,
+    src_res: float,
+    dst_grid: GridSpec,
+    dst_res: float,
+) -> str:
+    """DuckDB twin of the full rasterize→warp(nearest)→sample pipeline.
+
+    Nearest-warp semantics reduce to arithmetic the oracle can reproduce:
+    the sampled value is the strict-PIP of the SRC pixel center containing
+    the back-projection of the page's DST pixel center.  Every formula
+    (merc forward/inverse, tile/pixel floors, pixel centers) mirrors the
+    engine's operation order exactly.
+    """
+    from ..geom.mercator import sql_inv_merc_lat, sql_inv_merc_lon, sql_merc_x, sql_merc_y
+
+    s_sy, s_sx = abs(src_grid.tile_size[0]), abs(src_grid.tile_size[1])
+    s_oy, s_ox = src_grid.origin
+    d_sy, d_sx = abs(dst_grid.tile_size[0]), abs(dst_grid.tile_size[1])
+    d_oy, d_ox = dst_grid.origin
+    dh = int(round(d_sy / dst_res))
+    dw = int(round(d_sx / dst_res))
+
+    def rng(lo, hi, origin, step):
+        a = f"CAST(FLOOR(({lo} - ({origin!r})) / {step!r}) AS INT)"
+        b = f"CAST(CEIL(({hi} - ({origin!r})) / {step!r}) AS INT) - 1"
+        return f"generate_series({a}, GREATEST({b}, {a}))"
+
+    return f"""{pages_cte}, {regions_cte},
+mr AS (
+  SELECT region_id, "left" AS rl, "bottom" AS rb, "right" AS rr, "top" AS rt,
+         {sql_merc_x('"left"')} AS mxl, {sql_merc_x('"right"')} AS mxr,
+         {sql_merc_y('"bottom"')} AS myb, {sql_merc_y('"top"')} AS myt
+  FROM regions
+),
+cand AS (
+  SELECT mr.region_id, mr.rl, mr.rb, mr.rr, mr.rt, tx.dst_tx, ty.dst_ty
+  FROM mr,
+       UNNEST({rng('mxl', 'mxr', d_ox, d_sx)}) AS tx(dst_tx),
+       UNNEST({rng('myb', 'myt', d_oy, d_sy)}) AS ty(dst_ty)
+),
+pt AS (
+  SELECT doc_id, {sql_merc_x('lon')} AS mx, {sql_merc_y('lat')} AS my
+  FROM pages WHERE lat > -85.0 AND lat < 85.0
+),
+pp AS (
+  SELECT doc_id, mx, my,
+         CAST(FLOOR((mx - ({d_ox!r})) / {d_sx!r}) AS INT) AS dst_tx,
+         CAST(FLOOR((my - ({d_oy!r})) / {d_sy!r}) AS INT) AS dst_ty
+  FROM pt
+),
+px AS (
+  SELECT p.doc_id, c.region_id, c.rl, c.rb, c.rr, c.rt, p.mx, p.my,
+         p.dst_tx * {d_sx!r} + ({d_ox!r}) AS tl,
+         (p.dst_ty + 1) * {d_sy!r} + ({d_oy!r}) AS tt
+  FROM pp p JOIN cand c ON p.dst_tx = c.dst_tx AND p.dst_ty = c.dst_ty
+),
+pc AS (
+  SELECT doc_id, region_id, rl, rb, rr, rt,
+         tl + (LEAST(GREATEST(CAST(FLOOR((mx - tl) / {dst_res!r}) AS INT), 0), {dw - 1}) + 0.5) * {dst_res!r} AS cx,
+         tt - (LEAST(GREATEST(CAST(FLOOR((tt - my) / {dst_res!r}) AS INT), 0), {dh - 1}) + 0.5) * {dst_res!r} AS cy
+  FROM px
+),
+bp AS (
+  SELECT doc_id, region_id, rl, rb, rr, rt,
+         {sql_inv_merc_lon('cx')} AS lon_c, {sql_inv_merc_lat('cy')} AS lat_c
+  FROM pc
+),
+sp AS (
+  SELECT doc_id, region_id, rl, rb, rr, rt, lon_c, lat_c,
+         CAST(FLOOR((lon_c - ({s_ox!r})) / {s_sx!r}) AS INT) AS stx,
+         CAST(FLOOR((lat_c - ({s_oy!r})) / {s_sy!r}) AS INT) AS sty
+  FROM bp
+),
+sc AS (
+  SELECT doc_id, region_id, rl, rb, rr, rt,
+         (stx * {s_sx!r} + ({s_ox!r})) + (FLOOR(lon_c - (stx * {s_sx!r} + ({s_ox!r}))) + 0.5) * {src_res!r} AS scx,
+         ((sty + 1) * {s_sy!r} + ({s_oy!r})) - (FLOOR(((sty + 1) * {s_sy!r} + ({s_oy!r})) - lat_c) + 0.5) * {src_res!r} AS scy
+  FROM sp
+)
+SELECT doc_id, region_id,
+       CASE WHEN scx > rl AND scx < rr AND scy > rb AND scy < rt THEN 1 ELSE 0 END AS value
+FROM sc
+"""
