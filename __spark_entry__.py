@@ -344,6 +344,30 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage_closure(edges, roots, direction="sources")
 
 
+def q_lineage_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage with PATH tracking + source_filter (reference recursive
+    CTE parity, drivers/postgres/_api.py:560-600): classifier per edge,
+    dot-joined path, result restricted to sources whose document lang is
+    'en' (the source-product field filter)."""
+    from datacube_core_spark.operators.lineage import lineage_paths
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    src = F.floor(F.col("doc_id") / 2).cast("long")
+    edges = docs.where(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("dataset_id"),
+        src.alias("source_id"),
+        F.concat(F.lit("c"), (src % 3).cast("string")).alias("classifier"),
+    )
+    roots = docs.where(F.col("doc_id") % 97 == 0).select(F.col("doc_id").alias("dataset_id"))
+    return lineage_paths(
+        edges,
+        roots,
+        direction="sources",
+        source_filter=F.col("lang") == "en",
+        datasets=docs,
+    )
+
+
 def q_page_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datacube.load analog: sparse per-tile page-density rasters at 0.5°
     pixels (the create_storage binning step, pure Catalyst)."""
@@ -441,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_buckets": q_range_buckets,
         "salted_cell_agg": q_salted_cell_agg,
         "lineage": q_lineage,
+        "lineage_paths": q_lineage_paths,
         "page_density": q_page_density,
         "cell_obs": q_cell_obs,
         "fuse": q_fuse,
@@ -711,6 +736,25 @@ WITH RECURSIVE anc AS (
   FROM anc WHERE node > 0
 )
 SELECT root_id, node, distance FROM anc
+"""
+
+    sqls["lineage_paths"] = """
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS root_id, doc_id AS node, 0 AS distance, '' AS path
+  FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT root_id,
+         CAST(FLOOR(node / 2) AS BIGINT) AS node,
+         distance + 1,
+         CASE WHEN path = ''
+              THEN 'c' || CAST(CAST(FLOOR(node / 2) AS BIGINT) % 3 AS VARCHAR)
+              ELSE path || '.' || 'c' || CAST(CAST(FLOOR(node / 2) AS BIGINT) % 3 AS VARCHAR)
+         END AS path
+  FROM anc WHERE node > 0
+)
+SELECT a.root_id, a.node, a.distance, a.path
+FROM anc a JOIN documents d ON d.doc_id = a.node
+WHERE a.distance >= 1 AND d.lang = 'en'
 """
 
     # raster_sample: candidate (tile, region) pairs by grid-range

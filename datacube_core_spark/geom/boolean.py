@@ -1,0 +1,291 @@
+"""Exact polygon boolean ops: union / intersection of multipolygons.
+
+Closes the reference's ``unary_union`` / ``unary_intersection`` surface
+(``datacube/utils/geometry/_base.py:971-992`` — there a shapely
+delegation; shapely is absent here, so this is an original
+arrangement-based implementation):
+
+1. **arrangement** — split every input edge at its intersections with
+   every other edge (including T-junctions: endpoints lying on foreign
+   edges), producing fragments that cross no other edge.
+2. **classification** — a fragment lies on the RESULT boundary iff the
+   predicate ("inside ≥1 input" for union, "inside all inputs" for
+   intersection) differs between the two sides of its midpoint (sampled
+   at ±ε along the normal; fragments crossing nothing are strictly
+   inside/outside on each side, so the sample is well-defined).
+3. **orientation** — each boundary fragment is directed so the result
+   interior is on its LEFT.
+4. **stitching** — fragments chain into closed rings; at junction
+   vertices the walk takes the most-counterclockwise outgoing fragment,
+   which keeps the interior consistently on the left.  Positive-area
+   rings are shells, negative-area rings are holes; holes attach to the
+   shell strictly containing them.
+
+Complexity is O(E²) in edge count (pairwise splitting) — this is the
+driver/kernel-side small-geometry path (region tables, extent reporting),
+not a per-row operator.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .polygon import (
+    MultiPolygon,
+    as_ring,
+    points_strictly_inside,
+    ring_area,
+)
+
+
+def _gather_edges(mps: Sequence[MultiPolygon]) -> np.ndarray:
+    """(N, 4) array of segments (x1, y1, x2, y2) from every ring."""
+    segs = []
+    for mp in mps:
+        for poly in mp:
+            for ring in poly:
+                r = as_ring(ring)
+                nxt = np.roll(r, -1, axis=0)
+                segs.append(np.concatenate([r, nxt], axis=1))
+    if not segs:
+        return np.zeros((0, 4))
+    out = np.concatenate(segs, axis=0)
+    # drop degenerate zero-length edges
+    keep = ~((out[:, 0] == out[:, 2]) & (out[:, 1] == out[:, 3]))
+    return out[keep]
+
+
+def _seg_intersection_params(a: np.ndarray, b: np.ndarray, tol: float) -> Tuple[List[float], List[float]]:
+    """Split parameters (t on a, u on b) where segments a, b intersect or
+    touch, including collinear overlap endpoints and T-junctions."""
+    ax, ay, bx, by = a
+    cx, cy, dx, dy = b
+    r = (bx - ax, by - ay)
+    s = (dx - cx, dy - cy)
+    denom = r[0] * s[1] - r[1] * s[0]
+    qp = (cx - ax, cy - ay)
+    ta: List[float] = []
+    ub: List[float] = []
+
+    def on_a(px, py):
+        rr = r[0] * r[0] + r[1] * r[1]
+        t = ((px - ax) * r[0] + (py - ay) * r[1]) / rr
+        if -1e-12 <= t <= 1 + 1e-12:
+            # perpendicular distance
+            d = abs((px - ax) * r[1] - (py - ay) * r[0]) / np.sqrt(rr)
+            if d <= tol:
+                return min(max(t, 0.0), 1.0)
+        return None
+
+    def on_b(px, py):
+        ss = s[0] * s[0] + s[1] * s[1]
+        u = ((px - cx) * s[0] + (py - cy) * s[1]) / ss
+        if -1e-12 <= u <= 1 + 1e-12:
+            d = abs((px - cx) * s[1] - (py - cy) * s[0]) / np.sqrt(ss)
+            if d <= tol:
+                return min(max(u, 0.0), 1.0)
+        return None
+
+    if abs(denom) > 1e-18:
+        t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+        u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+            ta.append(min(max(t, 0.0), 1.0))
+            ub.append(min(max(u, 0.0), 1.0))
+    else:
+        # parallel: endpoint-on-segment checks cover collinear overlap
+        for px, py in ((cx, cy), (dx, dy)):
+            t = on_a(px, py)
+            if t is not None:
+                ta.append(t)
+        for px, py in ((ax, ay), (bx, by)):
+            u = on_b(px, py)
+            if u is not None:
+                ub.append(u)
+        return ta, ub
+
+    # T-junctions: endpoints of one on the interior of the other
+    for px, py in ((cx, cy), (dx, dy)):
+        t = on_a(px, py)
+        if t is not None:
+            ta.append(t)
+    for px, py in ((ax, ay), (bx, by)):
+        u = on_b(px, py)
+        if u is not None:
+            ub.append(u)
+    return ta, ub
+
+
+def _fragments(segs: np.ndarray, tol: float) -> List[Tuple[float, float, float, float]]:
+    """Split all segments at mutual intersections."""
+    n = len(segs)
+    cuts: List[List[float]] = [[0.0, 1.0] for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            ti, tj = _seg_intersection_params(segs[i], segs[j], tol)
+            cuts[i].extend(ti)
+            cuts[j].extend(tj)
+    frags = []
+    for i in range(n):
+        ax, ay, bx, by = segs[i]
+        ts = sorted(set(cuts[i]))
+        merged = [ts[0]]
+        for t in ts[1:]:
+            if t - merged[-1] > 1e-12:
+                merged.append(t)
+        for t0, t1 in zip(merged[:-1], merged[1:]):
+            x1, y1 = ax + (bx - ax) * t0, ay + (by - ay) * t0
+            x2, y2 = ax + (bx - ax) * t1, ay + (by - ay) * t1
+            if (x1, y1) != (x2, y2):
+                frags.append((x1, y1, x2, y2))
+    return frags
+
+
+def _inside_counts(px: np.ndarray, py: np.ndarray, mps: Sequence[MultiPolygon]) -> np.ndarray:
+    """#inputs strictly containing each point (a point inside a hole of an
+    input does not count for that input)."""
+    total = np.zeros(len(px), dtype=np.int64)
+    for mp in mps:
+        inside_any_poly = np.zeros(len(px), dtype=bool)
+        for poly in mp:
+            inside_any_poly |= points_strictly_inside(px, py, poly)
+        total += inside_any_poly.astype(np.int64)
+    return total
+
+
+def _boolean_boundary(mps: Sequence[MultiPolygon], keep: Callable[[np.ndarray], np.ndarray]) -> MultiPolygon:
+    segs = _gather_edges(mps)
+    if len(segs) == 0:
+        return []
+    span = max(
+        float(np.max(segs[:, [0, 2]]) - np.min(segs[:, [0, 2]])),
+        float(np.max(segs[:, [1, 3]]) - np.min(segs[:, [1, 3]])),
+        1e-9,
+    )
+    tol = span * 1e-12
+    eps = span * 1e-7
+    frags = _fragments(segs, tol)
+
+    # coincident fragments (identical or opposite-direction copies of the
+    # same segment, e.g. two identical inputs or shared edges) collapse to
+    # one representative: a segment's two sides have fixed in/out state,
+    # so at most one orientation can be a boundary
+    def _ukey(x1, y1, x2, y2):
+        a = (round(x1 / tol), round(y1 / tol))
+        b = (round(x2 / tol), round(y2 / tol))
+        return (a, b) if a <= b else (b, a)
+
+    seen_frag = set()
+    uniq = []
+    for fr in frags:
+        k = _ukey(*fr)
+        if k not in seen_frag:
+            seen_frag.add(k)
+            uniq.append(fr)
+    f = np.asarray(uniq, dtype=np.float64)
+    mx = (f[:, 0] + f[:, 2]) * 0.5
+    my = (f[:, 1] + f[:, 3]) * 0.5
+    dx = f[:, 2] - f[:, 0]
+    dy = f[:, 3] - f[:, 1]
+    ln = np.hypot(dx, dy)
+    # left normal of direction (dx, dy)
+    nx, ny = -dy / ln, dx / ln
+    lx, ly = mx + nx * eps, my + ny * eps
+    rx, ry = mx - nx * eps, my - ny * eps
+    in_l = keep(_inside_counts(lx, ly, mps))
+    in_r = keep(_inside_counts(rx, ry, mps))
+    boundary = in_l != in_r
+    f = f[boundary]
+    flip = ~in_l[boundary]  # interior must be on the LEFT
+    f[flip] = f[flip][:, [2, 3, 0, 1]]
+
+    # stitch into rings
+    def key(x, y):
+        return (round(x / tol), round(y / tol))
+
+    outgoing: Dict[Tuple[int, int], List[int]] = {}
+    for i, (x1, y1, x2, y2) in enumerate(f):
+        outgoing.setdefault(key(x1, y1), []).append(i)
+    used = np.zeros(len(f), dtype=bool)
+    rings: List[np.ndarray] = []
+    for start in range(len(f)):
+        if used[start]:
+            continue
+        used[start] = True
+        start_key = key(f[start, 0], f[start, 1])
+        pts = [(f[start, 0], f[start, 1])]
+        cur = start
+        closed = False
+        while True:
+            pts.append((f[cur, 2], f[cur, 3]))
+            k = key(f[cur, 2], f[cur, 3])
+            if k == start_key:
+                closed = True
+                break
+            cands = [i for i in outgoing.get(k, []) if not used[i]]
+            if not cands:
+                break  # open chain (numerical orphan) — drop it
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # most-counterclockwise turn relative to incoming direction
+                inx, iny = f[cur, 2] - f[cur, 0], f[cur, 3] - f[cur, 1]
+                ang_in = np.arctan2(iny, inx)
+
+                def turn(i):
+                    ox, oy = f[i, 2] - f[i, 0], f[i, 3] - f[i, 1]
+                    a = np.arctan2(oy, ox) - ang_in
+                    # strictly inside (0, 2pi): bigger = sharper CCW turn
+                    return (a - 1e-12) % (2 * np.pi)
+
+                nxt = max(cands, key=turn)
+            used[nxt] = True
+            cur = nxt
+        if closed and len(pts) >= 4:
+            rings.append(np.asarray(pts[:-1], dtype=np.float64))
+
+    # shells (CCW, positive area with interior-left orientation) vs holes
+    shells = [(r, ring_area(r)) for r in rings if ring_area(r) > 0]
+    holes = [r for r in rings if ring_area(r) < 0]
+    polys: List[List[np.ndarray]] = [[s] for s, _ in shells]
+    for h in holes:
+        # attach to the smallest shell strictly containing a hole vertex
+        hx, hy = h[0, 0], h[0, 1]
+        best, best_area = None, None
+        for i, (s, a) in enumerate(shells):
+            if points_strictly_inside(np.array([hx]), np.array([hy]), [s])[0]:
+                if best is None or a < best_area:
+                    best, best_area = i, a
+        if best is not None:
+            polys[best].append(h)
+    return polys
+
+
+def unary_union(mps: Sequence[MultiPolygon]) -> MultiPolygon:
+    """Exact union of multipolygons (reference ``unary_union``,
+    ``_base.py:971-981``)."""
+    mps = [mp for mp in mps if mp]
+    if not mps:
+        return []
+    if len(mps) == 1:
+        return mps[0]
+    return _boolean_boundary(mps, lambda c: c >= 1)
+
+
+def unary_intersection(mps: Sequence[MultiPolygon]) -> MultiPolygon:
+    """Exact intersection of multipolygons (reference
+    ``unary_intersection``, ``_base.py:984-992``)."""
+    mps = [mp for mp in mps if mp]
+    if not mps:
+        return []
+    if len(mps) == 1:
+        return mps[0]
+    n = len(mps)
+    return _boolean_boundary(mps, lambda c: c >= n)
+
+
+def multipolygon_area(mp: MultiPolygon) -> float:
+    """Total area (holes subtract — they carry negative ring area)."""
+    return float(sum(ring_area(as_ring(r)) for poly in mp for r in poly))

@@ -35,8 +35,52 @@ from pyspark.sql import functions as F
 
 from ..geom.classify import classify_subcells, detect_axis_rect
 from ..geom.grid import GridSpec
-from ..geom.polygon import points_strictly_inside_multi, unpack_multipolygon
+from ..geom.polygon import multipolygon_bbox, points_strictly_inside_multi, unpack_multipolygon
 from .tiling import with_tile
+
+
+def _pick_level_for(mp, base: float, target_cells: int, min_level: int, max_level: int) -> int:
+    """Finest lattice level keeping the region's bbox within
+    ~target_cells subcells per axis."""
+    import math as _math
+
+    l, b, r, t = multipolygon_bbox(mp)
+    span = max(r - l, t - b, 1e-9)
+    ideal_h = span / target_cells
+    level = int(_math.floor(_math.log2(base / ideal_h)))
+    return max(min_level, min(max_level, level))
+
+
+def _classify_region(
+    rid: int,
+    blob: bytes,
+    grid: GridSpec,
+    base: float,
+    ox: float,
+    oy: float,
+    target_cells: int,
+    min_level: int,
+    max_level: int,
+    geobox_cache=None,
+):
+    """Classification rows for one region — shared by the driver path and
+    the distributed mapInPandas path.  Emits tuples
+    ``(kind, level, ax, ay, region_id, l, b, r, t)`` with kind 0=rect
+    candidate (ax/ay = tile), 1=full subcell, 2=boundary subcell."""
+    mp = unpack_multipolygon(blob)
+    rect = detect_axis_rect(mp)
+    out = []
+    if rect is not None:
+        l, b, r, t = rect
+        for (tx, ty), _ in grid.tiles_from_geopolygon(mp, geobox_cache=geobox_cache):
+            out.append((0, 0, int(tx), int(ty), rid, l, b, r, t))
+        return out, False
+    level = _pick_level_for(mp, base, target_cells, min_level, max_level)
+    h = base / (1 << level)
+    full, bnd = classify_subcells(mp, ox, oy, h)
+    out.extend((1, level, int(cx), int(cy), rid, 0.0, 0.0, 0.0, 0.0) for cx, cy in full)
+    out.extend((2, level, int(cx), int(cy), rid, 0.0, 0.0, 0.0, 0.0) for cx, cy in bnd)
+    return out, True
 
 
 class PipIndex:
@@ -53,12 +97,19 @@ class PipIndex:
     MIN_LEVEL = 2
     MAX_LEVEL = 8
 
+    # above this many regions, classification (bbox→tiles enumeration +
+    # subcell supercover) moves off the driver into a one-off distributed
+    # mapInPandas job; the resulting candidate tables are broadcast either
+    # way (they must be: they're the small side of the PIP join)
+    DISTRIBUTED_CLASSIFY_THRESHOLD = 10_000
+
     def __init__(
         self,
         spark,
         regions_df: DataFrame,
         grid: GridSpec,
         target_cells_per_axis: int = 48,
+        distributed_classify: Optional[bool] = None,
     ):
         import math as _math
 
@@ -81,57 +132,120 @@ class PipIndex:
 
         collected = regions_df.select("region_id", "geom").collect()
         self.geom_map: Dict[int, bytes] = {int(r["region_id"]): bytes(r["geom"]) for r in collected}
+        if distributed_classify is None:
+            distributed_classify = len(collected) > self.DISTRIBUTED_CLASSIFY_THRESHOLD
 
-        rect_rows: List[tuple] = []
-        # level -> (full rows, boundary rows)
-        by_level: Dict[int, Tuple[List[tuple], List[tuple]]] = {}
-        generic_geoms: Dict[int, bytes] = {}
-        cache: Dict = {}
-
-        for rid, blob in self.geom_map.items():
-            mp = unpack_multipolygon(blob)
-            rect = detect_axis_rect(mp)
-            if rect is not None:
-                l, b, r, t = rect
-                for (tx, ty), _ in grid.tiles_from_geopolygon(mp, geobox_cache=cache):
-                    rect_rows.append((int(tx), int(ty), rid, l, b, r, t))
-            else:
-                generic_geoms[rid] = blob
-                level = self._pick_level(mp)
-                h = self._base / (1 << level)
-                full, bnd = classify_subcells(mp, self.ox, self.oy, h)
-                fr, br = by_level.setdefault(level, ([], []))
-                fr.extend((int(cx), int(cy), rid) for cx, cy in full)
-                br.extend((int(cx), int(cy), rid) for cx, cy in bnd)
-
-        self.rect_candidates = (
-            spark.createDataFrame(
-                rect_rows,
-                "tile_x INT, tile_y INT, region_id INT, r_left DOUBLE, r_bottom DOUBLE, r_right DOUBLE, r_top DOUBLE",
-            )
-            if rect_rows
-            else None
-        )
-        # per-level classification tables
         self.levels: Dict[int, Tuple[Optional[DataFrame], Optional[DataFrame]]] = {}
-        for level, (fr, br) in by_level.items():
-            fdf = spark.createDataFrame(fr, "sc_x LONG, sc_y LONG, region_id INT") if fr else None
-            bdf = spark.createDataFrame(br, "sc_x LONG, sc_y LONG, region_id INT") if br else None
-            self.levels[level] = (fdf, bdf)
+        if distributed_classify:
+            classified, generic_ids = self._classify_on_executors(spark, regions_df)
+            rect = classified.where(F.col("kind") == 0).select(
+                F.col("ax").cast("int").alias("tile_x"),
+                F.col("ay").cast("int").alias("tile_y"),
+                "region_id",
+                F.col("l").alias("r_left"), F.col("b").alias("r_bottom"),
+                F.col("r").alias("r_right"), F.col("t").alias("r_top"),
+            )
+            self.rect_candidates = rect if len(rect.take(1)) else None
+            # distinct (kind, level) pairs are tiny — the per-level tables
+            # themselves stay distributed (they are broadcast-join inputs)
+            kinds = {(int(x["kind"]), int(x["level"])) for x in classified.select("kind", "level").distinct().collect()}
+            for kind, level in sorted(kinds):
+                if kind == 0:
+                    continue
+                part = classified.where((F.col("kind") == kind) & (F.col("level") == level)).select(
+                    F.col("ax").alias("sc_x"), F.col("ay").alias("sc_y"), "region_id"
+                )
+                fdf, bdf = self.levels.get(level, (None, None))
+                if kind == 1:
+                    fdf = part
+                else:
+                    bdf = part
+                self.levels[level] = (fdf, bdf)
+        else:
+            rows: List[tuple] = []
+            generic_ids = set()
+            cache: Dict = {}
+            for rid, blob in self.geom_map.items():
+                r_rows, is_generic = _classify_region(
+                    rid, blob, grid, self._base, self.ox, self.oy,
+                    self.target_cells, self.MIN_LEVEL, self.MAX_LEVEL, geobox_cache=cache,
+                )
+                rows.extend(r_rows)
+                if is_generic:
+                    generic_ids.add(rid)
+
+            rect_rows: List[tuple] = []
+            by_level: Dict[int, Tuple[List[tuple], List[tuple]]] = {}
+            for kind, level, ax, ay, rid, l, b, r, t in rows:
+                if kind == 0:
+                    rect_rows.append((ax, ay, rid, l, b, r, t))
+                else:
+                    fr, br = by_level.setdefault(level, ([], []))
+                    (fr if kind == 1 else br).append((ax, ay, rid))
+            self.rect_candidates = (
+                spark.createDataFrame(
+                    rect_rows,
+                    "tile_x INT, tile_y INT, region_id INT, r_left DOUBLE, r_bottom DOUBLE, r_right DOUBLE, r_top DOUBLE",
+                )
+                if rect_rows
+                else None
+            )
+            for level, (fr, br) in by_level.items():
+                fdf = spark.createDataFrame(fr, "sc_x LONG, sc_y LONG, region_id INT") if fr else None
+                bdf = spark.createDataFrame(br, "sc_x LONG, sc_y LONG, region_id INT") if br else None
+                self.levels[level] = (fdf, bdf)
+
+        generic_geoms = {rid: self.geom_map[rid] for rid in generic_ids}
         self._bc_geoms = spark.sparkContext.broadcast(generic_geoms) if generic_geoms else None
 
     def _pick_level(self, mp) -> int:
-        """Finest level whose lattice keeps the region's bbox within
-        ~target_cells_per_axis subcells per axis."""
-        import math as _math
+        return _pick_level_for(mp, self._base, self.target_cells, self.MIN_LEVEL, self.MAX_LEVEL)
 
-        from ..geom.polygon import multipolygon_bbox
+    def _classify_on_executors(self, spark, regions_df: DataFrame):
+        """One-off distributed classification job: the per-region
+        supercover runs on executors; the candidate tables stay
+        DISTRIBUTED (localCheckpoint materializes them once) — the driver
+        only collects the tiny (kind, level) distinct set and the generic
+        region ids, never the candidate rows themselves."""
+        grid = self.grid
+        base, ox, oy = self._base, self.ox, self.oy
+        target, min_l, max_l = self.target_cells, self.MIN_LEVEL, self.MAX_LEVEL
 
-        l, b, r, t = multipolygon_bbox(mp)
-        span = max(r - l, t - b, 1e-9)
-        ideal_h = span / self.target_cells
-        level = int(_math.floor(_math.log2(self._base / ideal_h)))
-        return max(self.MIN_LEVEL, min(self.MAX_LEVEL, level))
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: Dict = {}
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples():
+                    r_rows, is_generic = _classify_region(
+                        int(r.region_id), bytes(r.geom), grid, base, ox, oy,
+                        target, min_l, max_l, geobox_cache=cache,
+                    )
+                    out.extend(
+                        (k, lv, ax, ay, rid, l, b, rr, t, is_generic)
+                        for k, lv, ax, ay, rid, l, b, rr, t in r_rows
+                    )
+                if out:
+                    yield pd.DataFrame(
+                        out,
+                        columns=["kind", "level", "ax", "ay", "region_id", "l", "b", "r", "t", "generic"],
+                    )
+
+        schema = (
+            "kind INT, level INT, ax LONG, ay LONG, region_id INT, "
+            "l DOUBLE, b DOUBLE, r DOUBLE, t DOUBLE, generic BOOLEAN"
+        )
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+        classified = (
+            regions_df.select("region_id", "geom")
+            .repartition(n_parts)
+            .mapInPandas(kernel, schema=schema)
+            .localCheckpoint(eager=True)
+        )
+        generic_ids = {
+            int(x["region_id"])
+            for x in classified.where(F.col("generic")).select("region_id").distinct().collect()
+        }
+        return classified, generic_ids
 
     # -- column helpers ----------------------------------------------------
 

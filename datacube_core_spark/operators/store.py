@@ -1,0 +1,251 @@
+"""Dataset mutation surface: add / update / archive / restore / purge.
+
+Mirrors the reference's index write API (``datacube/index/abstract.py``:
+``add`` :828, ``update`` :861, ``archive`` :895, ``restore`` :989,
+``purge`` :1004-ish; archived-IS-NULL read semantics at
+``drivers/postgres/_api.py:545``) against a columnar lake layout.
+
+Design (Spark-first, no in-place updates): an **event-sourced append-only
+log**.  Every mutation appends rows ``(payload..., _seq, _op,
+_archived)``; the current state of a dataset is its highest-``_seq``
+event ("last writer wins" — exactly an Iceberg MoR position-delete /
+upsert snapshot chain, expressed as parquet appends in this sandbox).
+Reads resolve state with one window (max-seq per id), then apply the
+implicit ``archived IS NULL`` filter.  Nothing is rewritten: `archive`
+appends a tombstone-with-timestamp, `restore` appends a clear, `purge`
+appends a hard tombstone that drops the id from every read (a real
+catalog would also vacuum the data files; the log keeps the audit trail
+the reference keeps in Postgres).
+
+Scale notes: appends are blind writes (no read-modify-write); state
+resolution is one hash-shuffle by id, and a periodic compaction job
+(``compact()``) rewrites the log to its current state to bound read
+amplification — the Iceberg ``rewrite_data_files`` analog.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+OPS = ("add", "update", "archive", "restore", "purge")
+
+
+class DatasetStore:
+    def __init__(self, spark: SparkSession, base_path: str, id_col: str = "id"):
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+        self.id_col = id_col
+        self.log_path = f"{self.base}/dataset_log"
+        self._seq = int(time.time() * 1_000_000)
+
+    # -- internals ----------------------------------------------------------
+
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def _log(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.log_path):
+            return None
+        try:
+            return self.spark.read.parquet(self.log_path)
+        except Exception:
+            return None
+
+    def _append(self, df: DataFrame, op: str, archived_ts=None) -> None:
+        seq = self._next_seq()
+        out = (
+            df.withColumn("_seq", F.lit(seq))
+            .withColumn("_op", F.lit(op))
+            .withColumn("_archived", F.lit(archived_ts).cast("timestamp"))
+        )
+        out.write.mode("append").parquet(self.log_path)
+
+    def _ids_df(self, ids: Iterable) -> DataFrame:
+        rows = [(i,) for i in ids]
+        return self.spark.createDataFrame(rows, f"{self.id_col} LONG")
+
+    def _state(self) -> Optional[DataFrame]:
+        """Last event per id (purge events included)."""
+        log = self._log()
+        if log is None:
+            return None
+        w = Window.partitionBy(self.id_col).orderBy(F.col("_seq").desc())
+        return log.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+    # -- read side -----------------------------------------------------------
+
+    def current(self, include_archived: bool = False) -> DataFrame:
+        """Live dataset rows; implicit ``archived IS NULL`` unless
+        ``include_archived`` (then `_archived` carries the timestamp)."""
+        st = self._state()
+        if st is None:
+            raise ValueError("empty store: nothing added yet")
+        live = st.where(F.col("_op") != "purge")
+        if not include_archived:
+            live = live.where(F.col("_archived").isNull())
+        return live.drop("_seq", "_op")
+
+    def has(self, dataset_id) -> bool:
+        return self.bulk_has([dataset_id])[0]
+
+    def bulk_has(self, ids: Iterable) -> list:
+        st = self._state()
+        ids = list(ids)
+        if st is None:
+            return [False] * len(ids)
+        present = {
+            r[self.id_col]
+            for r in st.where(F.col("_op") != "purge")
+            .join(F.broadcast(self._ids_df(ids)), on=self.id_col, how="left_semi")
+            .select(self.id_col)
+            .collect()
+        }
+        return [i in present for i in ids]
+
+    # -- write side ----------------------------------------------------------
+
+    def add(self, df: DataFrame, skip_existing: bool = False) -> int:
+        """Insert new datasets; re-adding an existing id raises (the
+        reference logs-and-skips with ``add``'s duplicate check) unless
+        ``skip_existing``.  Returns rows added."""
+        st = self._state()
+        if st is not None:
+            existing = st.where(F.col("_op") != "purge").select(self.id_col)
+            clash = df.join(existing, on=self.id_col, how="left_semi")
+            if skip_existing:
+                df = df.join(existing, on=self.id_col, how="left_anti")
+            else:
+                first = clash.limit(1).collect()
+                if first:
+                    raise ValueError(f"dataset already exists: {first[0][self.id_col]}")
+        n = df.count()
+        if n:
+            self._append(df, "add")
+        return n
+
+    def update(self, df: DataFrame) -> int:
+        """Replace payload of EXISTING datasets (reference ``update``
+        :861 — updating a missing dataset is an error)."""
+        st = self._state()
+        missing = None
+        if st is None:
+            missing = df.limit(1).collect()
+        else:
+            existing = st.where(F.col("_op") != "purge").select(self.id_col)
+            missing = df.join(existing, on=self.id_col, how="left_anti").limit(1).collect()
+        if missing:
+            raise ValueError(f"cannot update missing dataset: {missing[0][self.id_col]}")
+        n = df.count()
+        if n:
+            self._append(df, "update")
+        return n
+
+    def _payload_for(self, ids_df: DataFrame) -> DataFrame:
+        st = self._state()
+        if st is None:
+            return ids_df.limit(0)
+        return (
+            st.where(F.col("_op") != "purge")
+            .join(F.broadcast(ids_df), on=self.id_col, how="left_semi")
+            .drop("_seq", "_op", "_archived")
+        )
+
+    def archive(self, ids: Iterable) -> int:
+        """Soft-delete: mark archived with the current timestamp
+        (reference ``archive`` :895)."""
+        rows = self._payload_for(self._ids_df(ids))
+        n = rows.count()
+        if n:
+            seq = self._next_seq()
+            out = (
+                rows.withColumn("_seq", F.lit(seq))
+                .withColumn("_op", F.lit("archive"))
+                .withColumn("_archived", F.current_timestamp())
+            )
+            out.write.mode("append").parquet(self.log_path)
+        return n
+
+    def restore(self, ids: Iterable) -> int:
+        """Clear the archived mark (reference ``restore`` :989)."""
+        rows = self._payload_for(self._ids_df(ids))
+        n = rows.count()
+        if n:
+            self._append(rows, "restore")
+        return n
+
+    def purge(self, ids: Iterable, allow_non_archived: bool = False) -> int:
+        """Hard-delete from every read.  Only archived datasets may be
+        purged unless ``allow_non_archived`` (reference purge contract)."""
+        ids_df = self._ids_df(ids)
+        st = self._state()
+        if st is None:
+            return 0
+        targets = st.where(F.col("_op") != "purge").join(
+            F.broadcast(ids_df), on=self.id_col, how="left_semi"
+        )
+        if not allow_non_archived:
+            bad = targets.where(F.col("_archived").isNull()).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"cannot purge non-archived dataset {bad[0][self.id_col]} "
+                    "(pass allow_non_archived=True to force)"
+                )
+        rows = targets.drop("_seq", "_op", "_archived")
+        n = rows.count()
+        if n:
+            self._append(rows, "purge")
+        return n
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self) -> int:
+        """Rewrite the log to current state only (drops superseded events
+        and purged ids) — the Iceberg rewrite_data_files analog.  Returns
+        surviving row count."""
+        st = self._state()
+        if st is None:
+            return 0
+        live = st.where(F.col("_op") != "purge")
+        tmp = f"{self.log_path}.compacting"
+        live.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        import shutil
+
+        shutil.rmtree(self.log_path)
+        os.rename(tmp, self.log_path)
+        return n
+
+    # -- dedup-on-arrival integration ----------------------------------------
+
+    def archive_less_mature_after_add(
+        self,
+        match_fields,
+        ts_col: str,
+        maturity_col: str,
+        leniency_ms: int = 500,
+    ) -> int:
+        """The reference's add-then-``archive_less_mature`` flow
+        (``index/abstract.py:902-916``): scan current live rows, cluster
+        by the leniency rule, archive everything but each cluster's most
+        mature row.  Returns #archived."""
+        from .dupes import archive_less_mature
+
+        live = self.current()
+        flagged = archive_less_mature(
+            live,
+            match_fields,
+            ts_col=ts_col,
+            leniency_ms=leniency_ms,
+            id_col=self.id_col,
+            maturity_col=maturity_col,
+        )
+        ids = [r[self.id_col] for r in flagged.where(F.col("archived")).select(self.id_col).collect()]
+        if not ids:
+            return 0
+        return self.archive(ids)

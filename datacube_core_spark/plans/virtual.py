@@ -64,17 +64,28 @@ class Transform(VirtualProduct):
 
 class Collate(VirtualProduct):
     """Union-all of same-schema children stacked along time; optional
-    provenance column records which child produced each row."""
+    provenance column records which child produced each row.
+
+    The reference sorts the concatenated result along time
+    (``virtual/impl.py:617,663``) — but it sorts an in-memory xarray; at
+    scale a collate-then-aggregate plan must NOT pay a global
+    range-partition sort for ordering the consumer never uses.  So the
+    sort is OPT-IN (``sort=True``); the default plan is a pure union with
+    no exchange.  Consumers that need per-group order (the fuser) already
+    sort within their own window/aggregation.
+    """
 
     def __init__(
         self,
         children: Sequence[VirtualProduct],
         index_measurement_name: Optional[str] = None,
         time_col: str = "time",
+        sort: bool = False,
     ):
         self.children = list(children)
         self.index_name = index_measurement_name
         self.time_col = time_col
+        self.sort = sort
 
     def build(self, spark, sf_dir):
         dfs = [c.build(spark, sf_dir) for c in self.children]
@@ -87,7 +98,7 @@ class Collate(VirtualProduct):
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        if self.time_col in out.columns:
+        if self.sort and self.time_col in out.columns:
             out = out.orderBy(self.time_col)
         return out
 

@@ -1,0 +1,134 @@
+"""Exact polygon union/intersection: golden shapes + hypothesis properties."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datacube_core_spark.geom.boolean import (
+    multipolygon_area,
+    unary_intersection,
+    unary_union,
+)
+from datacube_core_spark.geom.polygon import box_ring, points_strictly_inside_multi
+
+
+def _box(l, b, r, t):
+    return [[box_ring(l, b, r, t)]]
+
+
+def _pts_inside(mp, pts):
+    xs = np.array([p[0] for p in pts], dtype=np.float64)
+    ys = np.array([p[1] for p in pts], dtype=np.float64)
+    return points_strictly_inside_multi(xs, ys, mp).tolist()
+
+
+def test_union_disjoint_is_multipolygon():
+    u = unary_union([_box(0, 0, 1, 1), _box(5, 5, 6, 6)])
+    assert len(u) == 2
+    assert multipolygon_area(u) == pytest.approx(2.0)
+
+
+def test_union_adjacent_rects_merges_shared_edge():
+    # two rects sharing an edge -> one rect, no interior edge
+    u = unary_union([_box(0, 0, 1, 1), _box(1, 0, 2, 1)])
+    assert len(u) == 1 and len(u[0]) == 1
+    assert multipolygon_area(u) == pytest.approx(2.0)
+    assert _pts_inside(u, [(0.5, 0.5), (1.5, 0.5), (1.0, 0.5)]) == [True, True, True]
+
+
+def test_union_overlapping_squares():
+    u = unary_union([_box(0, 0, 2, 2), _box(1, 1, 3, 3)])
+    assert multipolygon_area(u) == pytest.approx(4 + 4 - 1)
+    assert _pts_inside(u, [(0.5, 0.5), (2.5, 2.5), (1.5, 1.5), (2.5, 0.5)]) == [
+        True, True, True, False,
+    ]
+
+
+def test_union_cross_shape():
+    u = unary_union([_box(-3, -1, 3, 1), _box(-1, -3, 1, 3)])
+    assert multipolygon_area(u) == pytest.approx(12 + 12 - 4)
+    assert len(u) == 1
+
+
+def test_union_ring_of_squares_creates_hole():
+    # 8 unit squares forming a ring around an empty 1x1 center
+    boxes = []
+    for i in (0, 1, 2):
+        for j in (0, 1, 2):
+            if (i, j) != (1, 1):
+                boxes.append(_box(i, j, i + 1, j + 1))
+    u = unary_union(boxes)
+    assert len(u) == 1
+    assert len(u[0]) == 2  # shell + hole
+    assert multipolygon_area(u) == pytest.approx(8.0)
+    assert _pts_inside(u, [(1.5, 1.5), (0.5, 0.5)]) == [False, True]
+
+
+def test_union_contained_is_absorbed():
+    u = unary_union([_box(0, 0, 10, 10), _box(2, 2, 3, 3)])
+    assert len(u) == 1 and len(u[0]) == 1
+    assert multipolygon_area(u) == pytest.approx(100.0)
+
+
+def test_union_with_holes_in_input():
+    donut = [[box_ring(0, 0, 4, 4), box_ring(1, 1, 3, 3)]]
+    plug = _box(1, 1, 3, 3)
+    u = unary_union([donut, plug])
+    assert multipolygon_area(u) == pytest.approx(16.0)
+    assert _pts_inside(u, [(2.0, 2.0)]) == [True]
+
+
+def test_intersection_rects():
+    x = unary_intersection([_box(0, 0, 2, 2), _box(1, 1, 3, 3)])
+    assert multipolygon_area(x) == pytest.approx(1.0)
+    assert _pts_inside(x, [(1.5, 1.5), (0.5, 0.5)]) == [True, False]
+
+
+def test_intersection_disjoint_is_empty():
+    x = unary_intersection([_box(0, 0, 1, 1), _box(5, 5, 6, 6)])
+    assert multipolygon_area(x) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_union_patchwork_row_equals_strip():
+    # a full row of the region patchwork unions into one strip
+    from datacube_core_spark.sources.regions import region_multipolygons
+
+    mps = [mp for rid, mp in region_multipolygons().items() if rid < 24]
+    u = unary_union(mps)
+    assert len(u) == 1 and len(u[0]) == 1
+    assert multipolygon_area(u) == pytest.approx(360.0 * 17.0)
+
+
+rect_st = st.tuples(
+    st.integers(-20, 20), st.integers(-20, 20), st.integers(1, 15), st.integers(1, 15)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rect_st, rect_st)
+def test_union_area_inclusion_exclusion(r1, r2):
+    """area(A ∪ B) = area(A) + area(B) − area(A ∩ B) for random int rects."""
+    a = _box(r1[0], r1[1], r1[0] + r1[2], r1[1] + r1[3])
+    b = _box(r2[0], r2[1], r2[0] + r2[2], r2[1] + r2[3])
+    il = max(r1[0], r2[0]); ib = max(r1[1], r2[1])
+    ir = min(r1[0] + r1[2], r2[0] + r2[2]); it = min(r1[1] + r1[3], r2[1] + r2[3])
+    inter = max(0, ir - il) * max(0, it - ib)
+    exp = r1[2] * r1[3] + r2[2] * r2[3] - inter
+    u = unary_union([a, b])
+    assert multipolygon_area(u) == pytest.approx(exp, rel=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rect_st, rect_st, st.integers(0, 10_000))
+def test_union_membership_pointwise(r1, r2, seed):
+    """Random points agree: inside(union) == inside(A) or inside(B)."""
+    a = _box(r1[0], r1[1], r1[0] + r1[2], r1[1] + r1[3])
+    b = _box(r2[0], r2[1], r2[0] + r2[2], r2[1] + r2[3])
+    u = unary_union([a, b])
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(-25, 40, 64)
+    ys = rng.uniform(-25, 40, 64)
+    got = points_strictly_inside_multi(xs, ys, u)
+    exp = points_strictly_inside_multi(xs, ys, a) | points_strictly_inside_multi(xs, ys, b)
+    np.testing.assert_array_equal(got, exp)

@@ -125,3 +125,47 @@ def test_pip_index_rejects_rectangular_tiles(spark):
     rect_grid = GridSpec(crs="EPSG:4326", tile_size=(6.0, 4.0), resolution=(-0.05, 0.05), origin=(-90.0, -180.0))
     with _pytest.raises(ValueError, match="tile_size"):
         PipIndex(spark, regions(spark), rect_grid)
+
+
+def test_pip_index_distributed_classify_parity(spark):
+    """Forcing classification onto executors must produce identical index
+    structures (rect candidates, per-level full/boundary subcell sets) and
+    identical join output."""
+    from datacube_core_spark.operators.pip import PipIndex
+    from datacube_core_spark.sources.regions import regions, regions_complex
+    from datacube_core_spark.geom.polygon import pack_multipolygon
+
+    # mix the rect patchwork with the hard shapes (generic polygons)
+    regs = regions(spark)
+    extra = [
+        (1000 + i, name, 0.0, 0.0, 0.0, 0.0, bytearray(pack_multipolygon(mp)))
+        for i, (name, mp) in enumerate(sorted(regions_complex().items()))
+    ]
+    extra_df = spark.createDataFrame(
+        extra, "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY"
+    )
+    regs = regs.unionByName(extra_df)
+
+    idx_d = PipIndex(spark, regs, GRID_PAGES, distributed_classify=False)
+    idx_x = PipIndex(spark, regs, GRID_PAGES, distributed_classify=True)
+
+    def snap(idx):
+        rect = (
+            frozenset(map(tuple, idx.rect_candidates.collect()))
+            if idx.rect_candidates is not None else frozenset()
+        )
+        levels = {}
+        for lv, (f, b) in idx.levels.items():
+            levels[lv] = (
+                frozenset(map(tuple, f.collect())) if f is not None else frozenset(),
+                frozenset(map(tuple, b.collect())) if b is not None else frozenset(),
+            )
+        return rect, levels
+
+    assert snap(idx_d) == snap(idx_x)
+
+    from datacube_core_spark.sources.pages import pages
+    p = pages(spark, SF_TINY)
+    out_d = {tuple(r) for r in idx_d.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    out_x = {tuple(r) for r in idx_x.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    assert out_d == out_x and len(out_d) > 0

@@ -142,3 +142,29 @@ def test_archive_less_mature_strict_raises_on_tie(spark):
     out = {int(r["doc_id"]): bool(r["archived"]) for r in
            archive_less_mature(df, ["key"], maturity_col="maturity").collect()}
     assert out == {1: False, 2: True}
+
+
+def test_lineage_paths_diamond_enumerates_all_paths(spark):
+    """Diamond provenance: the reference's UNION ALL CTE emits one row per
+    distinct PATH, not per node — both routes to the shared grandparent
+    must appear with their own classifier paths."""
+    from datacube_core_spark.operators.lineage import lineage_paths
+
+    # 10 -> {5 via 'a', 6 via 'b'}; 5 -> 1 via 'x'; 6 -> 1 via 'y'
+    edges = spark.createDataFrame(
+        [(10, 5, "a"), (10, 6, "b"), (5, 1, "x"), (6, 1, "y")],
+        "dataset_id LONG, source_id LONG, classifier STRING",
+    )
+    roots = spark.createDataFrame([(10,)], "dataset_id LONG")
+    out = {(int(r["node"]), r["path"]) for r in lineage_paths(edges, roots).collect()}
+    assert out == {(5, "a"), (6, "b"), (1, "a.x"), (1, "b.y")}
+
+    # source_filter restricts on dataset attributes
+    ds = spark.createDataFrame([(5, "keep"), (6, "drop"), (1, "keep")], "doc_id LONG, tag STRING")
+    filt = {
+        (int(r["node"]), r["path"])
+        for r in lineage_paths(
+            edges, roots, source_filter=F.col("tag") == "keep", datasets=ds
+        ).collect()
+    }
+    assert filt == {(5, "a"), (1, "a.x"), (1, "b.y")}

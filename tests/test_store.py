@@ -1,0 +1,84 @@
+"""Dataset mutation surface: CRUD round-trip, purge guard, event-log
+semantics, compaction, archive_less_mature-after-add integration."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.operators.store import DatasetStore
+
+
+def _rows(spark, specs):
+    return spark.createDataFrame(specs, "id LONG, key STRING, ts TIMESTAMP, maturity STRING")
+
+
+T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def test_crud_roundtrip(spark, tmp_path):
+    st = DatasetStore(spark, str(tmp_path / "cat"))
+    st.add(_rows(spark, [(1, "a", T0, "final"), (2, "b", T0, "final")]))
+    assert st.bulk_has([1, 2, 3]) == [True, True, False]
+    assert st.current().count() == 2
+
+    # re-add raises; skip_existing skips
+    with pytest.raises(ValueError, match="already exists"):
+        st.add(_rows(spark, [(1, "a", T0, "final")]))
+    assert st.add(_rows(spark, [(1, "a", T0, "final"), (3, "c", T0, "nrt")]), skip_existing=True) == 1
+    assert st.current().count() == 3
+
+    # update replaces payload; updating a missing id raises
+    st.update(_rows(spark, [(2, "b2", T0, "final")]))
+    assert st.current().where(F.col("id") == 2).collect()[0]["key"] == "b2"
+    with pytest.raises(ValueError, match="missing"):
+        st.update(_rows(spark, [(99, "x", T0, "final")]))
+
+    # archive hides from default reads, visible with include_archived
+    st.archive([2])
+    assert sorted(r["id"] for r in st.current().collect()) == [1, 3]
+    arch = st.current(include_archived=True).where(F.col("id") == 2).collect()[0]
+    assert arch["_archived"] is not None
+
+    # restore brings it back with payload intact
+    st.restore([2])
+    back = st.current().where(F.col("id") == 2).collect()[0]
+    assert back["key"] == "b2" and back["_archived"] is None
+
+    # purge guard: non-archived raises, archived purges, force overrides
+    with pytest.raises(ValueError, match="non-archived"):
+        st.purge([3])
+    st.archive([3])
+    st.purge([3])
+    assert st.bulk_has([3]) == [False]
+    assert sorted(r["id"] for r in st.current().collect()) == [1, 2]
+    st.purge([1], allow_non_archived=True)
+    assert sorted(r["id"] for r in st.current().collect()) == [2]
+
+    # compaction preserves state
+    n = st.compact()
+    assert n >= 1
+    assert sorted(r["id"] for r in st.current().collect()) == [2]
+    assert st.current().where(F.col("id") == 2).collect()[0]["key"] == "b2"
+
+
+def test_archive_less_mature_after_add(spark, tmp_path):
+    """The reference add-flow: an nrt row arrives first, its final twin
+    arrives 200ms later within leniency — the nrt one gets archived."""
+    st = DatasetStore(spark, str(tmp_path / "cat2"))
+    st.add(_rows(spark, [(10, "k1", T0, "nrt")]))
+    st.add(
+        _rows(
+            spark,
+            [
+                (11, "k1", T0 + datetime.timedelta(milliseconds=200), "final"),
+                (12, "k2", T0, "final"),
+            ],
+        )
+    )
+    n = st.archive_less_mature_after_add(["key"], ts_col="ts", maturity_col="maturity")
+    assert n == 1
+    live = sorted(r["id"] for r in st.current().collect())
+    assert live == [11, 12]  # the final version survives, nrt archived
+    gone = st.current(include_archived=True).where(F.col("id") == 10).collect()[0]
+    assert gone["_archived"] is not None

@@ -86,6 +86,22 @@ def test_collate_provenance_and_schema_check(spark):
         Collate([a, bad]).build(spark, SF_TINY)
 
 
+def test_collate_default_plan_has_no_global_sort(spark):
+    """Scale guard: collate of two products must be a pure union — no
+    Sort / range-partition Exchange unless sort=True is requested."""
+    a = Product(lambda s, d: pages(s, d).where(F.col("doc_id") % 2 == 0).select("doc_id", "warc_ts"))
+    b = Product(lambda s, d: pages(s, d).where(F.col("doc_id") % 2 == 1).select("doc_id", "warc_ts"))
+    out = Collate([a, b], time_col="warc_ts").build(spark, SF_TINY)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "rangepartitioning" not in plan.lower()
+
+    sorted_out = Collate([a, b], time_col="warc_ts", sort=True).build(spark, SF_TINY)
+    plan2 = sorted_out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan2.lower()
+    ts = [r["warc_ts"] for r in sorted_out.collect()]
+    assert ts == sorted(ts)
+
+
 def test_juxtapose_collision_error(spark):
     a = Product(lambda s, d: pages(s, d).select("doc_id", F.col("lon").alias("m1")))
     b = Product(lambda s, d: pages(s, d).select("doc_id", F.col("lat").alias("m2")))
