@@ -165,7 +165,16 @@ def _boolean_boundary(mps: Sequence[MultiPolygon], keep: Callable[[np.ndarray], 
         1e-9,
     )
     tol = span * 1e-12
-    eps = span * 1e-7
+    # classification offset: far above FP noise in the crossing tests
+    # (~1e-16·span) yet below the curve separation near shallow/tangent
+    # crossings of all but microscopic fragments — tangent-curve inputs
+    # (buffer discs) separate quadratically, ≈ (L/2)²/2R at a fragment of
+    # length L, so 1e-11·span stays correct down to L ≈ 1e-5·span
+    eps = span * 1e-11
+    # snap-bridge radius for the walk: a misclassified microscopic
+    # fragment leaves a gap of its own length; bound the repair well
+    # below any legitimate feature size
+    bridge = span * 1e-3
     frags = _fragments(segs, tol)
 
     # coincident fragments (identical or opposite-direction copies of the
@@ -190,10 +199,13 @@ def _boolean_boundary(mps: Sequence[MultiPolygon], keep: Callable[[np.ndarray], 
     dx = f[:, 2] - f[:, 0]
     dy = f[:, 3] - f[:, 1]
     ln = np.hypot(dx, dy)
-    # left normal of direction (dx, dy)
+    # left normal of direction (dx, dy); per-fragment eps capped by the
+    # fragment length so short fragments near shallow crossings sample
+    # close to themselves (tangent-curve inputs, e.g. buffer discs)
+    feps = np.minimum(eps, 0.25 * ln)
     nx, ny = -dy / ln, dx / ln
-    lx, ly = mx + nx * eps, my + ny * eps
-    rx, ry = mx - nx * eps, my - ny * eps
+    lx, ly = mx + nx * feps, my + ny * feps
+    rx, ry = mx - nx * feps, my - ny * feps
     in_l = keep(_inside_counts(lx, ly, mps))
     in_r = keep(_inside_counts(rx, ry, mps))
     boundary = in_l != in_r
@@ -226,6 +238,21 @@ def _boolean_boundary(mps: Sequence[MultiPolygon], keep: Callable[[np.ndarray], 
                 break
             cands = [i for i in outgoing.get(k, []) if not used[i]]
             if not cands:
+                # snap-bridge: tangent-curve inputs can lose a tiny
+                # fragment to misclassification, leaving a sub-eps gap;
+                # continue from the nearest unused start (or close the
+                # ring if the start point itself is within the snap)
+                ex, ey = f[cur, 2], f[cur, 3]
+                if np.hypot(ex - f[start, 0], ey - f[start, 1]) <= bridge and len(pts) >= 3:
+                    closed = True
+                    break
+                dists = np.hypot(f[:, 0] - ex, f[:, 1] - ey)
+                dists[used] = np.inf
+                j = int(np.argmin(dists))
+                if np.isfinite(dists[j]) and dists[j] <= bridge:
+                    used[j] = True
+                    cur = j
+                    continue
                 break  # open chain (numerical orphan) — drop it
             if len(cands) == 1:
                 nxt = cands[0]

@@ -8,9 +8,11 @@ needs is implemented directly:
 * envelope (bbox ring), boundary (the rings)
 * convex_hull (Andrew monotone chain)
 * simplify (Douglas–Peucker, ``tol`` in coordinate units)
-* buffer for axis-rectangles (exact) and convex polygons (edge offset +
-  miter; matches shapely's JOIN_STYLE.mitre for convex inputs) — general
-  concave buffering needs a full polygon-offset library and raises.
+* buffer for axis-rectangles (exact), convex polygons (edge offset +
+  miter; matches shapely's JOIN_STYLE.mitre for convex inputs), and
+  CONCAVE polygons (Minkowski-sum decomposition — edge bands + vertex
+  discs — resolved by the exact union in ``geom.boolean``; round joins,
+  shapely's quad_segs disc approximation).
 * segmented / densify — max-segment-length vertex insertion (reference
   ``segmented``/``densify`` at ``_base.py:627-648,422-444``).
 """
@@ -143,7 +145,8 @@ def is_convex(ring: Ring) -> bool:
 
 def buffer_polygon(poly: Polygon, dist: float) -> Polygon:
     """Outward buffer: exact for axis-rects; miter edge-offset for convex
-    rings; concave input raises (needs a polygon-offset library)."""
+    rings; concave input routes through the Minkowski-union path (round
+    joins)."""
     ring = as_ring(poly[0])
     if len(poly) > 1:
         raise NotImplementedError("buffering polygons with holes is not supported")
@@ -152,7 +155,12 @@ def buffer_polygon(poly: Polygon, dist: float) -> Polygon:
     if len(ring) == 4 and len(xs) == 2 and len(ys) == 2:
         return [box_ring(xs[0] - dist, ys[0] - dist, xs[1] + dist, ys[1] + dist)]
     if not is_convex(ring):
-        raise NotImplementedError("concave buffering requires a polygon-offset library")
+        # concave path: Minkowski-sum decomposition resolved by the exact
+        # union machinery (see buffer_polygon_concave)
+        out = buffer_polygon_concave(poly, dist)
+        if len(out) != 1:
+            raise ValueError("concave buffer produced a multipolygon (disjoint input?)")
+        return out[0]
     # ensure CCW
     if ring_area(ring) < 0:
         ring = ring[::-1]
@@ -243,3 +251,49 @@ def to_crs_multipolygon(
             for poly in out
         ]
     return out
+
+
+def _disc_ring(cx: float, cy: float, r: float, segs: int = 32) -> Ring:
+    ang = np.linspace(0.0, 2.0 * np.pi, segs, endpoint=False)
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+def buffer_polygon_concave(poly: Polygon, dist: float, quad_segs: int = 8) -> MultiPolygon:
+    """Outward buffer of an arbitrary (possibly concave) simple polygon via
+    the Minkowski-sum decomposition: buffer(P, d) = P ∪ (one d-wide
+    rectangle per edge) ∪ (one d-radius disc per vertex), resolved with
+    the exact union (``geom.boolean.unary_union``).
+
+    Discs are regular ``4·quad_segs``-gons (shapely's quad_segs
+    convention — the reference's shapely ``buffer`` at ``_base.py:657``
+    uses the same polygonal approximation), circumscribed so the
+    approximation error is outward-only never inward.  Round joins.
+    """
+    from .boolean import unary_union
+
+    if dist <= 0:
+        raise NotImplementedError("negative/zero buffer distance not supported")
+    ring = as_ring(poly[0])
+    if len(poly) > 1:
+        raise NotImplementedError("buffering polygons with holes is not supported")
+    segs = 4 * quad_segs
+    # circumscribed radius so the polygonal disc CONTAINS the true disc
+    r_circ = dist / np.cos(np.pi / segs)
+    parts: List[MultiPolygon] = [[[ring]]]
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        d = b - a
+        ln = float(np.hypot(*d))
+        if ln == 0.0:
+            continue
+        nx, ny = d[1] / ln * dist, -d[0] / ln * dist  # right normal
+        quad = np.array(
+            [
+                [a[0] + nx, a[1] + ny], [b[0] + nx, b[1] + ny],
+                [b[0] - nx, b[1] - ny], [a[0] - nx, a[1] - ny],
+            ]
+        )
+        parts.append([[quad]])
+        parts.append([[_disc_ring(float(a[0]), float(a[1]), r_circ, segs)]])
+    return unary_union(parts)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -132,3 +133,26 @@ def test_union_membership_pointwise(r1, r2, seed):
     got = points_strictly_inside_multi(xs, ys, u)
     exp = points_strictly_inside_multi(xs, ys, a) | points_strictly_inside_multi(xs, ys, b)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_spatial_extent_union_operator(spark):
+    """Distributed ST_Union analog: the 24x10 region patchwork unions to
+    one strip per row, and globally to a single world rect."""
+    from datacube_core_spark.operators.extent import spatial_extent_union
+    from datacube_core_spark.geom.polygon import unpack_multipolygon
+    from datacube_core_spark.sources.regions import regions
+
+    regs = regions(spark).withColumn("row", (F.col("region_id") / 24).cast("int"))
+    per_row = spatial_extent_union(regs, geom_col="geom", group_cols=["row"])
+    rows = per_row.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["area"] == pytest.approx(360.0 * 17.0)
+        mp = unpack_multipolygon(bytes(r["extent"]))
+        assert len(mp) == 1 and len(mp[0]) == 1  # one hole-free strip
+        assert (r["left"], r["right"]) == (-180.0, 180.0)
+
+    world = spatial_extent_union(regs, geom_col="geom").collect()
+    assert len(world) == 1
+    assert world[0]["area"] == pytest.approx(360.0 * 170.0)
+    assert (world[0]["bottom"], world[0]["top"]) == (-85.0, 85.0)

@@ -77,9 +77,40 @@ def test_buffer_convex_miter():
             assert d > 0.49 or True  # miter corners exceed dist; inner edges == dist
     assert ring_area(buf) > ring_area(tri)
 
-    with pytest.raises(NotImplementedError):
-        ell = np.array([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)], dtype=float)
-        buffer_polygon([ell], 0.5)
+def test_buffer_concave_l_shape():
+    """Concave (L-shaped) buffer via the Minkowski-union path: contains
+    the original, every original vertex is ≥ dist inside, reflex corner
+    handled, and the area matches the exact Minkowski formula within the
+    disc-approximation tolerance."""
+    from datacube_core_spark.geom.polygon import polygon_area
+
+    ell = np.array([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)], dtype=float)
+    d = 0.5
+    buf = buffer_polygon([ell], d)
+    # strictly contains every original vertex
+    assert points_strictly_inside(ell[:, 0], ell[:, 1], buf).all()
+    # probe: near-boundary outside points stay outside
+    outside = np.array([(3.6, 0.5), (1.6, 1.6), (-0.6, -0.6)])
+    got = points_strictly_inside(outside[:, 0], outside[:, 1], buf)
+    assert got.tolist() == [False, False, False]
+    # inside the reflex notch within d of two edges -> inside the buffer
+    notch = np.array([(1.3, 1.3)])
+    assert points_strictly_inside(notch[:, 0], notch[:, 1], buf).all()
+    # area vs ground truth: integrate {p : dist(p, polygon) <= d} on a fine
+    # grid (distance 0 inside; else min distance to the edges)
+    gx, gy = np.meshgrid(np.linspace(-1, 4, 500), np.linspace(-1, 4, 500))
+    px, py = gx.ravel(), gy.ravel()
+    inside = points_strictly_inside(px, py, [ell])
+    dmin = np.full(px.shape, np.inf)
+    n = len(ell)
+    for i in range(n):
+        a, b = ell[i], ell[(i + 1) % n]
+        ab = b - a
+        t = np.clip(((px - a[0]) * ab[0] + (py - a[1]) * ab[1]) / (ab @ ab), 0, 1)
+        dmin = np.minimum(dmin, np.hypot(px - (a[0] + t * ab[0]), py - (a[1] + t * ab[1])))
+    truth = (inside | (dmin <= d)).mean() * 25.0  # cell area of the 5x5 window
+    area = polygon_area(buf)
+    assert area == pytest.approx(truth, rel=0.01)
 
 
 def test_segmented():
@@ -88,3 +119,29 @@ def test_segmented():
     assert len(out) == 16  # each 10-unit edge split into 4
     d = np.roll(out, -1, axis=0) - out
     assert np.hypot(d[:, 0], d[:, 1]).max() <= 2.5 + 1e-9
+
+
+def test_buffer_concave_star_tangencies():
+    """Regression: a 5-point star's buffer creates shallow disc/band
+    crossings whose microscopic fragments once broke the ring stitch
+    (classification eps vs quadratic tangency separation)."""
+    from datacube_core_spark.geom.polygon import polygon_area
+
+    ang = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+    rad = np.where(np.arange(10) % 2 == 0, 2.0, 0.8)
+    star = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    buf = buffer_polygon([star], 0.3)
+    assert points_strictly_inside(star[:, 0], star[:, 1], buf).all()
+    # grid-truth area within 1.5%
+    gx, gy = np.meshgrid(np.linspace(-2.5, 2.5, 400), np.linspace(-2.5, 2.5, 400))
+    px, py = gx.ravel(), gy.ravel()
+    inside = points_strictly_inside(px, py, [star])
+    dmin = np.full(px.shape, np.inf)
+    n = len(star)
+    for i in range(n):
+        a, b = star[i], star[(i + 1) % n]
+        ab = b - a
+        t = np.clip(((px - a[0]) * ab[0] + (py - a[1]) * ab[1]) / (ab @ ab), 0, 1)
+        dmin = np.minimum(dmin, np.hypot(px - (a[0] + t * ab[0]), py - (a[1] + t * ab[1])))
+    truth = (inside | (dmin <= 0.3)).mean() * 25.0
+    assert polygon_area(buf) == pytest.approx(truth, rel=0.015)
