@@ -44,7 +44,18 @@ from .mercator import get_transformer
 
 Nodata = Optional[Union[int, float]]
 
-RESAMPLING_MODES = ("nearest", "bilinear", "average")
+# the reference's full mode list (datacube/api/core.py:335-338).
+# interpolating/convolution kernels: nearest, bilinear, cubic (Keys
+# a=-0.5), cubic_spline (cubic B-spline, smoothing), lanczos (a=3),
+# gauss (σ=1 truncated at 2px).  bucket statistics over contributing
+# src pixel centers: average, mode, max, min, med, q1, q3 (quartiles are
+# lower/upper order statistics at index (n-1)/4 and 3(n-1)/4 of the
+# sorted bucket; med is the lower median; mode ties take the smallest
+# value) — documented semantics, matching GDAL's intent where GDAL's own
+# exact rule is backend-dependent.
+INTERP_MODES = ("nearest", "bilinear", "cubic", "cubic_spline", "lanczos", "gauss")
+BUCKET_MODES = ("average", "mode", "max", "min", "med", "q1", "q3")
+RESAMPLING_MODES = INTERP_MODES + BUCKET_MODES
 
 
 def is_resampling_nn(resampling: str) -> bool:
@@ -56,10 +67,51 @@ def _check_mode(resampling: str) -> str:
     r = resampling.lower()
     if r not in RESAMPLING_MODES:
         raise ValueError(
-            f"Bad resampling parameter: {resampling} (implemented: {RESAMPLING_MODES}; "
-            "the remaining GDAL modes are an environment-blocked surface, see ROADMAP)"
+            f"Bad resampling parameter: {resampling} (implemented: {RESAMPLING_MODES})"
         )
     return r
+
+
+# --- convolution kernels (weight of a src center at pixel distance d) ------
+
+def _kern_cubic(d: np.ndarray) -> np.ndarray:
+    """Keys bicubic, a = -0.5 (the classic interpolating cubic)."""
+    a = -0.5
+    d = np.abs(d)
+    w = np.where(
+        d <= 1,
+        (a + 2) * d**3 - (a + 3) * d**2 + 1,
+        np.where(d < 2, a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a, 0.0),
+    )
+    return w
+
+
+def _kern_bspline(d: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (smoothing, non-interpolating — GDAL cubic_spline)."""
+    d = np.abs(d)
+    return np.where(
+        d <= 1,
+        (4.0 - 6.0 * d**2 + 3.0 * d**3) / 6.0,
+        np.where(d < 2, (2.0 - d) ** 3 / 6.0, 0.0),
+    )
+
+
+def _kern_lanczos(d: np.ndarray, a: int = 3) -> np.ndarray:
+    d = np.asarray(d, dtype=np.float64)
+    out = np.sinc(d) * np.sinc(d / a)
+    return np.where(np.abs(d) < a, out, 0.0)
+
+
+def _kern_gauss(d: np.ndarray) -> np.ndarray:
+    return np.exp(-0.5 * d * d)
+
+
+_KERNELS = {
+    "cubic": (_kern_cubic, 2),
+    "cubic_spline": (_kern_bspline, 2),
+    "lanczos": (_kern_lanczos, 3),
+    "gauss": (_kern_gauss, 2),
+}
 
 
 def _valid(v: np.ndarray, nodata: Nodata) -> np.ndarray:
@@ -142,18 +194,68 @@ def _warp_gather(
     return dst
 
 
-def _warp_average(
+def _warp_kernel_interp(
+    src: np.ndarray,
+    dst: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    mode: str,
+    src_nodata: Nodata,
+    dst_nodata: Nodata,
+) -> np.ndarray:
+    """Convolution-kernel resampling (cubic / cubic_spline / lanczos /
+    gauss): weights w(dx)·w(dy) over the (2·support)² src centers around
+    the back-projected dst center; edge-replicated; invalid neighbours
+    excluded and weights renormalized."""
+    kern, support = _KERNELS[mode]
+    h, w = src.shape
+    fx = xs - 0.5
+    fy = ys - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    inside = (xs >= 0) & (xs <= w) & (ys >= 0) & (ys <= h) & np.isfinite(xs) & np.isfinite(ys)
+
+    num = np.zeros(xs.shape, dtype=np.float64)
+    den = np.zeros(xs.shape, dtype=np.float64)
+    for oy in range(-support + 1, support + 1):
+        yi = y0 + oy
+        wy = kern(fy - yi)
+        yc = yi.clip(0, h - 1)
+        for ox in range(-support + 1, support + 1):
+            xi = x0 + ox
+            wx = kern(fx - xi)
+            xc = xi.clip(0, w - 1)
+            v = src[yc, xc].astype(np.float64)
+            wgt = wx * wy
+            if src_nodata is not None:
+                m = _valid(src[yc, xc], src_nodata)
+                wgt = np.where(m, wgt, 0.0)
+            num += wgt * v
+            den += wgt
+
+    ok = inside & (np.abs(den) > 1e-9)
+    out = np.divide(num, den, out=np.zeros_like(num), where=np.abs(den) > 1e-9)
+    if np.issubdtype(dst.dtype, np.integer):
+        out = np.rint(out)
+    if dst_nodata is not None:
+        dst[~ok] = dst_nodata
+    dst[ok] = out[ok].astype(dst.dtype)
+    return dst
+
+
+def _warp_bucket_stat(
     src: np.ndarray,
     dst: np.ndarray,
     fwd_pix: Callable[[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]],
     back_xs: np.ndarray,
     back_ys: np.ndarray,
+    stat: str,
     src_nodata: Nodata,
     dst_nodata: Nodata,
 ) -> np.ndarray:
-    """Average mode: bucket src pixel centers into dst pixels (forward
-    map), mean per bucket; empty dst pixels fall back to nearest via the
-    provided back-projection."""
+    """Bucket statistics (average/mode/max/min/med/q1/q3): forward-map src
+    pixel centers into dst pixels, compute the statistic per bucket; empty
+    dst pixels fall back to a nearest sample via the back-projection."""
     sh, sw = src.shape
     dh, dw = dst.shape
     sxx, syy = _dst_center_grid((sh, sw))  # src pixel centers (pixel coords)
@@ -164,20 +266,60 @@ def _warp_average(
     ok = (jx >= 0) & (jx < dw) & (jy >= 0) & (jy < dh) & np.isfinite(dxs) & np.isfinite(dys)
     ok &= _valid(vals, src_nodata)
 
-    sums = np.zeros((dh, dw), dtype=np.float64)
-    cnts = np.zeros((dh, dw), dtype=np.int64)
-    np.add.at(sums, (jy[ok], jx[ok]), vals[ok])
-    np.add.at(cnts, (jy[ok], jx[ok]), 1)
+    stat_img = np.zeros((dh, dw), dtype=np.float64)
+    got = np.zeros((dh, dw), dtype=bool)
+    if stat == "average":
+        sums = np.zeros((dh, dw), dtype=np.float64)
+        cnts = np.zeros((dh, dw), dtype=np.int64)
+        np.add.at(sums, (jy[ok], jx[ok]), vals[ok])
+        np.add.at(cnts, (jy[ok], jx[ok]), 1)
+        got = cnts > 0
+        stat_img = np.divide(sums, cnts, out=stat_img, where=got)
+    else:
+        bucket = (jy[ok] * dw + jx[ok]).astype(np.int64)
+        v = vals[ok]
+        order = np.lexsort((v, bucket))
+        b_s, v_s = bucket[order], v[order]
+        if len(b_s):
+            starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+            ends = np.r_[starts[1:], len(b_s)]
+            ns = ends - starts
+            ids = b_s[starts]
+            if stat == "min":
+                picked = v_s[starts]
+            elif stat == "max":
+                picked = v_s[ends - 1]
+            elif stat in ("med", "q1", "q3"):
+                k = {"q1": 1, "med": 2, "q3": 3}[stat]
+                picked = v_s[starts + ((ns - 1) * k) // 4]
+            elif stat == "mode":
+                # run lengths of equal values within buckets; ties take the
+                # smallest value (first run, since values sort ascending)
+                new_run = np.r_[True, (v_s[1:] != v_s[:-1]) | (b_s[1:] != b_s[:-1])]
+                run_starts = np.flatnonzero(new_run)
+                run_ends = np.r_[run_starts[1:], len(v_s)]
+                run_len = run_ends - run_starts
+                run_bucket = b_s[run_starts]
+                run_val = v_s[run_starts]
+                picked = np.empty(len(starts), dtype=np.float64)
+                best = np.zeros(len(starts), dtype=np.int64)
+                bucket_pos = np.searchsorted(ids, run_bucket)
+                for rs, rl, rv, bp in zip(run_starts, run_len, run_val, bucket_pos):
+                    if rl > best[bp]:
+                        best[bp] = rl
+                        picked[bp] = rv
+            else:
+                raise ValueError(stat)
+            stat_img.ravel()[ids] = picked
+            got.ravel()[ids] = True
 
-    got = cnts > 0
-    mean = np.divide(sums, cnts, out=np.zeros_like(sums), where=got)
     if np.issubdtype(dst.dtype, np.integer):
-        mean = np.rint(mean)
+        stat_img = np.rint(stat_img)
 
     # empty dst pixels: nearest fallback
     nf = np.array(dst, copy=True)
     _warp_gather(src, nf, back_xs, back_ys, "nearest", src_nodata, dst_nodata)
-    out = np.where(got, mean.astype(dst.dtype), nf)
+    out = np.where(got, stat_img.astype(dst.dtype), nf)
     dst[...] = out
     return dst
 
@@ -197,13 +339,15 @@ def warp_affine(
     XX, YY = _dst_center_grid(dst.shape)
     xs = A.a * XX + A.b * YY + A.c
     ys = A.d * XX + A.e * YY + A.f
-    if r == "average":
+    if r in BUCKET_MODES:
         back = ~A
 
         def fwd(px, py):
             return back.a * px + back.b * py + back.c, back.d * px + back.e * py + back.f
 
-        return _warp_average(src, dst, fwd, xs, ys, src_nodata, dst_nodata)
+        return _warp_bucket_stat(src, dst, fwd, xs, ys, r, src_nodata, dst_nodata)
+    if r in _KERNELS:
+        return _warp_kernel_interp(src, dst, xs, ys, r, src_nodata, dst_nodata)
     return _warp_gather(src, dst, xs, ys, r, src_nodata, dst_nodata)
 
 
@@ -244,8 +388,10 @@ def reproject(
     XX, YY = _dst_center_grid(dst.shape)
     with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         xs, ys = back_pix(XX, YY)
-        if r == "average":
-            return _warp_average(src, dst, fwd_pix, xs, ys, src_nodata, dst_nodata)
+        if r in BUCKET_MODES:
+            return _warp_bucket_stat(src, dst, fwd_pix, xs, ys, r, src_nodata, dst_nodata)
+        if r in _KERNELS:
+            return _warp_kernel_interp(src, dst, xs, ys, r, src_nodata, dst_nodata)
         return _warp_gather(src, dst, xs, ys, r, src_nodata, dst_nodata)
 
 

@@ -103,7 +103,7 @@ def test_warp_average_upscale_falls_back_to_nearest():
 
 def test_warp_bad_mode_raises():
     with pytest.raises(ValueError, match="Bad resampling"):
-        warp_affine(np.zeros((2, 2)), np.zeros((2, 2)), Affine.identity(), "lanczos")
+        warp_affine(np.zeros((2, 2)), np.zeros((2, 2)), Affine.identity(), "no_such_mode")
 
 
 # ---------------------------------------------------------------------------
@@ -239,3 +239,87 @@ def test_compute_reproject_roi_cross_crs():
     g_utm = GeoBox(10, 10, Affine(100.0, 0.0, 0.0, 0.0, -100.0, 0.0), "EPSG:32633")
     with pytest.raises(NotImplementedError):
         compute_reproject_roi(g_utm, d_gbox)
+
+
+def test_all_13_modes_constant_field():
+    """Every GDAL-list mode (api/core.py:335-338) is implemented and maps
+    a constant field to the same constant (weights normalize)."""
+    from datacube_core_spark.geom.warp import RESAMPLING_MODES
+
+    assert len(RESAMPLING_MODES) == 13
+    src = np.full((20, 30), 5.0)
+    for mode in RESAMPLING_MODES:
+        dst = np.full((10, 15), np.nan)
+        warp_affine(src, dst, Affine.scale(2.0, 2.0), mode, dst_nodata=np.nan)
+        assert np.isfinite(dst).all(), mode
+        np.testing.assert_allclose(dst, 5.0, atol=1e-9, err_msg=mode)
+
+
+def test_interpolating_kernels_identity():
+    """cubic and lanczos interpolate: identity transform reproduces src
+    exactly (kernel is a delta at integer offsets); cubic_spline and
+    gauss smooth, so only approximately."""
+    rng = np.random.default_rng(12)
+    src = rng.uniform(0, 100, size=(24, 36))
+    for mode in ("cubic", "lanczos"):
+        dst = np.zeros_like(src)
+        warp_affine(src, dst, Affine.identity(), mode)
+        np.testing.assert_allclose(dst, src, atol=1e-9, err_msg=mode)
+    for mode in ("cubic_spline", "gauss"):
+        dst = np.zeros_like(src)
+        warp_affine(src, dst, Affine.identity(), mode)
+        # smoothing: close in the mean, not exact
+        assert abs(dst.mean() - src.mean()) < 2.0, mode
+        assert not np.allclose(dst, src), mode
+
+
+def test_bucket_stats_2x_downscale():
+    """min/max/med/q1/q3/mode on a 2x downscale equal the per-2x2-block
+    statistics (documented order-statistic semantics)."""
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 50, size=(8, 8)).astype("float64")
+    blocks = src.reshape(4, 2, 4, 2).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+    sorted_b = np.sort(blocks, axis=2)
+    exp = {
+        "min": sorted_b[:, :, 0],
+        "max": sorted_b[:, :, 3],
+        "q1": sorted_b[:, :, (4 - 1) * 1 // 4],
+        "med": sorted_b[:, :, (4 - 1) * 2 // 4],
+        "q3": sorted_b[:, :, (4 - 1) * 3 // 4],
+    }
+    for mode, e in exp.items():
+        dst = np.zeros((4, 4))
+        warp_affine(src, dst, Affine.scale(2.0, 2.0), mode)
+        np.testing.assert_array_equal(dst, e, err_msg=mode)
+
+    # mode: plant a clear majority in each block
+    src2 = np.array([[7, 7, 1, 2], [7, 3, 1, 1], [9, 9, 4, 5], [9, 8, 4, 4]], dtype="float64")
+    dst2 = np.zeros((2, 2))
+    warp_affine(src2, dst2, Affine.scale(2.0, 2.0), "mode")
+    np.testing.assert_array_equal(dst2, [[7, 1], [9, 4]])
+    # tie in a block -> smallest value wins (documented rule)
+    src3 = np.array([[1, 2], [2, 1]], dtype="float64")
+    dst3 = np.zeros((1, 1))
+    warp_affine(src3, dst3, Affine.scale(2.0, 2.0), "mode")
+    assert dst3[0, 0] == 1.0
+
+
+def test_bucket_stats_nodata_excluded():
+    src = np.array([[5.0, -1.0], [9.0, -1.0]])
+    for mode, e in (("min", 5.0), ("max", 9.0), ("med", 5.0)):
+        dst = np.zeros((1, 1))
+        warp_affine(src, dst, Affine.scale(2.0, 2.0), mode, src_nodata=-1.0, dst_nodata=-9.0)
+        assert dst[0, 0] == e, mode
+
+
+def test_cubic_halfpixel_shift_matches_keys_kernel():
+    """Cubic at a half-pixel offset = Keys weights (-1/16, 9/16, 9/16, -1/16)."""
+    src = np.zeros((3, 8))
+    src[:, 3] = 16.0
+    dst = np.zeros_like(src)
+    warp_affine(src, dst, Affine.translation(0.5, 0.0), "cubic")
+    # dst col j samples src at j+1 centers offset .5: cols 1,2 get 9/16*16=9, cols 0,3 get -1
+    assert dst[1, 2] == pytest.approx(9.0)
+    assert dst[1, 3] == pytest.approx(9.0)
+    assert dst[1, 1] == pytest.approx(-1.0)
+    assert dst[1, 4] == pytest.approx(-1.0)
