@@ -124,19 +124,62 @@ def warp_rasters_to_grid(
     )
     joined = paired.join(src, on=["src_tx", "src_ty", "region_id"], how="inner")
 
+    from ..geom.mercator import get_transformer
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the back-projection of a dst tile's pixel-center grid into the
+        # src CRS depends only on the dst tile — cache it across the many
+        # (dst, src) pairs sharing a dst tile.  Arithmetic mirrors
+        # geom.warp.reproject's back_pix exactly (same affine coefficient
+        # derivation, same operation order), so the fast path is
+        # bit-identical to the generic path.
+        d2s = get_transformer(dst_crs, src_crs)
+        grid_cache: dict = {}
+        xx = np.arange(dw, dtype=np.float64) + 0.5
+        yy = np.arange(dh, dtype=np.float64) + 0.5
+        XX, YY = np.meshgrid(xx, yy)
+
+        def dst_lonlat(dtx: int, dty: int):
+            key = (dtx, dty)
+            got = grid_cache.get(key)
+            if got is None:
+                d_left = dtx * abs(d_sx) + d_ox
+                d_top = (dty + 1) * abs(d_sy) + d_oy
+                da = Affine(dst_res, 0.0, d_left, 0.0, -dst_res, d_top)
+                wx = da.a * XX + da.b * YY + da.c
+                wy = da.d * XX + da.e * YY + da.f
+                with np.errstate(invalid="ignore", over="ignore"):
+                    got = d2s(wx, wy)
+                grid_cache[key] = got
+            return got
+
+        nearest = resampling == "nearest"
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
                 s_left = r.src_tx * abs(s_sx) + s_ox
                 s_top = (r.src_ty + 1) * abs(s_sy) + s_oy
-                d_left = r.dst_tx * abs(d_sx) + d_ox
-                d_top = (r.dst_ty + 1) * abs(d_sy) + d_oy
-                s_gbox = GeoBox(sw, sh, Affine(src_res, 0.0, s_left, 0.0, -src_res, s_top), src_crs)
-                d_gbox = GeoBox(dw, dh, Affine(dst_res, 0.0, d_left, 0.0, -dst_res, d_top), dst_crs)
+                s_affine = Affine(src_res, 0.0, s_left, 0.0, -src_res, s_top)
                 src_arr = np.asarray(r.raster, dtype=np.int32).reshape(sh, sw)
-                dst_arr = np.full((dh, dw), PARTIAL_NODATA, dtype=np.int32)
-                reproject(src_arr, dst_arr, s_gbox, d_gbox, resampling, dst_nodata=PARTIAL_NODATA)
+                if nearest:
+                    sx_w, sy_w = dst_lonlat(int(r.dst_tx), int(r.dst_ty))
+                    inv_s = ~s_affine
+                    xs = inv_s.a * sx_w + inv_s.b * sy_w + inv_s.c
+                    ys = inv_s.d * sx_w + inv_s.e * sy_w + inv_s.f
+                    ix = np.floor(xs).astype(np.int64)
+                    iy = np.floor(ys).astype(np.int64)
+                    ok = (ix >= 0) & (ix < sw) & (iy >= 0) & (iy < sh)
+                    ok &= np.isfinite(xs) & np.isfinite(ys)
+                    dst_arr = np.where(
+                        ok, src_arr[iy.clip(0, sh - 1), ix.clip(0, sw - 1)], PARTIAL_NODATA
+                    ).astype(np.int32)
+                else:
+                    d_left = r.dst_tx * abs(d_sx) + d_ox
+                    d_top = (r.dst_ty + 1) * abs(d_sy) + d_oy
+                    s_gbox = GeoBox(sw, sh, s_affine, src_crs)
+                    d_gbox = GeoBox(dw, dh, Affine(dst_res, 0.0, d_left, 0.0, -dst_res, d_top), dst_crs)
+                    dst_arr = np.full((dh, dw), PARTIAL_NODATA, dtype=np.int32)
+                    reproject(src_arr, dst_arr, s_gbox, d_gbox, resampling, dst_nodata=PARTIAL_NODATA)
                 out.append(
                     (int(r.dst_tx), int(r.dst_ty), int(r.region_id), dst_arr.ravel().tolist())
                 )

@@ -66,6 +66,7 @@ def streaming_cell_state(
     grid: GridSpec,
     watermark: str = "1 day",
     timeout_duration: str = "30 days",
+    bootstrap: DataFrame = None,
 ) -> DataFrame:
     """Custom stateful operator: per-cell running observation state
     (count, min/max ts) maintained with ``applyInPandasWithState`` —
@@ -73,9 +74,27 @@ def streaming_cell_state(
 
     Emits one updated row per cell per micro-batch:
     (tile_x, tile_y, n, first_ts, last_ts).
+
+    ``bootstrap`` closes the state-restore gap across restarts WITHOUT a
+    streaming checkpoint: a batch DataFrame (tile_x, tile_y, n, first_ts,
+    last_ts) — e.g. aggregated from the batch checkpoint/metrics tables —
+    is broadcast and used to seed any cell whose streaming state does not
+    exist yet (PySpark's applyInPandasWithState has no initialState
+    parameter, so seeding happens lazily on first touch; already-running
+    state always wins).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    seed_map = {}
+    if bootstrap is not None:
+        for r in bootstrap.select("tile_x", "tile_y", "n", "first_ts", "last_ts").collect():
+            seed_map[(int(r["tile_x"]), int(r["tile_y"]))] = (
+                int(r["n"]),
+                pd.Timestamp(r["first_ts"]).value // 1000,
+                pd.Timestamp(r["last_ts"]).value // 1000,
+            )
+    bc_seed = stream.sparkSession.sparkContext.broadcast(seed_map)
 
     tx, ty = point_tile_cols(grid, F.col("lon"), F.col("lat"))
     keyed = (
@@ -89,7 +108,10 @@ def streaming_cell_state(
     state_schema = "n LONG, first_us LONG, last_us LONG"
 
     def update(key, pdfs, state: GroupState):
-        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        if state.exists:
+            n, first_us, last_us = state.get
+        else:
+            n, first_us, last_us = bc_seed.value.get((int(key[0]), int(key[1])), (0, None, None))
         for pdf in pdfs:
             ts = pd.to_datetime(pdf["warc_ts"])
             if len(ts) == 0:

@@ -214,3 +214,52 @@ def test_streaming_cell_state_matches_batch(spark, tmp_path):
     }
     # every cell's final running count equals the batch count
     assert got == exp
+
+
+def test_streaming_cell_state_bootstrap_restore(spark, tmp_path):
+    """Restart restore: half the corpus is processed 'before the restart'
+    (batch aggregate = the checkpoint-table analog), the other half
+    streams with bootstrap seeding — final state equals the full batch."""
+    from datacube_core_spark.operators.tiling import with_tile
+    from datacube_core_spark.streaming.jobs import streaming_cell_state
+
+    p = pages(spark, SF_TINY)
+    first = p.where(F.col("doc_id") % 2 == 0)
+    second = p.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "state_src2")
+    second.write.mode("overwrite").parquet(src)
+
+    # pre-restart state from the batch tables
+    seed = (
+        with_tile(first, GRID_PAGES)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
+    out = streaming_cell_state(stream_pages(spark, src), GRID_PAGES, bootstrap=seed)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cell_state_boot")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["tile_x"], r["tile_y"]): r["n"]
+        for r in spark.sql(
+            "SELECT tile_x, tile_y, last(n) AS n FROM cell_state_boot GROUP BY tile_x, tile_y"
+        ).collect()
+    }
+    exp_full = {
+        (r["tile_x"], r["tile_y"]): r["n"]
+        for r in with_tile(p, GRID_PAGES).groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")).collect()
+    }
+    # cells touched by the stream carry seed + streamed counts == full batch
+    for cell, n in got.items():
+        assert n == exp_full[cell], cell
+    assert got, "stream produced no state rows"
