@@ -143,16 +143,19 @@ def _fragments(segs: np.ndarray, tol: float) -> List[Tuple[float, float, float, 
     return frags
 
 
-def _inside_counts(px: np.ndarray, py: np.ndarray, mps: Sequence[MultiPolygon]) -> np.ndarray:
-    """#inputs strictly containing each point (a point inside a hole of an
-    input does not count for that input)."""
-    total = np.zeros(len(px), dtype=np.int64)
-    for mp in mps:
-        inside_any_poly = np.zeros(len(px), dtype=bool)
+def _inside_matrix(px: np.ndarray, py: np.ndarray, mps: Sequence[MultiPolygon]) -> np.ndarray:
+    """(n_inputs, n_points) strict-containment matrix (a point inside a
+    hole of an input does not count for that input)."""
+    out = np.zeros((len(mps), len(px)), dtype=bool)
+    for k, mp in enumerate(mps):
         for poly in mp:
-            inside_any_poly |= points_strictly_inside(px, py, poly)
-        total += inside_any_poly.astype(np.int64)
-    return total
+            out[k] |= points_strictly_inside(px, py, poly)
+    return out
+
+
+def _inside_counts(px: np.ndarray, py: np.ndarray, mps: Sequence[MultiPolygon]) -> np.ndarray:
+    """#inputs strictly containing each point."""
+    return _inside_matrix(px, py, mps).sum(axis=0)
 
 
 def _boolean_boundary(mps: Sequence[MultiPolygon], keep: Callable[[np.ndarray], np.ndarray]) -> MultiPolygon:
@@ -206,8 +209,8 @@ def _boolean_boundary(mps: Sequence[MultiPolygon], keep: Callable[[np.ndarray], 
     nx, ny = -dy / ln, dx / ln
     lx, ly = mx + nx * feps, my + ny * feps
     rx, ry = mx - nx * feps, my - ny * feps
-    in_l = keep(_inside_counts(lx, ly, mps))
-    in_r = keep(_inside_counts(rx, ry, mps))
+    in_l = keep(_inside_matrix(lx, ly, mps))
+    in_r = keep(_inside_matrix(rx, ry, mps))
     boundary = in_l != in_r
     f = f[boundary]
     flip = ~in_l[boundary]  # interior must be on the LEFT
@@ -298,7 +301,7 @@ def unary_union(mps: Sequence[MultiPolygon]) -> MultiPolygon:
         return []
     if len(mps) == 1:
         return mps[0]
-    return _boolean_boundary(mps, lambda c: c >= 1)
+    return _boolean_boundary(mps, lambda m: m.any(axis=0))
 
 
 def unary_intersection(mps: Sequence[MultiPolygon]) -> MultiPolygon:
@@ -309,10 +312,120 @@ def unary_intersection(mps: Sequence[MultiPolygon]) -> MultiPolygon:
         return []
     if len(mps) == 1:
         return mps[0]
-    n = len(mps)
-    return _boolean_boundary(mps, lambda c: c >= n)
+    return _boolean_boundary(mps, lambda m: m.all(axis=0))
+
+
+def difference(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
+    """A − B (reference ``difference``, ``_base.py:509-512``)."""
+    if not a:
+        return []
+    if not b:
+        return a
+    return _boolean_boundary([a, b], lambda m: m[0] & ~m[1])
+
+
+def symmetric_difference(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
+    """A ⊕ B (reference ``symmetric_difference``, ``_base.py:518-521``)."""
+    if not a:
+        return b
+    if not b:
+        return a
+    return _boolean_boundary([a, b], lambda m: m[0] ^ m[1])
+
+
+def intersection(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
+    """Binary A ∩ B (reference ``intersection``, ``_base.py:514-516``)."""
+    return unary_intersection([a, b])
+
+
+def union(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
+    """Binary A ∪ B (reference ``union``, ``_base.py:522-524``)."""
+    return unary_union([a, b])
 
 
 def multipolygon_area(mp: MultiPolygon) -> float:
     """Total area (holes subtract — they carry negative ring area)."""
     return float(sum(ring_area(as_ring(r)) for poly in mp for r in poly))
+
+
+# ---------------------------------------------------------------------------
+# polygon-pair predicates (reference Geometry predicate surface,
+# _base.py:481-507 — there a shapely delegation; here derived from the
+# arrangement kernel: interiors meet ⇔ the exact intersection has area,
+# boundaries meet ⇔ the edge sets intersect)
+# ---------------------------------------------------------------------------
+
+_REL_TOL = 1e-9
+
+
+def _area_or_zero(mp: MultiPolygon) -> float:
+    return multipolygon_area(mp) if mp else 0.0
+
+
+def _boundaries_meet(a: MultiPolygon, b: MultiPolygon) -> bool:
+    """True iff any edge of A touches/crosses any edge of B (including
+    collinear overlap and T-junctions)."""
+    ea = _gather_edges([a])
+    eb = _gather_edges([b])
+    span = 1e-9
+    for e in (ea, eb):
+        if len(e):
+            span = max(
+                span,
+                float(e[:, [0, 2]].max() - e[:, [0, 2]].min()),
+                float(e[:, [1, 3]].max() - e[:, [1, 3]].min()),
+            )
+    tol = span * 1e-12
+    for sa in ea:
+        for sb in eb:
+            ta, ub = _seg_intersection_params(sa, sb, tol)
+            if ta or ub:
+                return True
+    return False
+
+
+def interiors_intersect_mp(a: MultiPolygon, b: MultiPolygon) -> bool:
+    inter = intersection(a, b)
+    lim = _REL_TOL * max(_area_or_zero(a), _area_or_zero(b), 1e-30)
+    return _area_or_zero(inter) > lim
+
+
+def intersects(a: MultiPolygon, b: MultiPolygon) -> bool:
+    """Share any point (boundary contact counts) — shapely semantics."""
+    return interiors_intersect_mp(a, b) or _boundaries_meet(a, b)
+
+
+def disjoint(a: MultiPolygon, b: MultiPolygon) -> bool:
+    return not intersects(a, b)
+
+
+def touches(a: MultiPolygon, b: MultiPolygon) -> bool:
+    """Boundaries meet but interiors do not."""
+    return _boundaries_meet(a, b) and not interiors_intersect_mp(a, b)
+
+
+def within(a: MultiPolygon, b: MultiPolygon) -> bool:
+    """A's interior lies entirely inside B (boundary contact allowed)."""
+    aa = _area_or_zero(a)
+    if aa <= 0:
+        return False
+    return abs(_area_or_zero(intersection(a, b)) - aa) <= _REL_TOL * aa
+
+
+def contains(a: MultiPolygon, b: MultiPolygon) -> bool:
+    return within(b, a)
+
+
+def overlaps(a: MultiPolygon, b: MultiPolygon) -> bool:
+    """Interiors intersect and each has a part outside the other."""
+    ia = _area_or_zero(intersection(a, b))
+    aa, ab = _area_or_zero(a), _area_or_zero(b)
+    lim = _REL_TOL * max(aa, ab, 1e-30)
+    return ia > lim and (aa - ia) > lim and (ab - ia) > lim
+
+
+def crosses(a: MultiPolygon, b: MultiPolygon) -> bool:
+    """Always False for area/area pairs (DE-9IM: crosses requires the
+    intersection's dimension to be LESS than both inputs' — impossible
+    for two polygons; shapely agrees)."""
+    return False

@@ -156,3 +156,45 @@ def test_spatial_extent_union_operator(spark):
     assert len(world) == 1
     assert world[0]["area"] == pytest.approx(360.0 * 170.0)
     assert (world[0]["bottom"], world[0]["top"]) == (-85.0, 85.0)
+
+
+def test_difference_and_symmetric_difference():
+    from datacube_core_spark.geom.boolean import difference, symmetric_difference
+
+    a, b = _box(0, 0, 2, 2), _box(1, 1, 3, 3)
+    d = difference(a, b)
+    assert multipolygon_area(d) == pytest.approx(3.0)
+    assert _pts_inside(d, [(0.5, 0.5), (1.5, 1.5), (2.5, 2.5)]) == [True, False, False]
+    s = symmetric_difference(a, b)
+    assert multipolygon_area(s) == pytest.approx(6.0)
+    assert _pts_inside(s, [(0.5, 0.5), (1.5, 1.5), (2.5, 2.5)]) == [True, False, True]
+    # subtracting a centered plug cuts a hole
+    hole = difference(_box(0, 0, 4, 4), _box(1, 1, 3, 3))
+    assert multipolygon_area(hole) == pytest.approx(12.0)
+    assert len(hole) == 1 and len(hole[0]) == 2
+
+
+def test_pair_predicates_shapely_semantics():
+    from datacube_core_spark.geom.boolean import (
+        contains, crosses, disjoint, intersects, overlaps, touches, within,
+    )
+
+    A = _box(0, 0, 2, 2)
+    far = _box(5, 5, 6, 6)
+    edge = _box(2, 0, 4, 2)      # shares an edge with A
+    corner = _box(2, 2, 3, 3)    # touches A at one point
+    over = _box(1, 1, 3, 3)      # overlaps A
+    inner = _box(0.5, 0.5, 1.5, 1.5)  # strictly inside A
+    flush = _box(0, 0, 1, 1)     # inside A, sharing boundary
+
+    assert disjoint(A, far) and not intersects(A, far)
+    for t in (edge, corner):
+        assert touches(A, t) and intersects(A, t) and not overlaps(A, t)
+    assert overlaps(A, over) and intersects(A, over) and not touches(A, over)
+    assert within(inner, A) and contains(A, inner) and not overlaps(A, inner)
+    assert within(flush, A) and contains(A, flush)  # boundary contact allowed
+    assert not within(A, inner)
+    assert not crosses(A, over)  # poly/poly never crosses (DE-9IM)
+    # self relations
+    assert within(A, A) and contains(A, A) and intersects(A, A)
+    assert not overlaps(A, A) and not touches(A, A)
