@@ -281,11 +281,15 @@ def _boolean_boundary(mps: Sequence[MultiPolygon], keep: Callable[[np.ndarray], 
     holes = [r for r in rings if ring_area(r) < 0]
     polys: List[List[np.ndarray]] = [[s] for s, _ in shells]
     for h in holes:
-        # attach to the smallest shell strictly containing a hole vertex
-        hx, hy = h[0, 0], h[0, 1]
+        # attach to the smallest shell strictly containing the hole; a hole
+        # corner can lie exactly ON the shell (reflex contact), so probe
+        # vertices AND edge midpoints until one is strictly interior
+        mids = (h + np.roll(h, -1, axis=0)) * 0.5
+        probes = np.concatenate([h, mids], axis=0)
         best, best_area = None, None
         for i, (s, a) in enumerate(shells):
-            if points_strictly_inside(np.array([hx]), np.array([hy]), [s])[0]:
+            inside = points_strictly_inside(probes[:, 0], probes[:, 1], [s])
+            if inside.any():
                 if best is None or a < best_area:
                     best, best_area = i, a
         if best is not None:

@@ -198,3 +198,46 @@ def test_pair_predicates_shapely_semantics():
     # self relations
     assert within(A, A) and contains(A, A) and intersects(A, A)
     assert not overlaps(A, A) and not touches(A, A)
+
+
+def test_symmetric_difference_reflex_contact_hole():
+    """Regression (found by Monte-Carlo drive): when the interior hole's
+    corners lie exactly ON the outer shell (reflex contact), the hole must
+    still attach — vertex-only strict-PIP probing dropped it and the
+    result silently became the union."""
+    from datacube_core_spark.geom.boolean import symmetric_difference
+
+    a = _box(-1, -3, 1, 0)
+    b = _box(-3, -2, 2, -1)
+    s = symmetric_difference(a, b)
+    assert multipolygon_area(s) == pytest.approx(6 + 5 - 2 * 2)  # 7, not union 9
+    assert _pts_inside(s, [(0.0, -1.5), (0.0, -0.5), (-2.0, -1.5)]) == [False, True, True]
+
+
+def test_pair_predicates_random_rect_montecarlo():
+    from datacube_core_spark.geom.boolean import (
+        contains, difference, disjoint, intersects, overlaps,
+        symmetric_difference, touches, within,
+    )
+
+    rng = np.random.default_rng(123)
+    for _ in range(120):
+        x1, y1 = rng.integers(-8, 8, 2); w1, h1 = rng.integers(1, 8, 2)
+        x2, y2 = rng.integers(-8, 8, 2); w2, h2 = rng.integers(1, 8, 2)
+        ra = (int(x1), int(y1), int(x1 + w1), int(y1 + h1))
+        rb = (int(x2), int(y2), int(x2 + w2), int(y2 + h2))
+        A, B = _box(*ra), _box(*rb)
+        il, ib = max(ra[0], rb[0]), max(ra[1], rb[1])
+        ir, it = min(ra[2], rb[2]), min(ra[3], rb[3])
+        iw, ih = ir - il, it - ib
+        e_int = max(0, iw) * max(0, ih)
+        e_its = iw >= 0 and ih >= 0
+        aa, ab = int(w1 * h1), int(w2 * h2)
+        assert intersects(A, B) == e_its
+        assert disjoint(A, B) == (not e_its)
+        assert touches(A, B) == (e_its and e_int == 0)
+        assert within(A, B) == (ra[0] >= rb[0] and ra[1] >= rb[1] and ra[2] <= rb[2] and ra[3] <= rb[3])
+        assert contains(B, A) == within(A, B)
+        assert overlaps(A, B) == (0 < e_int < aa and e_int < ab)
+        assert multipolygon_area(difference(A, B)) == pytest.approx(aa - e_int)
+        assert multipolygon_area(symmetric_difference(A, B)) == pytest.approx(aa + ab - 2 * e_int)
