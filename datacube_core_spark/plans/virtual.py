@@ -175,3 +175,45 @@ class Reproject(VirtualProduct):
     def build(self, spark, sf_dir):
         df = self.child.build(spark, sf_dir)
         return with_tile(df.drop("tile_x", "tile_y"), self.grid, lon=self.lon, lat=self.lat)
+
+
+class ReprojectRasters(VirtualProduct):
+    """Pixel-level reproject combinator: the child must yield per-tile
+    rasters (tile_x, tile_y, region_id, h, w, raster) on ``src_grid``;
+    output is the warped rasters on ``dst_grid`` — the reference's
+    on-the-fly warp node (``virtual/impl.py:745-911``), here backed by the
+    distributed warp operator (``operators/warp.py``) with any of the 13
+    resampling modes."""
+
+    def __init__(
+        self,
+        child: VirtualProduct,
+        src_grid: GridSpec,
+        src_res: float,
+        dst_grid: GridSpec,
+        dst_res: float,
+        regions_df_fn=None,
+        resampling: str = "nearest",
+    ):
+        self.child = child
+        self.src_grid = src_grid
+        self.src_res = src_res
+        self.dst_grid = dst_grid
+        self.dst_res = dst_res
+        self.regions_df_fn = regions_df_fn
+        self.resampling = resampling
+
+    def build(self, spark, sf_dir):
+        from ..operators.warp import merc_region_tiles, warp_rasters_to_grid
+
+        rasters = self.child.build(spark, sf_dir)
+        if self.regions_df_fn is None:
+            from ..sources.regions import regions as _regions
+
+            regs = _regions(spark)
+        else:
+            regs = self.regions_df_fn(spark, sf_dir)
+        cand = merc_region_tiles(regs, self.dst_grid)
+        return warp_rasters_to_grid(
+            rasters, self.src_grid, self.src_res, self.dst_grid, self.dst_res, cand, self.resampling
+        )

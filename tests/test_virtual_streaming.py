@@ -263,3 +263,31 @@ def test_streaming_cell_state_bootstrap_restore(spark, tmp_path):
     for cell, n in got.items():
         assert n == exp_full[cell], cell
     assert got, "stream produced no state rows"
+
+
+def test_reproject_rasters_combinator(spark):
+    """Pixel-level reproject node: rasterize leaf -> warp combinator
+    equals calling the distributed warp operator directly."""
+    from datacube_core_spark.geom import GRID_MERC
+    from datacube_core_spark.operators.raster import rasterize_rect_regions
+    from datacube_core_spark.operators.warp import merc_region_tiles, warp_rasters_to_grid
+    from datacube_core_spark.plans.virtual import ReprojectRasters
+    from datacube_core_spark.sources.regions import regions
+
+    regs_fn = lambda s, d: regions(s).where(F.col("region_id") < 30)
+    leaf = Product(lambda s, d: rasterize_rect_regions(regs_fn(s, d), GRID_PAGES, res=1.0))
+    vp = ReprojectRasters(leaf, GRID_PAGES, 1.0, GRID_MERC, 256_000.0, regions_df_fn=regs_fn)
+    got = {
+        (r["dst_tx"], r["dst_ty"], r["region_id"]): tuple(r["raster"])
+        for r in vp.build(spark, SF_TINY).collect()
+    }
+    direct = warp_rasters_to_grid(
+        rasterize_rect_regions(regs_fn(spark, SF_TINY), GRID_PAGES, res=1.0),
+        GRID_PAGES, 1.0, GRID_MERC, 256_000.0,
+        merc_region_tiles(regs_fn(spark, SF_TINY), GRID_MERC), "nearest",
+    )
+    exp = {
+        (r["dst_tx"], r["dst_ty"], r["region_id"]): tuple(r["raster"])
+        for r in direct.collect()
+    }
+    assert got == exp and len(got) > 0
