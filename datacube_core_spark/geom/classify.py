@@ -67,51 +67,54 @@ def detect_axis_rect(mp: MultiPolygon) -> Optional[Tuple[float, float, float, fl
     return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
 
 
-def _supercover_cells(x1, y1, x2, y2, ox, oy, h) -> np.ndarray:
-    """Exact set of (cx, cy) grid cells (origin ox/oy, size h) that the
-    closed segment (x1,y1)-(x2,y2) passes through.  Parametric: collect
-    all t where the segment crosses a gridline, take cell at each
-    interval midpoint; cells touched only at a point are covered by the
-    corner-test in the caller."""
+def _supercover_cells(x1, y1, x2, y2, ox, oy, hx, hy=None) -> np.ndarray:
+    """Exact set of (cx, cy) grid cells (origin ox/oy, per-axis sizes
+    hx/hy) that the closed segment (x1,y1)-(x2,y2) passes through.
+    Parametric: collect all t where the segment crosses a gridline, take
+    cell at each interval midpoint; cells touched only at a point are
+    covered by the corner-test in the caller."""
+    if hy is None:
+        hy = hx
     dx, dy = x2 - x1, y2 - y1
     ts = [0.0, 1.0]
     if dx != 0.0:
-        k0 = np.ceil(min((x1 - ox) / h, (x2 - ox) / h))
-        k1 = np.floor(max((x1 - ox) / h, (x2 - ox) / h))
+        k0 = np.ceil(min((x1 - ox) / hx, (x2 - ox) / hx))
+        k1 = np.floor(max((x1 - ox) / hx, (x2 - ox) / hx))
         if k1 >= k0:
             ks = np.arange(k0, k1 + 1)
-            ts.extend(((ox + ks * h) - x1) / dx)
+            ts.extend(((ox + ks * hx) - x1) / dx)
     if dy != 0.0:
-        k0 = np.ceil(min((y1 - oy) / h, (y2 - oy) / h))
-        k1 = np.floor(max((y1 - oy) / h, (y2 - oy) / h))
+        k0 = np.ceil(min((y1 - oy) / hy, (y2 - oy) / hy))
+        k1 = np.floor(max((y1 - oy) / hy, (y2 - oy) / hy))
         if k1 >= k0:
             ks = np.arange(k0, k1 + 1)
-            ts.extend(((oy + ks * h) - y1) / dy)
+            ts.extend(((oy + ks * hy) - y1) / dy)
     t = np.unique(np.clip(np.asarray(ts, dtype=np.float64), 0.0, 1.0))
     if len(t) < 2:
         t = np.array([0.0, 1.0])
     tm = (t[:-1] + t[1:]) * 0.5
     px = x1 + tm * dx
     py = y1 + tm * dy
-    cx = np.floor((px - ox) / h).astype(np.int64)
-    cy = np.floor((py - oy) / h).astype(np.int64)
+    cx = np.floor((px - ox) / hx).astype(np.int64)
+    cy = np.floor((py - oy) / hy).astype(np.int64)
     cells = np.stack([cx, cy], axis=1)
     # a segment lying exactly on a gridline touches both adjacent cells
     out = [cells]
-    if dx == 0.0 and (x1 - ox) / h == np.floor((x1 - ox) / h):
+    if dx == 0.0 and (x1 - ox) / hx == np.floor((x1 - ox) / hx):
         out.append(cells - np.array([1, 0]))
-    if dy == 0.0 and (y1 - oy) / h == np.floor((y1 - oy) / h):
+    if dy == 0.0 and (y1 - oy) / hy == np.floor((y1 - oy) / hy):
         out.append(cells - np.array([0, 1]))
     return np.unique(np.concatenate(out, axis=0), axis=0)
 
 
 def classify_subcells(
-    mp: MultiPolygon, ox: float, oy: float, h: float
+    mp: MultiPolygon, ox: float, oy: float, hx: float, hy: float = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Classify the subcell grid covering ``mp``'s bbox.
 
     Returns (full_cells, boundary_cells), each an (N, 2) int64 array of
-    (cx, cy) subcell indices on the (ox, oy, h) lattice.
+    (cx, cy) subcell indices on the (ox, oy, hx, hy) lattice (``hy``
+    defaults to ``hx`` — square subcells).
 
     * full: closed subcell strictly inside the polygon interior → a point
       in it matches with no further test.
@@ -119,18 +122,20 @@ def classify_subcells(
       strictly inside while overlapping) → needs exact refine.
     Subcells entirely outside appear in neither.
     """
+    if hy is None:
+        hy = hx
     l, b, r, t = multipolygon_bbox(mp)
-    cx0 = int(np.floor((l - ox) / h))
-    cx1 = int(np.ceil((r - ox) / h))
-    cy0 = int(np.floor((b - oy) / h))
-    cy1 = int(np.ceil((t - oy) / h))
+    cx0 = int(np.floor((l - ox) / hx))
+    cx1 = int(np.ceil((r - ox) / hx))
+    cy0 = int(np.floor((b - oy) / hy))
+    cy1 = int(np.ceil((t - oy) / hy))
     nx, ny = cx1 - cx0, cy1 - cy0
     if nx <= 0 or ny <= 0:
         return np.empty((0, 2), np.int64), np.empty((0, 2), np.int64)
 
     # corner lattice: (nx+1) x (ny+1) points, strict-interior PIP
-    gx = ox + (cx0 + np.arange(nx + 1)) * h
-    gy = oy + (cy0 + np.arange(ny + 1)) * h
+    gx = ox + (cx0 + np.arange(nx + 1)) * hx
+    gy = oy + (cy0 + np.arange(ny + 1)) * hy
     XX, YY = np.meshgrid(gx, gy, indexing="ij")
     inside = points_strictly_inside_multi(XX.ravel(), YY.ravel(), mp).reshape(nx + 1, ny + 1)
     # cell (i, j) corners: (i,j), (i+1,j), (i,j+1), (i+1,j+1)
@@ -145,7 +150,7 @@ def classify_subcells(
             for i in range(n):
                 x1, y1 = ring[i]
                 x2, y2 = ring[(i + 1) % n]
-                cells = _supercover_cells(x1, y1, x2, y2, ox, oy, h)
+                cells = _supercover_cells(x1, y1, x2, y2, ox, oy, hx, hy)
                 ii = cells[:, 0] - cx0
                 jj = cells[:, 1] - cy0
                 m = (ii >= 0) & (ii < nx) & (jj >= 0) & (jj < ny)

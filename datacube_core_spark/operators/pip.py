@@ -39,15 +39,17 @@ from ..geom.polygon import multipolygon_bbox, points_strictly_inside_multi, unpa
 from .tiling import with_tile
 
 
-def _pick_level_for(mp, base: float, target_cells: int, min_level: int, max_level: int) -> int:
+def _pick_level_for(mp, base_x: float, base_y: float, target_cells: int, min_level: int, max_level: int) -> int:
     """Finest lattice level keeping the region's bbox within
-    ~target_cells subcells per axis."""
+    ~target_cells subcells per axis (per-axis tile sizes)."""
     import math as _math
 
     l, b, r, t = multipolygon_bbox(mp)
-    span = max(r - l, t - b, 1e-9)
-    ideal_h = span / target_cells
-    level = int(_math.floor(_math.log2(base / ideal_h)))
+    span_x = max(r - l, 1e-9)
+    span_y = max(t - b, 1e-9)
+    # cells_per_axis = span / (base / 2^L) <= target  per axis
+    lim = min(base_x * target_cells / span_x, base_y * target_cells / span_y)
+    level = int(_math.floor(_math.log2(lim)))
     return max(min_level, min(max_level, level))
 
 
@@ -55,7 +57,8 @@ def _classify_region(
     rid: int,
     blob: bytes,
     grid: GridSpec,
-    base: float,
+    base_x: float,
+    base_y: float,
     ox: float,
     oy: float,
     target_cells: int,
@@ -66,7 +69,9 @@ def _classify_region(
     """Classification rows for one region — shared by the driver path and
     the distributed mapInPandas path.  Emits tuples
     ``(kind, level, ax, ay, region_id, l, b, r, t)`` with kind 0=rect
-    candidate (ax/ay = tile), 1=full subcell, 2=boundary subcell."""
+    candidate (ax/ay = tile), 1=full subcell, 2=boundary subcell.
+    Subcells are tile_size / 2^level PER AXIS, so tile = subcell >> level
+    exactly (no float division anywhere in the subcell→tile mapping)."""
     mp = unpack_multipolygon(blob)
     rect = detect_axis_rect(mp)
     out = []
@@ -75,9 +80,10 @@ def _classify_region(
         for (tx, ty), _ in grid.tiles_from_geopolygon(mp, geobox_cache=geobox_cache):
             out.append((0, 0, int(tx), int(ty), rid, l, b, r, t))
         return out, False
-    level = _pick_level_for(mp, base, target_cells, min_level, max_level)
-    h = base / (1 << level)
-    full, bnd = classify_subcells(mp, ox, oy, h)
+    level = _pick_level_for(mp, base_x, base_y, target_cells, min_level, max_level)
+    hx = base_x / (1 << level)
+    hy = base_y / (1 << level)
+    full, bnd = classify_subcells(mp, ox, oy, hx, hy)
     out.extend((1, level, int(cx), int(cy), rid, 0.0, 0.0, 0.0, 0.0) for cx, cy in full)
     out.extend((2, level, int(cx), int(cy), rid, 0.0, 0.0, 0.0, 0.0) for cx, cy in bnd)
     return out, True
@@ -115,17 +121,11 @@ class PipIndex:
 
         self.grid = grid
         size_y, size_x = grid.tile_size
-        # the subcell lattice (classify_subcells, _subcell_cols, and the
-        # subcell→tile arithmetic in rasterize_generic_regions) is square;
-        # a rectangular tile would make subcells straddle tile boundaries
-        # on the longer axis — fail loudly instead of mis-assigning
-        if abs(size_x) != abs(size_y):
-            raise ValueError(
-                f"PipIndex requires |tile_size.x| == |tile_size.y| "
-                f"(got {abs(size_x)} x {abs(size_y)}); per-axis subcell "
-                "lattices are not implemented"
-            )
-        self._base = min(abs(size_x), abs(size_y))
+        # per-axis subcell lattice: tile_size / 2^level on EACH axis, so a
+        # subcell never straddles a tile boundary and tile = subcell >> L
+        # exactly (rectangular tile grids fully supported)
+        self._base_x = abs(size_x)
+        self._base_y = abs(size_y)
         self.ox = grid.origin[1]
         self.oy = grid.origin[0]
         self.target_cells = target_cells_per_axis
@@ -167,7 +167,7 @@ class PipIndex:
             cache: Dict = {}
             for rid, blob in self.geom_map.items():
                 r_rows, is_generic = _classify_region(
-                    rid, blob, grid, self._base, self.ox, self.oy,
+                    rid, blob, grid, self._base_x, self._base_y, self.ox, self.oy,
                     self.target_cells, self.MIN_LEVEL, self.MAX_LEVEL, geobox_cache=cache,
                 )
                 rows.extend(r_rows)
@@ -199,7 +199,7 @@ class PipIndex:
         self._bc_geoms = spark.sparkContext.broadcast(generic_geoms) if generic_geoms else None
 
     def _pick_level(self, mp) -> int:
-        return _pick_level_for(mp, self._base, self.target_cells, self.MIN_LEVEL, self.MAX_LEVEL)
+        return _pick_level_for(mp, self._base_x, self._base_y, self.target_cells, self.MIN_LEVEL, self.MAX_LEVEL)
 
     def _classify_on_executors(self, spark, regions_df: DataFrame):
         """One-off distributed classification job: the per-region
@@ -208,7 +208,7 @@ class PipIndex:
         only collects the tiny (kind, level) distinct set and the generic
         region ids, never the candidate rows themselves."""
         grid = self.grid
-        base, ox, oy = self._base, self.ox, self.oy
+        base_x, base_y, ox, oy = self._base_x, self._base_y, self.ox, self.oy
         target, min_l, max_l = self.target_cells, self.MIN_LEVEL, self.MAX_LEVEL
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,7 +217,7 @@ class PipIndex:
                 out = []
                 for r in pdf.itertuples():
                     r_rows, is_generic = _classify_region(
-                        int(r.region_id), bytes(r.geom), grid, base, ox, oy,
+                        int(r.region_id), bytes(r.geom), grid, base_x, base_y, ox, oy,
                         target, min_l, max_l, geobox_cache=cache,
                     )
                     out.extend(
@@ -250,9 +250,10 @@ class PipIndex:
     # -- column helpers ----------------------------------------------------
 
     def _subcell_cols(self, lon: str, lat: str, level: int):
-        h = self._base / (1 << level)
-        scx = F.floor((F.col(lon) - F.lit(self.ox)) / F.lit(h)).cast("long")
-        scy = F.floor((F.col(lat) - F.lit(self.oy)) / F.lit(h)).cast("long")
+        hx = self._base_x / (1 << level)
+        hy = self._base_y / (1 << level)
+        scx = F.floor((F.col(lon) - F.lit(self.ox)) / F.lit(hx)).cast("long")
+        scy = F.floor((F.col(lat) - F.lit(self.oy)) / F.lit(hy)).cast("long")
         return scx, scy
 
     def join(

@@ -107,11 +107,13 @@ def rasterize_generic_regions(
     if index.rect_candidates is not None:
         parts.append(index.rect_candidates.select("tile_x", "tile_y", "region_id"))
     for level, (full_cells, boundary_cells) in index.levels.items():
-        hsub = index._base / (1 << level)
         for cells in (full_cells, boundary_cells):
             if cells is not None:
-                tx = F.floor((F.col("sc_x") * F.lit(hsub)) / F.lit(abs(size_x))).cast("int")
-                ty = F.floor((F.col("sc_y") * F.lit(hsub)) / F.lit(abs(size_y))).cast("int")
+                # the lattice is tile_size / 2^level per axis, so the tile
+                # is an exact arithmetic shift (floor division by 2^level,
+                # correct for negative indices too) — no float arithmetic
+                tx = F.shiftright(F.col("sc_x"), level).cast("int")
+                ty = F.shiftright(F.col("sc_y"), level).cast("int")
                 parts.append(cells.select(tx.alias("tile_x"), ty.alias("tile_y"), "region_id").distinct())
     cand = parts[0]
     for p in parts[1:]:

@@ -114,17 +114,44 @@ def test_knn_exact_flag(spark):
         assert (qid_v in inexact_qids) == violates
 
 
-def test_pip_index_rejects_rectangular_tiles(spark):
-    """Subcell lattice is square; rectangular tiles must fail loudly
-    (ADVICE: silent subcell→tile mis-assignment otherwise)."""
-    import pytest as _pytest
+def test_pip_index_rectangular_tiles(spark, pages_pdf):
+    """Rectangular tile grids are fully supported: the subcell lattice is
+    tile_size / 2^L PER AXIS (tile = subcell >> L exactly), so generic
+    polygons classify correctly on a 6°x4° grid — verified against the
+    brute-force python PIP oracle."""
+    import numpy as np
     from datacube_core_spark.geom.grid import GridSpec
+    from datacube_core_spark.geom.polygon import (
+        pack_multipolygon,
+        points_strictly_inside_multi,
+    )
     from datacube_core_spark.operators.pip import PipIndex
-    from datacube_core_spark.sources.regions import regions
+    from datacube_core_spark.sources.regions import regions_complex
 
-    rect_grid = GridSpec(crs="EPSG:4326", tile_size=(6.0, 4.0), resolution=(-0.05, 0.05), origin=(-90.0, -180.0))
-    with _pytest.raises(ValueError, match="tile_size"):
-        PipIndex(spark, regions(spark), rect_grid)
+    rect_grid = GridSpec(
+        crs="EPSG:4326", tile_size=(6.0, 4.0), resolution=(-0.05, 0.05), origin=(-90.0, -180.0)
+    )
+    shapes = regions_complex()
+    rows = [
+        (i, name, 0.0, 0.0, 0.0, 0.0, bytearray(pack_multipolygon(mp)))
+        for i, (name, mp) in enumerate(sorted(shapes.items()))
+    ]
+    regs = spark.createDataFrame(
+        rows, "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY"
+    )
+    p = pages(spark, SF_TINY)
+    idx = PipIndex(spark, regs, rect_grid)
+    got = {(int(r["doc_id"]), int(r["region_id"]))
+           for r in idx.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+
+    xs = pages_pdf.lon.to_numpy()
+    ys = pages_pdf.lat.to_numpy()
+    ids = pages_pdf.doc_id.to_numpy()
+    exp = set()
+    for i, (name, mp) in enumerate(sorted(shapes.items())):
+        inside = points_strictly_inside_multi(xs, ys, mp)
+        exp.update((int(d), i) for d in ids[inside])
+    assert got == exp and len(got) > 0
 
 
 def test_pip_index_distributed_classify_parity(spark):
