@@ -368,6 +368,18 @@ def q_lineage_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical multi-resolution rollup (hypertable-rollup shape):
+    page counts per cell at resolutions 0..3 of the quadtree over the
+    GridSpec lattice.  The Spark plan aggregates the base table ONCE and
+    folds coarser levels from the previous level's aggregates (log-depth);
+    the oracle re-groups the base per level — same values."""
+    from datacube_core_spark.operators.hier import rollup_counts
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    return rollup_counts(p, _G, max_res=3)
+
+
 def q_page_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datacube.load analog: sparse per-tile page-density rasters at 0.5°
     pixels (the create_storage binning step, pure Catalyst)."""
@@ -467,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage": q_lineage,
         "lineage_paths": q_lineage_paths,
         "page_density": q_page_density,
+        "cell_rollup": q_cell_rollup,
         "cell_obs": q_cell_obs,
         "fuse": q_fuse,
         "archive_less_mature": q_archive_less_mature,
@@ -791,7 +804,10 @@ FROM pc
 
     from datacube_core_spark.geom import GRID_MERC
     from datacube_core_spark.geom.grid import GRID_PAGES as _GP
+    from datacube_core_spark.operators.hier import sql_rollup_counts
     from datacube_core_spark.operators.warp import sql_reproject_sample
+
+    sqls["cell_rollup"] = sql_rollup_counts(_P, _GP, max_res=3)
 
     sqls["reproject"] = sql_reproject_sample(
         _P, REGIONS_CTE.strip(), _GP, 1.0, GRID_MERC, 256_000.0

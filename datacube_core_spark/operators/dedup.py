@@ -276,6 +276,11 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
 
+    # NOTE: a candidate-doc semi-join shrink of this self-join was
+    # measured SLOWER at sf0.1 (the candidate plan re-executes to build
+    # the broadcast and the checkpointed variant still loses to the plain
+    # join) — the shingle self-join below is already bounded by the LSH
+    # candidate density; keep the simple plan.
     a = sh.select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
     common = (

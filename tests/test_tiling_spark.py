@@ -76,3 +76,44 @@ def test_explode_plan_has_no_udf_and_prunes_columns(spark):
     # html/text must be pruned from the parquet scan
     explained = out._jdf.queryExecution().toString()
     assert "text" not in explained.split("ReadSchema")[-1][:200]
+
+
+def test_hier_rollup_fold_equals_per_level(spark):
+    """The log-depth aggregate fold must equal per-level re-aggregation of
+    the base table, and parent counts must equal the sum of children."""
+    from datacube_core_spark.operators.hier import cell_cols, rollup_counts
+    from datacube_core_spark.sources.pages import pages
+
+    p = pages(spark, SF_TINY)
+    out = rollup_counts(p, GRID_PAGES, max_res=3)
+    got = {(r["res"], r["cx"], r["cy"]): r["n"] for r in out.collect()}
+
+    for res in range(4):
+        cx, cy = cell_cols(GRID_PAGES, res, 3, F.col("lon"), F.col("lat"))
+        exp = {
+            (res, r["cx"], r["cy"]): r["n"]
+            for r in p.select(cx.alias("cx"), cy.alias("cy")).groupBy("cx", "cy").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        sub = {k: v for k, v in got.items() if k[0] == res}
+        assert sub == exp, f"res {res}"
+
+    # parent = sum of its (present) children
+    import collections
+    by_parent = collections.Counter()
+    for (res, cx, cy), n in got.items():
+        if res == 3:
+            by_parent[(2, cx >> 1, cy >> 1)] += n
+    for k, v in by_parent.items():
+        assert got[k] == v
+
+
+def test_hier_rollup_plan_scans_base_once(spark):
+    """Scale shape: the base table appears ONCE in the physical plan —
+    coarser levels fold aggregates, they never re-scan the input."""
+    from datacube_core_spark.operators.hier import rollup_counts
+    from datacube_core_spark.sources.pages import pages
+
+    out = rollup_counts(pages(spark, SF_TINY), GRID_PAGES, max_res=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") <= 1
