@@ -241,6 +241,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=10, n_bits=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (the brief's second scale path besides LSH):
+    deterministic k-means coarse quantizer (trained once from the fixed
+    sf0.01 parquet, centroids baked as literals into both engines),
+    vectors bucketed by nearest list, queries probe 2 lists, exact cosine
+    rerank.  Oracle-checked."""
+    from datacube_core_spark.operators.similarity import ivf_centroids_fixture, ivf_topk
+
+    cent = ivf_centroids_fixture()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivf_topk(emb, q, cent, k=10, n_probe=2)
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster↔vector round trip: rasterize the region patchwork at 1°
     pixels (pure Catalyst), then sample every page's snapped pixel center
@@ -471,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "cos_neardup": q_cos_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "raster_sample": q_raster_sample,
         "reproject": q_reproject,
         "dup_leniency": q_dup_leniency,
@@ -629,6 +644,10 @@ SELECT qid, vec_id, cos_sim, rank FROM (
     sqls["minhash_lsh"] = sql_minhash_lsh(CORPUS_CTE, n=3, threshold=0.5)
     sqls["simhash_near"] = sql_simhash_near(CORPUS_CTE, max_hamming=3)
     sqls["ann_lsh"] = sql_lsh_topk(k=10, n_bits=10, dim=64, qmod=50)
+
+    from datacube_core_spark.operators.similarity import ivf_centroids_fixture, sql_ivf_topk
+
+    sqls["ann_ivf"] = sql_ivf_topk(ivf_centroids_fixture(), k=10, n_probe=2, qmod=50)
     sqls["cos_neardup"] = sql_cosine_neardup(NEARDUP_CTE, "neardup", threshold=0.9, n_bits=8)
 
     sqls["dup_leniency"] = """

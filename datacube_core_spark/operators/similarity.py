@@ -247,3 +247,169 @@ SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cos_sim
 FROM c a JOIN c b ON a.vec_id < b.vec_id AND bit_count(xor(a.code, b.code)) <= 1
 WHERE {cos} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path the task brief names.
+# Coarse quantizer: deterministic Lloyd k-means (fixed seed/iterations)
+# trained driver-side on a sample; centroids become plan-time literals, so
+# the DuckDB twin reproduces cluster assignment bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a (sampled) collect of the vector
+    table — at 100 TB you train the quantizer on a sample, never the full
+    table; assignment stays distributed."""
+    rows = vectors.select(vec_col).limit(sample_limit).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
+def _dist2_cols(vec: Column, cent: np.ndarray) -> List[Column]:
+    """Squared distance to each centroid: ||x||² − 2·x·c + ||c||² with the
+    literal parts precomputed — one fold per centroid, same op order as
+    the SQL twin."""
+    x2 = dot_col(vec, vec)
+    out = []
+    for c in cent:
+        arr = F.array(*[F.lit(float(w)) for w in c])
+        c2 = float(np.dot(c, c))
+        out.append(x2 - F.lit(2.0) * dot_col(vec, arr) + F.lit(c2))
+    return out
+
+
+def ivf_assign_col(vec: Column, cent: np.ndarray) -> Column:
+    """argmin centroid index (1-based to mirror DuckDB list_position)."""
+    ds = _dist2_cols(vec, cent)
+    arr = F.array(*ds)
+    return F.array_position(arr, F.array_min(arr)).cast("int")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """IVF ANN top-k: vectors bucketed by nearest centroid (one shuffle
+    key), queries probe their ``n_probe`` nearest centroid lists, exact
+    cosine rerank within the probed lists.  The big side shuffles on the
+    list id; queries broadcast — same shape as the LSH path."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
+    v = v.withColumn("lst", ivf_assign_col(F.col("v"), centroids)).withColumn(
+        "na", norm_col(F.col("v"))
+    )
+
+    q = queries.select(F.col(query_id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv"))
+    qd = _dist2_cols(F.col("qv"), centroids)
+    pairs_arr = F.array(
+        *[F.struct(qd[i].alias("d"), F.lit(i + 1).alias("lst")) for i in range(len(centroids))]
+    )
+    probes = F.slice(F.array_sort(pairs_arr), 1, n_probe)
+    q = q.withColumn("lst", F.explode(F.transform(probes, lambda s: s["lst"]))).withColumn(
+        "nb", norm_col(F.col("qv"))
+    )
+
+    pairs = v.join(F.broadcast(q.select("qid", "qv", "nb", "lst")), on="lst")
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot_col(F.col("v"), F.col("qv")) / den).otherwise(F.lit(0.0))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_ivf_topk(centroids: np.ndarray, k: int = 10, n_probe: int = 2, qmod: int = 50) -> str:
+    """DuckDB twin of :func:`ivf_topk` over ``embeddings``."""
+    def dists(e: str) -> str:
+        terms = []
+        for c in centroids:
+            arr = "[" + ", ".join(_sql_double(w) for w in c) + "]"
+            c2 = _sql_double(float(np.dot(c, c)))
+            terms.append(
+                f"list_dot_product({e}, {e}) - 2.0 * list_dot_product({e}, {arr}) + {c2}"
+            )
+        return "[" + ", ".join(terms) + "]"
+
+    cos = _sql_cos("v.e", "q.e")
+    return f"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (
+  SELECT vec_id, e,
+         CAST(list_position({dists('e')}, list_min({dists('e')})) AS INT) AS lst
+  FROM base
+),
+qd AS (
+  SELECT vec_id AS qid, e, {dists('e')} AS ds FROM base WHERE vec_id % {qmod} = 0
+),
+qp AS (
+  SELECT qid, e, g.i AS lst
+  FROM qd, UNNEST(generate_series(1, {len(centroids)})) AS g(i)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ds[g.i], g.i) <= {n_probe}
+),
+cand AS (
+  SELECT q.qid, v.vec_id, {cos} AS cos_sim
+  FROM v JOIN qp q ON v.lst = q.lst
+)
+SELECT qid, vec_id, cos_sim, rank FROM (
+  SELECT qid, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
+_IVF_CACHE: dict = {}
+
+
+def ivf_centroids_fixture(
+    path: str = "/root/testdata/sf0.01/embeddings.parquet",
+    k: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic centroids trained once from a fixed parquet (pyarrow,
+    no Spark) — the quantizer is a TRAINING ARTIFACT shared as literals by
+    the Spark plan and the DuckDB twin, so assignment parity holds on any
+    input (training data affects recall, never correctness)."""
+    key = (path, k, iters, seed)
+    got = _IVF_CACHE.get(key)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    _IVF_CACHE[key] = cent
+    return cent
