@@ -28,7 +28,11 @@ import time
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="datacube_core_spark")
-    ap.add_argument("--job", default="headline", choices=["headline", "checkpointed", "knn"])
+    ap.add_argument(
+        "--job",
+        default="headline",
+        choices=["headline", "checkpointed", "knn", "reproject", "rollup"],
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repl", type=int, default=100)
     ap.add_argument("--state-dir", default="/tmp/dcs_state")
@@ -82,6 +86,33 @@ def main(argv=None) -> int:
         ran = job.run(cells, process, batch_size=256)
         n = job.committed_output().count()
         print(json.dumps({"batches_run": ran, "state_dir": args.state_dir}))
+    elif args.job == "reproject":
+        # cross-CRS pipeline: rasterize 4326 -> warp to Web Mercator -> sample
+        from .geom import GRID_MERC
+        from .operators.raster import rasterize_rect_regions
+        from .operators.warp import merc_region_tiles, sample_merc_rasters, warp_rasters_to_grid
+
+        regs = regions(spark)
+        src = rasterize_rect_regions(regs, GRID_PAGES, res=1.0)
+        cand = merc_region_tiles(regs, GRID_MERC)
+        warped = warp_rasters_to_grid(src, GRID_PAGES, 1.0, GRID_MERC, 256_000.0, cand, "nearest")
+        p = (
+            pages(spark, args.sf_dir, repl=args.repl)
+            .where((F.col("lat") > -85.0) & (F.col("lat") < 85.0))
+            .select("doc_id", "lon", "lat")
+        )
+        out = sample_merc_rasters(p, warped, GRID_MERC, 256_000.0)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        n = out.count()
+    elif args.job == "rollup":
+        from .operators.hier import rollup_counts
+
+        p = pages(spark, args.sf_dir, repl=args.repl)
+        out = rollup_counts(p, GRID_PAGES, max_res=3)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        n = out.count()
     else:  # knn
         from .operators.knn import knn_join
 
