@@ -167,3 +167,69 @@ def output_geobox(
     if not isinstance(bbox, BoundingBox):
         bbox = BoundingBox(*bbox)
     return GeoBox.from_bbox(bbox, resolution, crs=crs, align=align)
+
+
+def _warp_density(
+    dense: DataFrame,
+    grid: GridSpec,
+    res: float,
+    output_grid: GridSpec,
+    output_res: float,
+    resampling: str,
+) -> DataFrame:
+    """Warp dense per-tile rasters onto ``output_grid`` — candidates are
+    the output tiles overlapping the DATA's own tiles (no region table),
+    derived with the monotone merc corner arithmetic."""
+    from .geom.mercator import MAX_LAT, merc_x_col, merc_y_col
+    from .operators.warp import _axis_seq, warp_rasters_to_grid
+
+    sy, sx = grid.tile_size
+    oy, ox = grid.origin
+    d_sy, d_sx = output_grid.tile_size
+    d_oy, d_ox = output_grid.origin
+
+    src_tiles = dense.select("tile_x", "tile_y").distinct()
+    tl = F.col("tile_x").cast("double") * F.lit(abs(sx)) + F.lit(ox)
+    tr = tl + F.lit(abs(sx))
+    tb = F.col("tile_y").cast("double") * F.lit(abs(sy)) + F.lit(oy)
+    tt = tb + F.lit(abs(sy))
+    # clamp latitudes into the mercator domain (polar tiles would map to ±inf)
+    clamp = lambda c: F.greatest(F.least(c, F.lit(MAX_LAT)), F.lit(-MAX_LAT))
+    cand = (
+        src_tiles.withColumn(
+            "dst_tx", F.explode(_axis_seq(merc_x_col(tl), merc_x_col(tr), d_ox, abs(d_sx)))
+        )
+        .withColumn(
+            "dst_ty",
+            F.explode(_axis_seq(merc_y_col(clamp(tb)), merc_y_col(clamp(tt)), d_oy, abs(d_sy))),
+        )
+        .select("dst_tx", "dst_ty", F.lit(0).alias("region_id"))
+        .distinct()
+    )
+    src = dense.select(
+        "tile_x", "tile_y", F.lit(0).alias("region_id"),
+        F.col("raster").cast("array<int>").alias("raster"),
+    )
+    out = warp_rasters_to_grid(src, grid, res, output_grid, output_res, cand, resampling)
+    return out.drop("region_id")
+
+
+def _load_density_reprojected(
+    self,
+    res: float,
+    output_grid: GridSpec = None,
+    output_res: float = 256_000.0,
+    resampling: str = "nearest",
+    **query,
+):
+    """``dc.load(output_crs=...)`` analog: per-tile density rasters warped
+    onto a target-CRS grid (default Web Mercator), any of the 13
+    resampling modes.  Output (dst_tx, dst_ty, h, w, raster)."""
+    from .geom.grid import GRID_MERC
+
+    output_grid = output_grid or GRID_MERC
+    dense = self.load_density(res, dense=True, **query)
+    return _warp_density(dense, self.grid, res, output_grid, output_res, resampling)
+
+
+Datacube.load_density_reprojected = _load_density_reprojected

@@ -102,3 +102,48 @@ def test_output_geobox_precedence():
 
     with pytest.raises(ValueError, match="Bounds"):
         output_geobox(grid_spec=GRID_A)
+
+
+def test_load_density_reprojected(spark):
+    """dc.load(output_crs=...) analog: density rasters warped to Web
+    Mercator; warped pixel values at back-projected centers equal the
+    source density pixels (pointwise nearest-warp recompute)."""
+    import numpy as np
+    from datacube_core_spark.api import Datacube
+    from datacube_core_spark.geom import GRID_MERC, GRID_PAGES
+    from datacube_core_spark.geom.mercator import merc_to_lonlat
+
+    dc = Datacube(spark, SF_TINY, repl=4)
+    out = dc.load_density_reprojected(1.0)
+    rows = out.collect()
+    assert rows and any(max(r["raster"]) > 0 for r in rows)
+
+    # source density for pointwise check
+    src = {
+        (r["tile_x"], r["tile_y"]): np.array(r["raster"]).reshape(r["h"], r["w"])
+        for r in dc.load_density(1.0, dense=True).collect()
+    }
+    d_sx = abs(GRID_MERC.tile_size[1]); d_sy = abs(GRID_MERC.tile_size[0])
+    d_ox = GRID_MERC.origin[1]; d_oy = GRID_MERC.origin[0]
+    checked = 0
+    for r in rows[:20]:
+        arr = np.array(r["raster"]).reshape(r["h"], r["w"])
+        d_left = r["dst_tx"] * d_sx + d_ox
+        d_top = (r["dst_ty"] + 1) * d_sy + d_oy
+        for (j, i) in [(0, 0), (3, 5), (7, 7)]:
+            cx = d_left + (i + 0.5) * 256_000.0
+            cy = d_top - (j + 0.5) * 256_000.0
+            lon, lat = merc_to_lonlat(cx, cy)
+            stx = int(np.floor((lon - (-180.0)) / 4.0))
+            sty = int(np.floor((lat - (-90.0)) / 4.0))
+            sarr = src.get((stx, sty))
+            px = int(np.floor(lon - (stx * 4.0 - 180.0)))
+            py = int(np.floor(((sty + 1) * 4.0 - 90.0) - lat))
+            exp = 0
+            if sarr is not None and 0 <= px < 4 and 0 <= py < 4:
+                exp = int(sarr[py, px])
+            if not (-85.051 < lat < 85.051):
+                continue  # outside merc domain: kernel yields 0
+            assert int(arr[j, i]) == exp, (r["dst_tx"], r["dst_ty"], j, i)
+            checked += 1
+    assert checked >= 30
