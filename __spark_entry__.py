@@ -172,6 +172,54 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline, Catalyst-only tier: per-lang
+    stats over the opaque ``html:binary`` payload (byte lengths, a
+    magic-bytes format sniff on the first 6 bytes, payload fingerprint
+    count) — the metadata/typed-columns half of SURVEY's multimodal row
+    (the codec half is the documented mapInPandas stub)."""
+    p = pages(spark, sf_dir, repl=1)
+    sniff = F.when(
+        F.substring(F.col("html"), 1, 6) == F.lit(b"<html>"), "html"
+    ).otherwise("other")
+    return (
+        p.select(
+            "lang",
+            F.length(F.col("html")).alias("nbytes"),
+            sniff.alias("fmt"),
+            F.md5(F.col("html")).alias("fp"),
+        )
+        .groupBy("lang", "fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nbytes").alias("sum_bytes"),
+            F.min("nbytes").alias("min_bytes"),
+            F.max("nbytes").alias("max_bytes"),
+            F.count_distinct("fp").alias("n_distinct_payloads"),
+        )
+    )
+
+
+def q_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmask predicate (reference make_mask, utils/masking.py:81-189):
+    deterministic flag word per doc; rows where (flags & mask) == value,
+    counted per matched category — pure Catalyst bit arithmetic."""
+    from datacube_core_spark.plans.query import make_mask_pred
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    flags = ((F.col("doc_id") * 2654435761) % 256).cast("long")
+    d = docs.withColumn("flags", flags)
+    # category A: bits 0-1 == 0b10 ; category B: bit 7 set
+    cat_a = make_mask_pred(F.col("flags"), mask=0b11, value=0b10)
+    cat_b = make_mask_pred(F.col("flags"), mask=0b10000000, value=0b10000000)
+    return d.select(
+        F.sum(cat_a.cast("long")).alias("n_cat_a"),
+        F.sum(cat_b.cast("long")).alias("n_cat_b"),
+        F.sum((cat_a & cat_b).cast("long")).alias("n_both"),
+        F.count("*").alias("n_total"),
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the planted corpus (fingerprint groups)."""
     from datacube_core_spark.operators.dedup import exact_dup_groups
@@ -478,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_detect": q_dup_detect,
         "lang_stats": q_lang_stats,
         "text_features": q_text_features,
+        "media_stats": q_media_stats,
+        "bitmask": q_bitmask,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -584,6 +634,34 @@ WITH corpus AS (
 )
 SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper, MAX(doc_id) AS dup_max
 FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    _P1 = pages_cte(1)
+    # the SQL pages CTE prunes html (column-pruning mirror!) — derive it
+    # inline exactly as the Spark source does; strlen = UTF-8 byte length
+    sqls["media_stats"] = f"""{_P1},
+m AS (
+  SELECT lang, '<html><body>' || text || '</body></html>' AS h FROM pages
+)
+SELECT lang,
+       CASE WHEN h LIKE '<html>%' THEN 'html' ELSE 'other' END AS fmt,
+       COUNT(*) AS n,
+       CAST(SUM(strlen(h)) AS BIGINT) AS sum_bytes,
+       CAST(MIN(strlen(h)) AS INT) AS min_bytes,
+       CAST(MAX(strlen(h)) AS INT) AS max_bytes,
+       COUNT(DISTINCT md5(h)) AS n_distinct_payloads
+FROM m GROUP BY 1, 2
+"""
+
+    sqls["bitmask"] = """
+WITH d AS (
+  SELECT doc_id, (doc_id * 2654435761) % 256 AS flags FROM documents
+)
+SELECT CAST(SUM(CASE WHEN (flags & 3) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cat_a,
+       CAST(SUM(CASE WHEN (flags & 128) = 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_cat_b,
+       CAST(SUM(CASE WHEN (flags & 3) = 2 AND (flags & 128) = 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       COUNT(*) AS n_total
+FROM d
 """
 
     sqls["lang_stats"] = """
