@@ -108,3 +108,24 @@ def test_knn_join_is_broadcast(spark):
     out = knn_join(p, q, GRID_PAGES, k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_all_entry_plans_are_scale_shaped(spark):
+    """Sweeping plan gate over EVERY entry query: no row-at-a-time Python
+    (EvalPython/BatchEvalPython) anywhere, and no cartesian product except
+    the deliberate brute-force baselines (ann_topk broadcasts a tiny query
+    side through crossJoin; knn's ring table is a broadcast cross of ring
+    offsets — bounded by (2r+1)^2, not data-sized)."""
+    import __spark_entry__ as entry_mod
+
+    CARTESIAN_OK = {"ann_topk", "knn"}  # documented brute-force/ring shapes
+    failures = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        df = fn(spark, SF_TINY)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan or "EvalPython " in plan:
+            failures.append(f"{name}: row-at-a-time Python")
+        cartesian = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        if cartesian and name not in CARTESIAN_OK:
+            failures.append(f"{name}: cartesian product")
+    assert not failures, failures
