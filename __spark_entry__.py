@@ -258,6 +258,18 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(dedup_corpus(spark, sf_dir), max_hamming=3)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    minhash-LSH near-dup pairs (min-label propagation fixpoint) — the
+    keep-one-canonical-doc-per-cluster step.  Oracle: recursive
+    reachability CTE over the same (oracle-verified) pair list."""
+    from datacube_core_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+    from datacube_core_spark.sources.corpus import dedup_corpus
+
+    pairs = minhash_lsh_pairs(dedup_corpus(spark, sf_dir), n=3, threshold=0.5)
+    return dup_clusters(pairs)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 per query vector (brute-force baseline)."""
     from datacube_core_spark.operators.similarity import brute_force_topk
@@ -532,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
+        "dup_clusters": q_dup_clusters,
         "ann_topk": q_ann_topk,
         "cos_neardup": q_cos_neardup,
         "ann_lsh": q_ann_lsh,
@@ -720,6 +733,12 @@ SELECT qid, vec_id, cos_sim, rank FROM (
     from datacube_core_spark.sources.vectors import NEARDUP_CTE
 
     sqls["minhash_lsh"] = sql_minhash_lsh(CORPUS_CTE, n=3, threshold=0.5)
+
+    from datacube_core_spark.operators.dedup import sql_dup_clusters
+
+    # the minhash twin (a full WITH...SELECT) nests as the pair-list
+    # subquery of the components CTE
+    sqls["dup_clusters"] = sql_dup_clusters(sql_minhash_lsh(CORPUS_CTE, n=3, threshold=0.5))
     sqls["simhash_near"] = sql_simhash_near(CORPUS_CTE, max_hamming=3)
     sqls["ann_lsh"] = sql_lsh_topk(k=10, n_bits=10, dim=64, qmod=50)
 

@@ -478,3 +478,93 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM simh a JOIN simh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every doc gets the
+    MIN doc id of its duplicate cluster as ``cluster`` — the "keep one
+    canonical doc per cluster" step that closes a dedup pipeline.
+
+    Plan: iterative min-label propagation + POINTER JUMPING (each round
+    additionally replaces a node's label with its label's label — the
+    large-star/small-star contraction idea), which converges in
+    O(log diameter) rounds instead of O(diameter); each round is two
+    shuffles; labels are localCheckpoint-truncated like the lineage
+    fixpoint.  Raises if the fixpoint is not reached within
+    ``max_iters`` (silently-partial components would corrupt a dedup
+    keep-list).  Returns (doc_id, cluster).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges["v"] == labels["doc_id"], "inner")
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        stepped = labels.join(neigh_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
+        )
+        # pointer jumping: label <- label[label] (halves chain depth)
+        jump = stepped.select(F.col("doc_id").alias("jd"), F.col("cluster").alias("jc"))
+        new_labels = (
+            stepped.join(jump, stepped["cluster"] == jump["jd"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce(F.col("jc"), F.col("cluster"))).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+        )
+        labels = new_labels
+        if len(changed.take(1)) == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"dup_clusters did not converge within max_iters={max_iters} "
+            "(graph deeper than 2^iters?) — raise max_iters"
+        )
+    return labels
+
+
+def sql_dup_clusters(pairs_sql: str) -> str:
+    """DuckDB twin: component id = min(node reachable), via a recursive
+    reachability CTE over the undirected edges (``pairs_sql`` must yield
+    columns a, b)."""
+    return f"""WITH RECURSIVE pr AS ({pairs_sql}),
+edges AS (
+  SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr
+),
+reach AS (
+  SELECT u AS root, u AS node FROM edges
+  UNION
+  SELECT r.root, e.v AS node FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT root AS doc_id, MIN(node) AS cluster FROM reach GROUP BY 1
+"""

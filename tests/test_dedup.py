@@ -163,3 +163,39 @@ def test_simhash_near_pairs_exact_twins(spark, corpus):
     }
     for t in twins:
         assert pairs.get(t) == 0, f"exact twin {t} not at hamming 0"
+
+
+def test_dup_clusters_components(spark):
+    """Connected components: chain, triangle+appendage, singles pair —
+    each node labeled with its component's min id; convergence beats
+    diameter via min-label propagation."""
+    from datacube_core_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain -> cluster 1
+            (10, 11), (11, 12), (10, 12),    # triangle
+            (12, 13),                        # appendage -> cluster 10
+            (20, 21),                        # pair -> cluster 20
+        ],
+        "a LONG, b LONG",
+    )
+    got = {int(r["doc_id"]): int(r["cluster"]) for r in dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dup_clusters_deep_chain_and_nonconvergence(spark):
+    """Pointer jumping converges a diameter-64 chain within the default
+    iteration budget; forced under-budget raises instead of returning
+    silently partial components."""
+    from datacube_core_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(64)], "a LONG, b LONG")
+    out = dup_clusters(chain)
+    assert {int(r["cluster"]) for r in out.collect()} == {0}
+    with pytest.raises(ValueError, match="did not converge"):
+        dup_clusters(chain, max_iters=2)
