@@ -76,6 +76,35 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 # ---------------------------------------------------------------------------
+# skew-safe document-frequency cut
+# ---------------------------------------------------------------------------
+
+def _df_cut(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_df`` docs, then recount
+    ``n_sh`` over the kept-shingle space.
+
+    Skew-safety is the point: the heavy-hitter list is computed with a
+    ``groupBy(shingle).count()`` (hash aggregate WITH partial/map-side
+    combine — a hot stop-shingle contributes one partial row per input
+    partition, never a single-task pile-up) and is tiny by construction
+    (≤ |rows| / max_df entries), so it broadcasts; the cut itself is a
+    broadcast ``left_anti`` join.  The earlier Window-over-shingle form
+    measured slightly cheaper at sf0.1 but funnels every row of a hot
+    shingle into ONE task before filtering — the guard against quadratic
+    buckets must not itself be a straggler/OOM on the very key it guards
+    (see scripts/skew_bench.py stop-shingle case for the measured bound).
+
+    The per-doc recount window is partitioned on ``doc_id`` — bounded by a
+    single document's shingle count, inherently skew-safe.
+    """
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("_df")).where(F.col("_df") > F.lit(max_df)).select("shingle")
+    return (
+        sh.join(F.broadcast(hot), "shingle", "left_anti")
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard pairs (brute-force oracle-checkable path)
 # ---------------------------------------------------------------------------
 
@@ -107,15 +136,7 @@ def jaccard_pairs(
     """
     sh = with_shingles(docs, n, id_col, text_col)
     if max_df is not None:
-        # window counts instead of groupBy+join-back: one exchange per key
-        # (shingle for the df, doc_id for the recount) — measured cheaper
-        # than the 3-exchange join form at sf0.1
-        sh = (
-            sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
-            .where(F.col("_df") <= F.lit(max_df))
-            .drop("_df")
-            .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        )
+        sh = _df_cut(sh, max_df)
     a = sh.select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
     common = (
@@ -276,13 +297,27 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
 
-    # NOTE: a candidate-doc semi-join shrink of this self-join was
-    # measured SLOWER at sf0.1 (the candidate plan re-executes to build
-    # the broadcast and the checkpointed variant still loses to the plain
-    # join) — the shingle self-join below is already bounded by the LSH
-    # candidate density; keep the simple plan.
-    a = sh.select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
-    b = sh.select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
+    # Bound the exact-Jaccard verify: the shingle table is semi-joined PER
+    # SIDE on the candidate doc-id sets BEFORE the shingle self-join, so
+    # the join touches only candidate docs' shingles — cost is
+    # O(Σ df_cand²) over the LSH-selected docs instead of O(Σ df²) over
+    # the full corpus (the unbounded form was the one data-dependent
+    # quadratic plan in this pipeline: a corpus-wide stop-shingle blew it
+    # up regardless of how few candidates LSH produced — bounded-input
+    # proof in scripts/skew_bench.py).  ``cand`` is eagerly
+    # localCheckpoint-ed so the banded-join plan runs ONCE and the
+    # semi-joins + final pair restriction all read the materialized result
+    # (the r1 measurement that found the semi-join slower was re-executing
+    # the candidate plan to build it).
+    cand = cand.localCheckpoint(eager=True)
+    a = (
+        sh.join(cand.select(F.col("a").alias("doc_id")), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
+    )
+    b = (
+        sh.join(cand.select(F.col("b").alias("doc_id")), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
+    )
     common = (
         a.join(b, "shingle")
         .join(cand, ["a", "b"], "left_semi")
@@ -524,25 +559,26 @@ def dup_clusters(
         )
         stepped = labels.join(neigh_min, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster").alias("_prev"),
             F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
         )
-        # pointer jumping: label <- label[label] (halves chain depth)
+        # pointer jumping: label <- label[label] (halves chain depth).
+        # The round's previous label rides along as ``_prev`` so the
+        # convergence check below is a predicate scan of the checkpointed
+        # result — NOT an extra label-vs-label join per round (which was
+        # one full shuffle per iteration of the slowest pipeline query).
         jump = stepped.select(F.col("doc_id").alias("jd"), F.col("cluster").alias("jc"))
         new_labels = (
             stepped.join(jump, stepped["cluster"] == jump["jd"], "left")
             .select(
                 "doc_id",
+                "_prev",
                 F.least(F.col("cluster"), F.coalesce(F.col("jc"), F.col("cluster"))).alias("cluster"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-        )
-        labels = new_labels
-        if len(changed.take(1)) == 0:
+        labels = new_labels.select("doc_id", "cluster")
+        if len(new_labels.where(F.col("cluster") != F.col("_prev")).take(1)) == 0:
             converged = True
             break
     if not converged:

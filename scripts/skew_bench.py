@@ -37,6 +37,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--fuse-rows", type=int, default=100_000)
+    ap.add_argument("--dedup-docs", type=int, default=4_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -91,11 +92,80 @@ def main() -> None:
     fuse_kernel = timed(lambda: _drain(fuse_first_valid_kernel(
         fdf, ["tx", "ty"], ["sv"], "id", "arr", -1.0)), runs=1)
 
+    # --- planted stop-shingle: dedup pipeline skew guards -----------------
+    # Every doc contains the shingle "zz zz zz" (df = N, the pathological
+    # hot key a real web corpus always has); docs 0..19 form 10 identical
+    # pairs (the true near-dups).  Proves:
+    #   (a) jaccard_pairs' df-cut bounds the pair-join's max hash bucket to
+    #       the residual max-df (here 2), vs N for the uncut join, and the
+    #       broadcast-anti cut form beats the old Window-over-shingle form
+    #       under this exact skew (the window funnels all N hot rows into
+    #       one task before filtering);
+    #   (b) minhash_lsh_pairs' candidate-bounded verify joins only
+    #       candidate docs' shingles (max bucket ≈ |cand docs|), vs the
+    #       unbounded full-corpus self-join (max bucket = N → N² pair rows
+    #       inside ONE task).
+    from pyspark.sql import Window
+
+    from datacube_core_spark.operators.dedup import (
+        _df_cut, jaccard_pairs, minhash_lsh_pairs, with_shingles,
+    )
+
+    nd = args.dedup_docs
+    gid = F.when(F.col("id") < 20, F.floor(F.col("id") / 2)).otherwise(F.col("id"))
+    docs = spark.range(0, nd, 1, args.cpus * 2).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("zz zz zz a%s b%s c%s d%s e%s", gid, gid, gid, gid, gid).alias("text"),
+    ).localCheckpoint(eager=True)
+
+    sh = with_shingles(docs, 3)
+    max_bucket_raw = sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    max_bucket_cut = (
+        _df_cut(sh, 100).groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+
+    def window_cut_jaccard():  # the pre-r3 Window-over-shingle form, for comparison
+        s = (
+            with_shingles(docs, 3)
+            .withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            .where(F.col("_df") <= 100).drop("_df")
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        )
+        a = s.select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
+        b = s.select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
+        c = (a.join(b, "shingle").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "n_a", "n_b").agg(F.count("*").alias("common")))
+        jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        return c.where(jac >= 0.5).count()
+
+    jac_window = timed(window_cut_jaccard, runs=1)
+    jac_anti = timed(lambda: jaccard_pairs(docs, max_df=100).count(), runs=1)
+
+    def unbounded_verify():  # the pre-r3 verify: full-corpus shingle self-join
+        s = with_shingles(docs, 3).localCheckpoint(eager=False)
+        cand = minhash_lsh_pairs(docs, verify=False).localCheckpoint(eager=True)
+        a = s.select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
+        b = s.select(F.col("doc_id").alias("b"), "shingle", F.col("n_sh").alias("n_b"))
+        return (a.join(b, "shingle").join(cand, ["a", "b"], "left_semi")
+                .groupBy("a", "b", "n_a", "n_b").agg(F.count("*").alias("common")).count())
+
+    mh_unbounded = timed(unbounded_verify, runs=1)
+    mh_bounded = timed(lambda: minhash_lsh_pairs(docs).count(), runs=1)
+
     print(json.dumps({
         "rows": args.rows, "cpus": args.cpus,
         "algebraic": {"plain_groupby_sec": plain, "salted_sec": salted},
         "fuse_rows": args.fuse_rows,
         "fuser": {"plain_sec": fuse_plain, "salted_sec": fuse_salted, "kernel_sec": fuse_kernel},
+        "stop_shingle": {
+            "docs": nd,
+            "max_join_bucket_raw": max_bucket_raw,
+            "max_join_bucket_after_cut": max_bucket_cut,
+            "jaccard_window_cut_sec": jac_window,
+            "jaccard_anti_cut_sec": jac_anti,
+            "minhash_verify_unbounded_sec": mh_unbounded,
+            "minhash_verify_bounded_sec": mh_bounded,
+        },
     }))
     spark.stop()
 
