@@ -19,7 +19,8 @@ completed cells.  Semantics come from the reference:
 
 Commit discipline (the Iceberg-snapshot validity rule, made explicit):
 every batch writes its output under a *batch-scoped partition*
-(``output/batch_id=<job>-<seq>/``) BEFORE appending its checkpoint rows,
+(``output/batch_id=<job>-<attempt_nonce>-<seq>/``) BEFORE appending its
+checkpoint rows,
 which carry the same ``batch_id``.  A batch's output is committed iff a
 ``done`` checkpoint row with its batch_id exists; ``committed_output()``
 semi-joins on batch_id, so a kill in the window between the output append
@@ -140,10 +141,18 @@ class CheckpointedJob:
         todo.sort()
         batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
         ran = 0
+        # batch_id carries a per-run-ATTEMPT nonce, not just (job_id, seq):
+        # a retry that reuses the same job_id (the natural resume) restarts
+        # seq over the remaining cells, and with a job_id-seq-only id it
+        # would append into the partition already holding the orphaned rows
+        # of an attempt killed inside the commit window — committing that
+        # batch would then surface both copies.  The nonce makes every
+        # attempt's partitions disjoint; orphans stay orphaned forever.
+        attempt_nonce = uuid.uuid4().hex[:8]
         for seq, batch in enumerate(batches, start=1):
             if max_batches is not None and ran >= max_batches:
                 break
-            batch_id = f"{self.job_id}-{seq:06d}"
+            batch_id = f"{self.job_id}-{attempt_nonce}-{seq:06d}"
             t0 = time.perf_counter()
             out_df, n_inputs = process_batch(batch)
             # observe() rides the write action: one execution, no second

@@ -54,7 +54,9 @@ def knn_join(
     (ring exhausted before the k-th candidate fell inside the guaranteed
     radius — results may be incomplete or non-minimal), so callers can
     distinguish guaranteed answers from truncated ones instead of
-    silently trusting them.
+    silently trusting them.  A query whose ``max_r`` ring holds ZERO
+    pages still emits one marker row (null doc_id/dist_sq/rank,
+    exact=False) — no query ever silently disappears from the output.
 
     ``broadcast_queries=True`` (default) broadcasts the exploded query
     ring — right for a small query set.  ``False`` switches to a shuffle
@@ -110,12 +112,30 @@ def knn_join(
         exhausted = r >= max_r
         if exhausted:
             # everything still pending resolves now; rows that fail the
-            # guarantee are flagged exact=False rather than silently kept
-            resolved_q = stats.select("qid", guaranteed.alias("exact"))
+            # guarantee are flagged exact=False rather than silently kept.
+            # Left-join the PENDING set (not just stats): a query whose
+            # max_r ring contains zero pages has no topk/stats row at all —
+            # it must still surface as an explicit exact=False marker row
+            # (null doc_id/dist/rank) instead of silently vanishing.
+            pend_stats = pending.select("qid").join(stats, on="qid", how="left")
+            resolved_q = pend_stats.select(
+                "qid", F.coalesce(guaranteed, F.lit(False)).alias("exact")
+            )
+            id_type = dict(pages_t.dtypes)[id_col]
+            empty_marks = pend_stats.where(F.col("n").isNull()).select(
+                "qid",
+                F.lit(None).cast(id_type).alias(id_col),
+                F.lit(None).cast("double").alias("dist_sq"),
+                F.lit(None).cast("int").alias("rank"),
+                F.lit(False).alias("exact"),
+            )
         else:
             resolved_q = stats.where(guaranteed).select("qid", F.lit(True).alias("exact"))
+            empty_marks = None
 
         batch = topk.join(F.broadcast(resolved_q), on="qid", how="inner")
+        if empty_marks is not None:
+            batch = batch.unionByName(empty_marks)
         results = batch if results is None else results.unionByName(batch)
 
         pending = pending.join(F.broadcast(resolved_q), on="qid", how="left_anti")

@@ -6,7 +6,7 @@ Mirrors the reference's index write API (``datacube/index/abstract.py``:
 ``drivers/postgres/_api.py:545``) against a columnar lake layout.
 
 Design (Spark-first, no in-place updates): an **event-sourced append-only
-log**.  Every mutation appends rows ``(payload..., _seq, _op,
+log**.  Every mutation appends rows ``(payload..., _seq, _tie, _op,
 _archived)``; the current state of a dataset is its highest-``_seq``
 event ("last writer wins" — exactly an Iceberg MoR position-delete /
 upsert snapshot chain, expressed as parquet appends in this sandbox).
@@ -26,7 +26,7 @@ amplification — the Iceberg ``rewrite_data_files`` analog.
 from __future__ import annotations
 
 import os
-import time
+import uuid
 from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -41,9 +41,24 @@ class DatasetStore:
         self.base = base_path.rstrip("/")
         self.id_col = id_col
         self.log_path = f"{self.base}/dataset_log"
-        self._seq = int(time.time() * 1_000_000)
+        # seq continues from the log's max — NOT the wall clock: two store
+        # instances opened against the same path (or one opened after a
+        # clock regression) must never emit out-of-order seqs relative to
+        # events already persisted.  Equal seqs from genuinely concurrent
+        # writers are resolved deterministically by the per-process
+        # ``_tie`` nonce in the last-writer-wins ordering (arbitrary
+        # between the two writers, but stable across every read).
+        self._seq = self._max_logged_seq()
+        self._tie = uuid.uuid4().hex[:12]
 
     # -- internals ----------------------------------------------------------
+
+    def _max_logged_seq(self) -> int:
+        log = self._log()
+        if log is None:
+            return 0
+        mx = log.agg(F.max("_seq")).collect()[0][0]
+        return int(mx) if mx is not None else 0
 
     def _next_seq(self) -> int:
         self._seq += 1
@@ -61,6 +76,7 @@ class DatasetStore:
         seq = self._next_seq()
         out = (
             df.withColumn("_seq", F.lit(seq))
+            .withColumn("_tie", F.lit(self._tie))
             .withColumn("_op", F.lit(op))
             .withColumn("_archived", F.lit(archived_ts).cast("timestamp"))
         )
@@ -75,7 +91,7 @@ class DatasetStore:
         log = self._log()
         if log is None:
             return None
-        w = Window.partitionBy(self.id_col).orderBy(F.col("_seq").desc())
+        w = Window.partitionBy(self.id_col).orderBy(F.col("_seq").desc(), F.col("_tie").desc())
         return log.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
     # -- read side -----------------------------------------------------------
@@ -89,7 +105,7 @@ class DatasetStore:
         live = st.where(F.col("_op") != "purge")
         if not include_archived:
             live = live.where(F.col("_archived").isNull())
-        return live.drop("_seq", "_op")
+        return live.drop("_seq", "_tie", "_op")
 
     def has(self, dataset_id) -> bool:
         return self.bulk_has([dataset_id])[0]
@@ -153,7 +169,7 @@ class DatasetStore:
         return (
             st.where(F.col("_op") != "purge")
             .join(F.broadcast(ids_df), on=self.id_col, how="left_semi")
-            .drop("_seq", "_op", "_archived")
+            .drop("_seq", "_tie", "_op", "_archived")
         )
 
     def archive(self, ids: Iterable) -> int:
@@ -165,6 +181,7 @@ class DatasetStore:
             seq = self._next_seq()
             out = (
                 rows.withColumn("_seq", F.lit(seq))
+                .withColumn("_tie", F.lit(self._tie))
                 .withColumn("_op", F.lit("archive"))
                 .withColumn("_archived", F.current_timestamp())
             )
@@ -196,7 +213,7 @@ class DatasetStore:
                     f"cannot purge non-archived dataset {bad[0][self.id_col]} "
                     "(pass allow_non_archived=True to force)"
                 )
-        rows = targets.drop("_seq", "_op", "_archived")
+        rows = targets.drop("_seq", "_tie", "_op", "_archived")
         n = rows.count()
         if n:
             self._append(rows, "purge")

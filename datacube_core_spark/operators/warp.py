@@ -84,6 +84,16 @@ def warp_rasters_to_grid(
     ``dst_candidates``: (dst_tx, dst_ty, region_id).
     Returns (dst_tx, dst_ty, region_id, h, w, raster) on dst_grid with the
     no-coverage pixels resolved to 0.
+
+    PRECONDITION — src pixel values must be ≥ 0: the partial-fuse uses the
+    in-band sentinel ``PARTIAL_NODATA = -1`` with a ``greatest`` fold and a
+    final clamp-to-0, which is only lossless for non-negative data (a
+    legitimately negative pixel would lose to other partials and then be
+    clamped).  The warp kernel VALIDATES this per batch and raises on the
+    first negative input pixel rather than silently corrupting output;
+    signed rasters need a (valid, value)-struct fuse — not implemented
+    because every current producer (rasterize counts/densities) is
+    non-negative by construction.
     """
     s_sy, s_sx = src_grid.tile_size
     s_oy, s_ox = src_grid.origin
@@ -161,6 +171,12 @@ def warp_rasters_to_grid(
                 s_top = (r.src_ty + 1) * abs(s_sy) + s_oy
                 s_affine = Affine(src_res, 0.0, s_left, 0.0, -src_res, s_top)
                 src_arr = np.asarray(r.raster, dtype=np.int32).reshape(sh, sw)
+                if src_arr.min() < 0:
+                    raise ValueError(
+                        "warp_rasters_to_grid requires non-negative src pixels "
+                        f"(got {int(src_arr.min())} in src tile ({r.src_tx},{r.src_ty})): "
+                        "the -1 in-band fuse sentinel would corrupt signed data"
+                    )
                 if nearest:
                     sx_w, sy_w = dst_lonlat(int(r.dst_tx), int(r.dst_ty))
                     inv_s = ~s_affine
@@ -320,8 +336,8 @@ sp AS (
 ),
 sc AS (
   SELECT doc_id, region_id, rl, rb, rr, rt,
-         (stx * {s_sx!r} + ({s_ox!r})) + (FLOOR(lon_c - (stx * {s_sx!r} + ({s_ox!r}))) + 0.5) * {src_res!r} AS scx,
-         ((sty + 1) * {s_sy!r} + ({s_oy!r})) - (FLOOR(((sty + 1) * {s_sy!r} + ({s_oy!r})) - lat_c) + 0.5) * {src_res!r} AS scy
+         (stx * {s_sx!r} + ({s_ox!r})) + (FLOOR((lon_c - (stx * {s_sx!r} + ({s_ox!r}))) / {src_res!r}) + 0.5) * {src_res!r} AS scx,
+         ((sty + 1) * {s_sy!r} + ({s_oy!r})) - (FLOOR((((sty + 1) * {s_sy!r} + ({s_oy!r})) - lat_c) / {src_res!r}) + 0.5) * {src_res!r} AS scy
   FROM sp
 )
 SELECT doc_id, region_id,

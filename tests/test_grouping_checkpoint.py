@@ -197,6 +197,33 @@ def test_checkpoint_crash_inside_commit_window(spark, tmp_path):
     assert {(int(r["cell_x"]), int(r["cell_y"])) for r in out} == {(x, 0) for x in range(4)}
 
 
+def test_checkpoint_crash_resume_same_job_id(spark, tmp_path):
+    """Retry under the SAME job_id (the natural resume, constructor-
+    supported) after a kill inside the commit window: the per-attempt
+    batch_id nonce must keep the retry's partitions disjoint from the
+    orphaned first-attempt directory — no duplicate rows may surface."""
+    import pytest as _pytest
+
+    base = str(tmp_path / "job")
+    cells = spark.createDataFrame([(x, 0) for x in range(4)], "cell_x INT, cell_y INT")
+
+    def process(batch):
+        rows = [(cx, cy, f"{cx},{cy}") for cx, cy in batch]
+        return spark.createDataFrame(rows, "cell_x INT, cell_y INT, payload STRING"), len(rows)
+
+    job1 = CheckpointedJob(spark, base, job_id="same-job")
+    with _pytest.raises(RuntimeError, match="commit window"):
+        job1.run(cells, process, batch_size=2, fail_before_checkpoint=2)
+
+    job2 = CheckpointedJob(spark, base, job_id="same-job")  # SAME id
+    ran = job2.run(cells, process, batch_size=2)
+    assert ran == 1
+
+    out = job2.committed_output().collect()
+    assert len(out) == 4, "same-job_id retry re-filled the orphaned partition"
+    assert {(int(r["cell_x"]), int(r["cell_y"])) for r in out} == {(x, 0) for x in range(4)}
+
+
 def test_committed_output_empty_safe(spark, tmp_path):
     job = CheckpointedJob(spark, str(tmp_path / "nothing-yet"), job_id="x")
     assert job.committed_output().count() == 0

@@ -244,3 +244,19 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     r4, r8, r10 = recall(4), recall(8), recall(10)
     assert r4 >= r8 >= r10, (r4, r8, r10)
     assert r4 > 0.4, f"recall@10 with 4 bits = {r4}"
+
+
+def test_knn_zero_candidate_query_emits_marker(spark):
+    """A query whose max_r ring holds ZERO pages must not vanish: it
+    emits one (qid, null doc_id, exact=False) marker row (ADVICE r2)."""
+    p = spark.createDataFrame([(1, 10.0, 10.0)], "doc_id LONG, lon DOUBLE, lat DOUBLE")
+    q = spark.createDataFrame(
+        [(100, 10.0, 10.0), (200, 150.0, -60.0)],  # q200 is far from the only page
+        "qid LONG, lon DOUBLE, lat DOUBLE",
+    )
+    got = knn_join(p, q, GRID_PAGES, k=1, max_r=1).toPandas().sort_values("qid")
+    assert set(got.qid) == {100, 200}, "no query may silently disappear"
+    far = got[got.qid == 200]
+    assert len(far) == 1
+    assert not bool(far.exact.iloc[0])
+    assert far.doc_id.isna().all() and far.dist_sq.isna().all()

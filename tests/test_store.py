@@ -82,3 +82,27 @@ def test_archive_less_mature_after_add(spark, tmp_path):
     assert live == [11, 12]  # the final version survives, nrt archived
     gone = st.current(include_archived=True).where(F.col("id") == 10).collect()[0]
     assert gone["_archived"] is not None
+
+
+def test_two_writers_same_path_deterministic(spark, tmp_path):
+    """Seq derives from the log's max at open (not the wall clock): a
+    second store opened on the same path continues the sequence, and
+    equal seqs from interleaved writers resolve deterministically via
+    the per-process tiebreaker — every read returns the same winner."""
+    path = str(tmp_path / "cat3")
+    a = DatasetStore(spark, path)
+    a.add(_rows(spark, [(1, "a1", T0, "final")]))
+
+    b = DatasetStore(spark, path)   # opens AFTER a's add: seq continues
+    assert b._seq == a._seq
+
+    # a and b both write at the SAME next seq (true concurrent case):
+    # the top of the log is now a genuine seq tie between the two writers
+    a.update(_rows(spark, [(1, "a2", T0, "final")]))
+    b.update(_rows(spark, [(1, "b2", T0, "final")]))
+    assert a._seq == b._seq
+    winners = {a.current().where(F.col("id") == 1).collect()[0]["key"] for _ in range(3)}
+    winners |= {b.current().where(F.col("id") == 1).collect()[0]["key"] for _ in range(3)}
+    assert len(winners) == 1 and winners <= {"a2", "b2"}, (
+        f"tied-seq resolution must be stable across reads, got {winners}"
+    )

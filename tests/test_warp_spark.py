@@ -99,3 +99,20 @@ def test_distributed_warp_bilinear_average_modes(spark):
         allv = np.concatenate(arrs)
         assert allv.min() >= 0 and allv.max() <= 1
         assert allv.max() == 1  # interior survives under both modes
+
+
+def test_warp_rejects_negative_src_pixels(spark):
+    """The -1 in-band fuse sentinel is only lossless for non-negative
+    rasters; the kernel must raise on signed input, not corrupt it."""
+    regs = regions(spark)
+    # take a REAL rasterized tile (guaranteed to survive the candidate
+    # join) and flip one pixel negative
+    src = rasterize_rect_regions(regs, GRID_PAGES, res=RES_SRC).limit(1)
+    src = src.withColumn(
+        "raster",
+        F.concat(F.array(F.lit(-7)), F.slice("raster", 2, F.size("raster") - F.lit(1))),
+    )
+    cand = merc_region_tiles(regs, GRID_MERC)
+    out = warp_rasters_to_grid(src, GRID_PAGES, RES_SRC, GRID_MERC, RES_DST, cand, "nearest")
+    with pytest.raises(Exception, match="non-negative src pixels"):
+        out.collect()
