@@ -97,6 +97,39 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(p, q, _G, k=KNN_K).select("qid", "doc_id", "dist_sq", "rank")
 
 
+def q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk kNN in SHUFFLE mode (broadcast_queries=False): both sides
+    repartition on the tile id — the 100-TB path where queries are as
+    numerous as pages.  Same exactness guarantee and tie-break as q_knn."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    q = p.where(F.col("doc_id") % 101 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    return knn_join(p, q, _G, k=KNN_K, broadcast_queries=False).select(
+        "qid", "doc_id", "dist_sq", "rank"
+    )
+
+
+def q_pip_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against a region CROSSING THE ANTIMERIDIAN: the raw
+    footprint arrives in extended longitudes (170..190, the reference's
+    dateline convention), is chopped along ±180 into a two-part
+    multipolygon (geom.lonlat.chop_along_antimeridian, reference
+    ``datacube/utils/geometry/_base.py:1403-1444`` neighborhood), and
+    joined through the standard PipIndex generic-polygon tiers."""
+    from datacube_core_spark.geom.lonlat import chop_along_antimeridian
+    from datacube_core_spark.geom.polygon import box_ring, pack_multipolygon
+    from datacube_core_spark.operators.pip import PipIndex
+
+    raw = [[box_ring(170.0, -20.0, 190.0, 25.0)]]
+    chopped = chop_along_antimeridian(raw)
+    regs = spark.createDataFrame(
+        [(0, "dateline", -180.0, -20.0, 180.0, 25.0, bytearray(pack_multipolygon(chopped)))],
+        "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY",
+    )
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    idx = PipIndex(spark, regs, _G)
+    return idx.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id")
+
+
 def q_solar_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """solar_day grouping: UTC ts + int(lon*240) seconds → date
     (reference datacube/api/query.py:347-379 semantics)."""
@@ -533,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_pairs": q_pip_pairs,
         "pip_region_count": q_pip_region_count,
         "knn": q_knn,
+        "knn_bulk": q_knn_bulk,
+        "pip_dateline": q_pip_dateline,
         "solar_day": q_solar_day,
         "time_buckets": q_time_buckets,
         "dup_detect": q_dup_detect,
@@ -626,6 +661,27 @@ SELECT qid, doc_id, dist_sq, rank FROM (
          ) AS INT) AS rank
   FROM pages p CROSS JOIN q
 ) WHERE rank <= {KNN_K}
+"""
+
+    sqls["knn_bulk"] = f"""{_P},
+q AS (SELECT doc_id AS qid, lon AS q_lon, lat AS q_lat FROM pages WHERE doc_id % 101 = 0)
+SELECT qid, doc_id, dist_sq, rank FROM (
+  SELECT q.qid, p.doc_id,
+         (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) AS dist_sq,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat), p.doc_id
+         ) AS INT) AS rank
+  FROM pages p CROSS JOIN q
+) WHERE rank <= {KNN_K}
+"""
+
+    # dateline region = union of the two chopped boxes (west 170..180,
+    # east -180..-170), strict interior on every edge
+    sqls["pip_dateline"] = f"""{_P}
+SELECT doc_id, CAST(0 AS INT) AS region_id FROM pages
+WHERE lat > -20.0 AND lat < 25.0
+  AND ((lon > 170.0 AND lon < 180.0) OR (lon > -180.0 AND lon < -170.0))
 """
 
     sqls["solar_day"] = f"""{_P}

@@ -130,14 +130,26 @@ class PipIndex:
         self.oy = grid.origin[0]
         self.target_cells = target_cells_per_axis
 
-        collected = regions_df.select("region_id", "geom").collect()
-        self.geom_map: Dict[int, bytes] = {int(r["region_id"]): bytes(r["geom"]) for r in collected}
         if distributed_classify is None:
-            distributed_classify = len(collected) > self.DISTRIBUTED_CLASSIFY_THRESHOLD
+            distributed_classify = regions_df.count() > self.DISTRIBUTED_CLASSIFY_THRESHOLD
 
         self.levels: Dict[int, Tuple[Optional[DataFrame], Optional[DataFrame]]] = {}
         if distributed_classify:
             classified, generic_ids = self._classify_on_executors(spark, regions_df)
+            # Driver memory scales with |generic|, not |regions|: only
+            # tier-3 (generic) blobs are ever read by the refine kernel,
+            # so only THOSE are pulled driver-side for the broadcast —
+            # rect regions' WKB never leaves the executors.
+            if generic_ids:
+                gid_df = spark.createDataFrame([(int(g),) for g in sorted(generic_ids)], "region_id INT")
+                collected = (
+                    regions_df.join(F.broadcast(gid_df), on="region_id", how="left_semi")
+                    .select("region_id", "geom")
+                    .collect()
+                )
+            else:
+                collected = []
+            self.geom_map: Dict[int, bytes] = {int(r["region_id"]): bytes(r["geom"]) for r in collected}
             rect = classified.where(F.col("kind") == 0).select(
                 F.col("ax").cast("int").alias("tile_x"),
                 F.col("ay").cast("int").alias("tile_y"),
@@ -162,6 +174,8 @@ class PipIndex:
                     bdf = part
                 self.levels[level] = (fdf, bdf)
         else:
+            collected = regions_df.select("region_id", "geom").collect()
+            self.geom_map = {int(r["region_id"]): bytes(r["geom"]) for r in collected}
             rows: List[tuple] = []
             generic_ids = set()
             cache: Dict = {}

@@ -99,7 +99,13 @@ def rasterize_generic_regions(
     h, w = _tile_frame(grid, res)
     size_y, size_x = grid.tile_size
     oy, ox = grid.origin
-    geom_map = index.geom_map
+    # collect ALL blobs here (not index.geom_map): this kernel rasterizes
+    # rect regions too, and a distributed-classify index deliberately keeps
+    # only generic blobs driver-side
+    geom_map = {
+        int(r["region_id"]): bytes(r["geom"])
+        for r in regions_df.select("region_id", "geom").collect()
+    }
     bc = spark.sparkContext.broadcast(geom_map)
 
     # candidate (tile, region) pairs from the index (rect + subcell tiers)

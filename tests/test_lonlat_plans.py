@@ -118,7 +118,9 @@ def test_all_entry_plans_are_scale_shaped(spark):
     offsets — bounded by (2r+1)^2, not data-sized)."""
     import __spark_entry__ as entry_mod
 
-    CARTESIAN_OK = {"ann_topk", "knn"}  # documented brute-force/ring shapes
+    # documented brute-force/ring shapes (knn/knn_bulk cross a CONSTANT
+    # (2r+1)^2 ring-offset table against queries — bounded, not data-sized)
+    CARTESIAN_OK = {"ann_topk", "knn", "knn_bulk"}
     failures = []
     for name, fn in sorted(entry_mod.queries().items()):
         df = fn(spark, SF_TINY)

@@ -197,6 +197,49 @@ def test_pip_index_distributed_classify_parity(spark):
     out_x = {tuple(r) for r in idx_x.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
     assert out_d == out_x and len(out_d) > 0
 
+    # driver-side geometry bytes scale with |generic|, not |regions|: the
+    # distributed index holds ONLY the generic (tier-3) blobs; the rect
+    # patchwork's WKB never reaches the driver
+    generic_ids = set(idx_d._bc_geoms.value.keys())  # classifier's verdict
+    assert generic_ids and generic_ids <= {1000 + i for i in range(len(extra))}
+    assert set(idx_x.geom_map) == generic_ids
+    assert set(idx_d.geom_map) == {int(r["region_id"]) for r in regs.collect()}
+
+
+def test_pip_index_driver_bytes_scale_with_generic(spark):
+    """Many-rect build: a distributed-classify index over thousands of
+    rect regions plus a handful of generic polygons keeps exactly the
+    generic blobs driver-side."""
+    from datacube_core_spark.operators.pip import PipIndex
+    from datacube_core_spark.sources.regions import regions_complex
+    import numpy as np
+    from datacube_core_spark.geom.polygon import pack_multipolygon
+
+    def rect_mp(l, b, r, t):
+        return [[np.array([(l, b), (r, b), (r, t), (l, t)], dtype=np.float64)]]
+
+    n_rect = 3000
+    rows = []
+    for i in range(n_rect):
+        l = -180.0 + (i % 120) * 3.0
+        b = -60.0 + (i // 120) * 4.0
+        rows.append((i, f"r{i}", l, b, l + 2.5, b + 3.5,
+                     bytearray(pack_multipolygon(rect_mp(l, b, l + 2.5, b + 3.5)))))
+    gen = sorted(regions_complex().items())[:3]
+    for j, (name, mp) in enumerate(gen):
+        rows.append((50_000 + j, name, 0.0, 0.0, 0.0, 0.0, bytearray(pack_multipolygon(mp))))
+    regs = spark.createDataFrame(
+        rows, "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY"
+    )
+    idx = PipIndex(spark, regs, GRID_PAGES, distributed_classify=True)
+    assert set(idx.geom_map) <= {50_000 + j for j in range(len(gen))}, (
+        f"driver holds rect blobs: {sorted(set(idx.geom_map))[:5]}..."
+    )
+    assert len(idx.geom_map) <= len(gen) < 10, (
+        f"driver holds {len(idx.geom_map)} blobs; must scale with |generic|, not |regions|={n_rect + len(gen)}"
+    )
+    assert set(idx.geom_map) == set(idx._bc_geoms.value.keys() if idx._bc_geoms else [])
+
 
 def test_ivf_topk_recall_and_plan(spark):
     """IVF ANN: equi-join plan (no cartesian product) and measured
