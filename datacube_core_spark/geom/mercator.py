@@ -66,21 +66,85 @@ def merc_to_lonlat(x, y):
     return lon, lat
 
 
-def get_transformer(src_crs: str, dst_crs: str) -> Callable[[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]:
-    """Point transform src→dst for the supported CRS pairs; raises
-    NotImplementedError for anything else (mirrors the documented
-    environment block for arbitrary CRS — reference delegates to pyproj,
-    ``_base.py:305-346``)."""
+# ---------------------------------------------------------------------------
+# sinusoidal (ESRI:54008-style spherical sinusoidal, the MODIS grid family)
+# — the second registered projection proving the transformer seam is
+# generic, not mercator-shaped
+# ---------------------------------------------------------------------------
+
+R_SINU = 6371007.181  # authalic sphere radius used by the MODIS sinusoidal
+ESRI_54008 = "ESRI:54008"
+
+
+def lonlat_to_sinu(lon, lat):
+    """x = R · lon_rad · cos(lat_rad); y = R · lat_rad."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lat_r = lat * PI / 180.0
+    x = R_SINU * (lon * PI / 180.0) * np.cos(lat_r)
+    y = R_SINU * lat_r
+    return x, y
+
+
+def sinu_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lat_r = y / R_SINU
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lon = x / (R_SINU * np.cos(lat_r)) * 180.0 / PI
+    return lon, lat_r * 180.0 / PI
+
+
+# ---------------------------------------------------------------------------
+# pluggable transformer registry
+# ---------------------------------------------------------------------------
+
+PointTransform = Callable[[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]
+
+# (src, dst) -> numpy point transform.  ``register_transform`` installs
+# both directions; unknown pairs compose through the EPSG:4326 pivot when
+# both legs are registered (src→4326→dst), matching how pyproj pipelines
+# chain through a geographic hub.  On a real cluster with pyproj present,
+# a deployment registers ``Transformer.from_crs(s, d).transform`` here and
+# every consumer (to_crs, compute_reproject_roi, the warp kernels, the
+# distributed warp operator) lights up without code changes — this seam is
+# the repo's answer to reference ``_base.py:305-346``.
+_TRANSFORMS: dict = {}
+
+
+def register_transform(src_crs: str, dst_crs: str, fwd: PointTransform, inv: PointTransform | None = None) -> None:
+    """Register fwd (and optionally its inverse) for a CRS pair."""
+    s, d = _norm_crs(src_crs), _norm_crs(dst_crs)
+    _TRANSFORMS[(s, d)] = fwd
+    if inv is not None:
+        _TRANSFORMS[(d, s)] = inv
+
+
+register_transform(EPSG_4326, EPSG_3857, lonlat_to_merc, merc_to_lonlat)
+register_transform(EPSG_4326, ESRI_54008, lonlat_to_sinu, sinu_to_lonlat)
+
+
+def get_transformer(src_crs: str, dst_crs: str) -> PointTransform:
+    """Point transform src→dst from the registry (identity, direct pair,
+    or composed through the EPSG:4326 pivot); raises NotImplementedError
+    for unregistered pairs (reference delegates to pyproj,
+    ``_base.py:305-346`` — register pyproj transforms on a real cluster)."""
     s, d = _norm_crs(src_crs), _norm_crs(dst_crs)
     if s == d:
         return lambda xs, ys: (np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
-    if (s, d) == (EPSG_4326, EPSG_3857):
-        return lonlat_to_merc
-    if (s, d) == (EPSG_3857, EPSG_4326):
-        return merc_to_lonlat
+    direct = _TRANSFORMS.get((s, d))
+    if direct is not None:
+        return direct
+    leg1, leg2 = _TRANSFORMS.get((s, EPSG_4326)), _TRANSFORMS.get((EPSG_4326, d))
+    if leg1 is not None and leg2 is not None:
+        def composed(xs, ys, _l1=leg1, _l2=leg2):
+            lon, lat = _l1(xs, ys)
+            return _l2(lon, lat)
+        return composed
     raise NotImplementedError(
-        f"no closed-form transform {src_crs} -> {dst_crs} (pyproj not available; "
-        "supported: identity, EPSG:4326 <-> EPSG:3857)"
+        f"no registered transform {src_crs} -> {dst_crs} (pyproj not available in "
+        f"this sandbox; registered pairs: {sorted(_TRANSFORMS)} — use "
+        "register_transform() to add one)"
     )
 
 
@@ -106,6 +170,61 @@ def merc_y_col(lat_col):
     from pyspark.sql import functions as F
 
     return F.lit(R_MERC) * F.log(F.tan((F.lit(90.0) + lat_col) * F.lit(PI) / F.lit(360.0)))
+
+
+# ---------------------------------------------------------------------------
+# Catalyst inverse registry (distributed-warp candidate windows)
+# ---------------------------------------------------------------------------
+
+# crs -> (inv_lon(x_col, y_col), inv_lat(x_col, y_col)) Catalyst builders.
+# CONTRACT: over any axis-aligned (x, y) window, the registered inverse's
+# lon/lat extremes must be attained on the window's corners or its y=0
+# midline — true for cylindrical (3857) and pseudocylindrical (54008)
+# projections; the warp operator samples exactly those points to build a
+# covering lon/lat window for src-tile candidate enumeration.
+_CATALYST_INV: dict = {}
+
+
+def register_catalyst_inverse(crs: str, inv_lon, inv_lat) -> None:
+    _CATALYST_INV[_norm_crs(crs)] = (inv_lon, inv_lat)
+
+
+def catalyst_inverse(crs: str):
+    got = _CATALYST_INV.get(_norm_crs(crs))
+    if got is None:
+        raise NotImplementedError(
+            f"no Catalyst inverse registered for {crs} "
+            f"(registered: {sorted(_CATALYST_INV)}; use register_catalyst_inverse)"
+        )
+    return got
+
+
+def _merc_inv_lon_col(x_col, _y_col=None):
+    from pyspark.sql import functions as F
+
+    return x_col / F.lit(R_MERC) * F.lit(180.0) / F.lit(PI)
+
+
+def _merc_inv_lat_col(_x_col, y_col):
+    from pyspark.sql import functions as F
+
+    return (F.lit(2.0) * F.atan(F.exp(y_col / F.lit(R_MERC))) - F.lit(PI) / F.lit(2.0)) * F.lit(180.0) / F.lit(PI)
+
+
+def _sinu_inv_lon_col(x_col, y_col):
+    from pyspark.sql import functions as F
+
+    return x_col / (F.lit(R_SINU) * F.cos(y_col / F.lit(R_SINU))) * F.lit(180.0) / F.lit(PI)
+
+
+def _sinu_inv_lat_col(_x_col, y_col):
+    from pyspark.sql import functions as F
+
+    return y_col / F.lit(R_SINU) * F.lit(180.0) / F.lit(PI)
+
+
+register_catalyst_inverse(EPSG_3857, _merc_inv_lon_col, _merc_inv_lat_col)
+register_catalyst_inverse(ESRI_54008, _sinu_inv_lon_col, _sinu_inv_lat_col)
 
 
 # ---------------------------------------------------------------------------

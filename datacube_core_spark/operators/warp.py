@@ -105,26 +105,39 @@ def warp_rasters_to_grid(
     sw = int(round(abs(s_sx) / src_res))
     src_crs, dst_crs = src_grid.crs, dst_grid.crs
 
-    # dst tile bounds (merc) → exact lon/lat window (monotone inverse on
-    # corners) → overlapping src tiles.  atan/exp are Catalyst builtins.
-    from ..geom.mercator import PI, R_MERC
+    # dst tile bounds → covering lon/lat window → overlapping src tiles.
+    # The per-CRS Catalyst inverse comes from the registry seam
+    # (geom.mercator.catalyst_inverse); its contract guarantees lon/lat
+    # extremes over an axis-aligned window sit on the corners or the y=0
+    # midline, so sampling those 6 points yields an exact covering window
+    # (for 3857 this degenerates to the old monotone-corner form: inv_lon
+    # ignores y and inv_lat is monotone).  Candidate enumeration requires a
+    # GEOGRAPHIC src grid; the warp kernel itself is generic over any
+    # registered pair.
+    from ..geom.mercator import EPSG_4326, _norm_crs, catalyst_inverse
+
+    if _norm_crs(src_crs) != EPSG_4326:
+        raise NotImplementedError(
+            f"warp_rasters_to_grid enumerates src candidates in lon/lat; src grid "
+            f"must be {EPSG_4326} (got {src_crs})"
+        )
+    inv_lon, inv_lat = catalyst_inverse(dst_crs)
 
     dxl = F.col("dst_tx").cast("double") * F.lit(abs(d_sx)) + F.lit(d_ox)
     dxr = dxl + F.lit(abs(d_sx))
     dyb = F.col("dst_ty").cast("double") * F.lit(abs(d_sy)) + F.lit(d_oy)
     dyt = dyb + F.lit(abs(d_sy))
-
-    def inv_lon(xc):
-        return xc / F.lit(R_MERC) * F.lit(180.0) / F.lit(PI)
-
-    def inv_lat(yc):
-        return (F.lit(2.0) * F.atan(F.exp(yc / F.lit(R_MERC))) - F.lit(PI) / F.lit(2.0)) * F.lit(180.0) / F.lit(PI)
+    y0 = F.greatest(dyb, F.least(dyt, F.lit(0.0)))  # y=0 clamped into the window
+    lon_pts = [inv_lon(x, y) for x in (dxl, dxr) for y in (dyb, dyt, y0)]
+    lat_pts = [inv_lat(x, y) for x in (dxl, dxr) for y in (dyb, dyt)]
+    lon_lo, lon_hi = F.least(*lon_pts), F.greatest(*lon_pts)
+    lat_lo, lat_hi = F.least(*lat_pts), F.greatest(*lat_pts)
 
     paired = (
         dst_candidates.withColumn(
-            "src_tx", F.explode(_axis_seq(inv_lon(dxl), inv_lon(dxr), s_ox, abs(s_sx)))
+            "src_tx", F.explode(_axis_seq(lon_lo, lon_hi, s_ox, abs(s_sx)))
         )
-        .withColumn("src_ty", F.explode(_axis_seq(inv_lat(dyb), inv_lat(dyt), s_oy, abs(s_sy))))
+        .withColumn("src_ty", F.explode(_axis_seq(lat_lo, lat_hi, s_oy, abs(s_sy))))
     )
     src = rasters_df.select(
         F.col("tile_x").alias("src_tx"),
