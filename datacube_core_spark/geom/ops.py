@@ -146,10 +146,14 @@ def is_convex(ring: Ring) -> bool:
 def buffer_polygon(poly: Polygon, dist: float) -> Polygon:
     """Outward buffer: exact for axis-rects; miter edge-offset for convex
     rings; concave input routes through the Minkowski-union path (round
-    joins)."""
-    ring = as_ring(poly[0])
+    joins); input WITH holes routes through the exact boolean path
+    (:func:`buffer_polygon_with_holes`)."""
     if len(poly) > 1:
-        raise NotImplementedError("buffering polygons with holes is not supported")
+        out = buffer_polygon_with_holes(poly, dist)
+        if len(out) != 1:
+            raise ValueError("holes buffer produced a multipolygon (disjoint input?)")
+        return out[0]
+    ring = as_ring(poly[0])
     # axis-rect fast path
     xs, ys = np.unique(ring[:, 0]), np.unique(ring[:, 1])
     if len(ring) == 4 and len(xs) == 2 and len(ys) == 2:
@@ -258,28 +262,15 @@ def _disc_ring(cx: float, cy: float, r: float, segs: int = 32) -> Ring:
     return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
 
 
-def buffer_polygon_concave(poly: Polygon, dist: float, quad_segs: int = 8) -> MultiPolygon:
-    """Outward buffer of an arbitrary (possibly concave) simple polygon via
-    the Minkowski-sum decomposition: buffer(P, d) = P ∪ (one d-wide
-    rectangle per edge) ∪ (one d-radius disc per vertex), resolved with
-    the exact union (``geom.boolean.unary_union``).
-
-    Discs are regular ``4·quad_segs``-gons (shapely's quad_segs
-    convention — the reference's shapely ``buffer`` at ``_base.py:657``
-    uses the same polygonal approximation), circumscribed so the
-    approximation error is outward-only never inward.  Round joins.
-    """
-    from .boolean import unary_union
-
-    if dist <= 0:
-        raise NotImplementedError("negative/zero buffer distance not supported")
-    ring = as_ring(poly[0])
-    if len(poly) > 1:
-        raise NotImplementedError("buffering polygons with holes is not supported")
+def _ring_band_parts(ring: Ring, dist: float, quad_segs: int) -> List[MultiPolygon]:
+    """Minkowski pieces of the d-band around a ring's boundary: one
+    2d-wide rectangle per edge + one circumscribed polygonal disc per
+    vertex (round joins).  Shared by the outward buffer (band ∪ polygon)
+    and hole erosion (hole ∖ band)."""
     segs = 4 * quad_segs
     # circumscribed radius so the polygonal disc CONTAINS the true disc
     r_circ = dist / np.cos(np.pi / segs)
-    parts: List[MultiPolygon] = [[[ring]]]
+    parts: List[MultiPolygon] = []
     n = len(ring)
     for i in range(n):
         a, b = ring[i], ring[(i + 1) % n]
@@ -296,4 +287,58 @@ def buffer_polygon_concave(poly: Polygon, dist: float, quad_segs: int = 8) -> Mu
         )
         parts.append([[quad]])
         parts.append([[_disc_ring(float(a[0]), float(a[1]), r_circ, segs)]])
+    return parts
+
+
+def buffer_polygon_concave(poly: Polygon, dist: float, quad_segs: int = 8) -> MultiPolygon:
+    """Outward buffer of an arbitrary (possibly concave) simple polygon via
+    the Minkowski-sum decomposition: buffer(P, d) = P ∪ (one d-wide
+    rectangle per edge) ∪ (one d-radius disc per vertex), resolved with
+    the exact union (``geom.boolean.unary_union``).
+
+    Discs are regular ``4·quad_segs``-gons (shapely's quad_segs
+    convention — the reference's shapely ``buffer`` at ``_base.py:657``
+    uses the same polygonal approximation), circumscribed so the
+    approximation error is outward-only never inward.  Round joins.
+    Polygons WITH holes route through :func:`buffer_polygon_with_holes`.
+    """
+    from .boolean import unary_union
+
+    if dist <= 0:
+        raise NotImplementedError("negative/zero buffer distance not supported")
+    if len(poly) > 1:
+        return buffer_polygon_with_holes(poly, dist, quad_segs)
+    ring = as_ring(poly[0])
+    parts: List[MultiPolygon] = [[[ring]]]
+    parts.extend(_ring_band_parts(ring, dist, quad_segs))
     return unary_union(parts)
+
+
+def buffer_polygon_with_holes(poly: Polygon, dist: float, quad_segs: int = 8) -> MultiPolygon:
+    """Outward buffer of a polygon with holes — closes reference
+    ``_base.py:657`` (shapely handles any geometry) fully:
+
+        buffer(P, d) = buffer(shell, d) ∖ ⋃ᵢ erode(holeᵢ, d)
+        erode(hole, d) = hole ∖ band(∂hole, d)
+
+    where ``band`` is the same Minkowski edge-rect + vertex-disc pieces
+    the concave buffer uses, resolved by the exact boolean kernel.  A
+    hole narrower than 2·dist erodes to nothing and disappears from the
+    result — exactly shapely's behavior.  Returns a MultiPolygon (the
+    result can keep holes, shrunk by dist).
+    """
+    from .boolean import difference, unary_union
+
+    if dist <= 0:
+        raise NotImplementedError("negative/zero buffer distance not supported")
+    shell_buf = buffer_polygon_concave([poly[0]], dist, quad_segs)
+    eroded: List[MultiPolygon] = []
+    for hole in poly[1:]:
+        hring = as_ring(hole)
+        band = unary_union(_ring_band_parts(hring, dist, quad_segs))
+        er = difference([[hring]], band)
+        if er:
+            eroded.append(er)
+    if not eroded:
+        return shell_buf
+    return difference(shell_buf, unary_union(eroded))

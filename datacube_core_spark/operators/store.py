@@ -36,10 +36,11 @@ OPS = ("add", "update", "archive", "restore", "purge")
 
 
 class DatasetStore:
-    def __init__(self, spark: SparkSession, base_path: str, id_col: str = "id"):
+    def __init__(self, spark: SparkSession, base_path: str, id_col: str = "id", id_type: str = "LONG"):
         self.spark = spark
         self.base = base_path.rstrip("/")
         self.id_col = id_col
+        self.id_type = id_type  # SQL type of the id column (LONG, STRING/uuid, ...)
         self.log_path = f"{self.base}/dataset_log"
         # seq continues from the log's max — NOT the wall clock: two store
         # instances opened against the same path (or one opened after a
@@ -84,7 +85,7 @@ class DatasetStore:
 
     def _ids_df(self, ids: Iterable) -> DataFrame:
         rows = [(i,) for i in ids]
-        return self.spark.createDataFrame(rows, f"{self.id_col} LONG")
+        return self.spark.createDataFrame(rows, f"{self.id_col} {self.id_type}")
 
     def _state(self) -> Optional[DataFrame]:
         """Last event per id (purge events included)."""

@@ -1,0 +1,167 @@
+"""Doc2Dataset analog: eo3 spatial normalization, product matching,
+single-doc parity API, distributed batch resolve, store round-trip, and
+ingest→lineage_closure consistency (reference ``datacube/index/hl.py:246-331``,
+``datacube/index/eo3.py:28-170``)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.operators.doc2dataset import (
+    BadMatch,
+    Doc2Dataset,
+    ProductRule,
+    contains,
+    eo3_grid_spatial,
+    match_product,
+    prep_eo3,
+    resolve_doc,
+    resolve_docs_df,
+)
+from datacube_core_spark.operators.lineage import lineage_closure
+from datacube_core_spark.operators.store import DatasetStore
+
+EO3 = "https://schemas.opendatacube.org/dataset"
+
+RULES = [
+    ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}}, measurements=["red", "nir"]),
+    ProductRule("other", {"product": {"name": "other"}}),
+]
+
+
+def _doc(ds_id, sources=(), product="pages_eo3", lon0=10.0, lat0=20.0):
+    return {
+        "$schema": EO3,
+        "id": ds_id,
+        "product": {"name": product},
+        "crs": "EPSG:4326",
+        "grids": {
+            "default": {"shape": [100, 200], "transform": [0.01, 0, lon0, 0, -0.01, lat0, 0, 0, 1]},
+        },
+        "measurements": {"red": {"path": "red.tif"}, "nir": {"path": "nir.tif"}},
+        "properties": {"datetime": "2024-03-01T12:00:00"},
+        "lineage": {"src": list(sources)} if sources else {},
+    }
+
+
+def test_contains_signature_semantics():
+    assert contains({"product": {"name": "A", "x": 1}}, {"product": {"name": "a"}})
+    assert not contains({"product": {"name": "A"}}, {"product": {"name": "b"}})
+    assert contains({"k": 1}, None)
+    assert not contains({}, {"k": 1})
+
+
+def test_eo3_grid_spatial_and_prep():
+    doc = _doc("d1")
+    oo = eo3_grid_spatial(doc)
+    # grid corners: x in [10, 10+200*0.01]=[10,12]; y in [20-100*0.01, 20]=[19,20]
+    assert oo["extent"]["lon"] == {"begin": 10.0, "end": 12.0}
+    assert oo["extent"]["lat"] == {"begin": 19.0, "end": 20.0}
+    rp = oo["grid_spatial"]["projection"]["geo_ref_points"]
+    assert rp["ul"] == {"x": 10.0, "y": 20.0}
+    assert rp["lr"] == {"x": 12.0, "y": 19.0}
+    prepped = prep_eo3(doc)
+    assert "extent" in prepped and "grid_spatial" in prepped
+    # non-eo3 passes through on auto
+    assert prep_eo3({"id": "x"}) == {"id": "x"}
+
+
+def test_eo3_grid_spatial_projected_crs():
+    """A 3857 grid round-trips through the transformer seam to lon/lat."""
+    from datacube_core_spark.geom.mercator import lonlat_to_merc
+
+    x0, y0 = (float(v) for v in lonlat_to_merc(10.0, 20.0))
+    x1, y1 = (float(v) for v in lonlat_to_merc(12.0, 19.0))
+    doc = {
+        "$schema": EO3, "id": "m1", "crs": "EPSG:3857",
+        "grids": {"default": {"shape": [100, 200],
+                              "transform": [(x1 - x0) / 200, 0, x0, 0, (y1 - y0) / 100, y0]}},
+    }
+    oo = eo3_grid_spatial(doc)
+    assert abs(oo["extent"]["lon"]["begin"] - 10.0) < 1e-9
+    assert abs(oo["extent"]["lon"]["end"] - 12.0) < 1e-9
+    assert abs(oo["extent"]["lat"]["begin"] - 19.0) < 1e-9
+    assert abs(oo["extent"]["lat"]["end"] - 20.0) < 1e-9
+
+
+def test_match_product_exactly_one():
+    assert match_product(_doc("d"), RULES).name == "pages_eo3"
+    with pytest.raises(BadMatch, match="No matching"):
+        match_product({"product": {"name": "nope"}}, RULES)
+    dup = [ProductRule("a", {}), ProductRule("b", {})]  # both match anything
+    with pytest.raises(BadMatch, match="several products"):
+        match_product(_doc("d"), dup)
+
+
+def test_resolve_doc_consistency_and_errors():
+    row = resolve_doc(_doc("d1", sources=["s1", "s2"]), "file:///d1.json", RULES)
+    assert row["error"] is None
+    assert row["product"] == "pages_eo3"
+    assert row["source_ids"] == ["s1", "s2"]
+    assert (row["lon_min"], row["lon_max"]) == (10.0, 12.0)
+    assert json.loads(row["geo_ref_points"])["ul"] == {"x": 10.0, "y": 20.0}
+
+    bad = dict(_doc("d2"))
+    del bad["measurements"]
+    row = resolve_doc(bad, "u", RULES)
+    assert "not specifying all of the measurements" in row["error"]
+
+    noid = dict(_doc("")); noid["id"] = None
+    assert resolve_doc(noid, "u", RULES)["error"] == "No id defined in dataset doc"
+
+
+def test_batch_resolve_and_store_roundtrip(spark, tmp_path):
+    """The full flow: raw docs -> distributed resolve -> store.add ->
+    searchable via current(); lineage edges feed lineage_closure and the
+    closure agrees with the documents' lineage blocks."""
+    store = DatasetStore(spark, str(tmp_path / "cat"), id_type="STRING")
+    resolver = Doc2Dataset(store, RULES)
+
+    # two root datasets, one derived from both, one bad doc
+    docs = [
+        (json.dumps(_doc("a1")), "file:///a1.json"),
+        (json.dumps(_doc("a2")), "file:///a2.json"),
+        (json.dumps(_doc("b1", sources=["a1", "a2"])), "file:///b1.json"),
+        (json.dumps({"id": "junk", "product": {"name": "nope"}}), "file:///junk.json"),
+    ]
+    docs_df = spark.createDataFrame(docs, "doc STRING, uri STRING")
+    n, errors = resolver.ingest(docs_df)
+    assert n == 3
+    errs = errors.collect()
+    assert len(errs) == 1 and "No matching Product" in errs[0]["error"]
+
+    live = store.current()
+    assert sorted(r["id"] for r in live.collect()) == ["a1", "a2", "b1"]
+    got = live.where(F.col("id") == "b1").collect()[0]
+    assert got["product"] == "pages_eo3" and got["lon_min"] == 10.0
+
+    # lineage edges are queryable through the standard closure operator
+    edges = spark.read.parquet(f"{store.base}/lineage_edges")
+    roots = spark.createDataFrame([("b1",)], "dataset_id STRING")
+    clo = lineage_closure(edges, roots, direction="sources")
+    reach = {(r["node"], r["distance"]) for r in clo.collect()}
+    assert reach == {("b1", 0), ("a1", 1), ("a2", 1)}
+
+
+def test_fail_on_missing_lineage(spark, tmp_path):
+    store = DatasetStore(spark, str(tmp_path / "cat2"), id_type="STRING")
+    resolver = Doc2Dataset(store, RULES, fail_on_missing_lineage=True)
+
+    # single-doc parity API
+    row, err = resolver(_doc("x1", sources=["ghost"]), "u")
+    assert row is None and "missing from DB" in err and "ghost" in err
+
+    # batch path: a1 exists, ghost does not
+    store.add(spark.createDataFrame(
+        [("a1",)], "id STRING").withColumn("product", F.lit("p")))
+    out = resolver.resolve(spark.createDataFrame(
+        [(json.dumps(_doc("x2", sources=["a1", "ghost"])), "u2")], "doc STRING, uri STRING"
+    )).collect()
+    assert len(out) == 1
+    assert "missing from DB: ghost" in out[0]["error"]
+
+    ok = resolver.resolve(spark.createDataFrame(
+        [(json.dumps(_doc("x3", sources=["a1"])), "u3")], "doc STRING, uri STRING"
+    )).collect()
+    assert ok[0]["error"] is None

@@ -145,3 +145,96 @@ def test_buffer_concave_star_tangencies():
         dmin = np.minimum(dmin, np.hypot(px - (a[0] + t * ab[0]), py - (a[1] + t * ab[1])))
     truth = (inside | (dmin <= 0.3)).mean() * 25.0
     assert polygon_area(buf) == pytest.approx(truth, rel=0.015)
+
+
+# ---------------------------------------------------------------------------
+# buffer of polygons WITH holes (closes reference _base.py:657 fully)
+# ---------------------------------------------------------------------------
+
+def test_buffer_with_holes_hand_case():
+    """Square shell 0..10 with square hole 2..8, dist 1: the hole erodes
+    to ~3..7 (corners rounded outward-only), the shell grows to ~-1..11."""
+    import numpy as np
+    from datacube_core_spark.geom.ops import buffer_polygon_with_holes
+    from datacube_core_spark.geom.polygon import box_ring, points_strictly_inside_multi, polygon_area
+
+    poly = [box_ring(0.0, 0.0, 10.0, 10.0), box_ring(2.0, 2.0, 8.0, 8.0)]
+    out = buffer_polygon_with_holes(poly, 1.0)
+
+    probes = {
+        (5.0, 5.0): False,   # center of eroded hole — still a hole
+        (2.5, 5.0): True,    # inside the old hole but within dist of its edge
+        (7.5, 5.0): True,
+        (5.0, 3.5): False,   # inside the eroded hole (3..7 band)
+        (-0.5, 5.0): True,   # grown shell
+        (10.5, 5.0): True,
+        (-1.5, 5.0): False,  # beyond the buffer
+        (1.0, 1.0): True,    # original interior between shell and hole
+    }
+    xs = np.array([p[0] for p in probes], dtype=np.float64)
+    ys = np.array([p[1] for p in probes], dtype=np.float64)
+    got = points_strictly_inside_multi(xs, ys, out)
+    for (pt, exp), g in zip(probes.items(), got):
+        assert bool(g) == exp, f"probe {pt}: expected {exp}, got {bool(g)}"
+
+    # area: shell 12x12 + round corners vs eroded hole ~4x4
+    area = sum(polygon_area(p) for p in out)
+    assert 144.0 - 16.0 - 1.0 < area < (144.0 + np.pi + 0.2) - 16.0 + 1.0
+
+
+def test_buffer_hole_vanishes_when_narrow():
+    """A hole narrower than 2*dist erodes to nothing — shapely semantics."""
+    import numpy as np
+    from datacube_core_spark.geom.ops import buffer_polygon_with_holes
+    from datacube_core_spark.geom.polygon import box_ring, points_strictly_inside_multi
+
+    poly = [box_ring(0.0, 0.0, 10.0, 10.0), box_ring(4.0, 4.0, 5.5, 5.5)]
+    out = buffer_polygon_with_holes(poly, 1.0)
+    got = points_strictly_inside_multi(
+        np.array([4.75]), np.array([4.75]), out
+    )
+    assert bool(got[0]), "narrow hole must be swallowed by the buffer"
+    assert all(len(p) == 1 for p in out), "no hole rings should remain"
+
+
+def test_buffer_polygon_routes_holes():
+    from datacube_core_spark.geom.ops import buffer_polygon
+    from datacube_core_spark.geom.polygon import box_ring, polygon_area
+
+    poly = [box_ring(0.0, 0.0, 10.0, 10.0), box_ring(3.0, 3.0, 7.0, 7.0)]
+    out = buffer_polygon(poly, 0.5)
+    assert len(out) == 2  # outer + shrunk hole
+    assert polygon_area(out) > polygon_area(poly)
+
+
+def test_buffer_with_holes_area_monotone_hypothesis():
+    """Property: buffered area >= original area and every original
+    interior sample stays inside (containment monotonicity)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from datacube_core_spark.geom.ops import buffer_polygon_with_holes
+    from datacube_core_spark.geom.polygon import box_ring, points_strictly_inside_multi, polygon_area
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        hx=st.floats(1.5, 4.0), hy=st.floats(1.5, 4.0),
+        hw=st.floats(1.0, 4.5), hh=st.floats(1.0, 4.5),
+        dist=st.floats(0.2, 1.5),
+    )
+    def prop(hx, hy, hw, hh, dist):
+        shell = box_ring(0.0, 0.0, 10.0, 10.0)
+        hole = box_ring(hx, hy, min(hx + hw, 9.0), min(hy + hh, 9.0))
+        poly = [shell, hole]
+        out = buffer_polygon_with_holes(poly, dist)
+        a0 = polygon_area(poly)
+        a1 = sum(polygon_area(p) for p in out)
+        assert a1 >= a0 - 1e-9
+        # containment: originally-inside samples stay inside
+        rng = np.random.default_rng(7)
+        xs = rng.uniform(0.05, 9.95, 200)
+        ys = rng.uniform(0.05, 9.95, 200)
+        before = points_strictly_inside_multi(xs, ys, [poly])
+        after = points_strictly_inside_multi(xs, ys, out)
+        assert bool(np.all(after[before])), "buffer must contain the original polygon"
+
+    prop()
