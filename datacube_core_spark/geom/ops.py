@@ -127,6 +127,82 @@ def simplify_ring(ring: Ring, tol: float) -> Ring:
     return out if len(out) >= 3 else r
 
 
+def interpolate_line(line, distance: float) -> Tuple[float, float]:
+    """Point ``distance`` units along a polyline — reference
+    ``Geometry.interpolate`` (``_base.py:650``, shapely semantics):
+    negative distances clamp to the start, past-the-end clamps to the
+    last vertex."""
+    pts = np.asarray(line, dtype=np.float64)
+    if pts.ndim != 2 or pts.shape[1] != 2 or len(pts) == 0:
+        raise TypeError("interpolate needs a (N, 2) polyline")
+    if len(pts) == 1 or distance <= 0:
+        return float(pts[0, 0]), float(pts[0, 1])
+    remaining = float(distance)
+    for a, b in zip(pts[:-1], pts[1:]):
+        seg = float(np.hypot(*(b - a)))
+        if remaining <= seg and seg > 0:
+            t = remaining / seg
+            p = a + (b - a) * t
+            return float(p[0]), float(p[1])
+        remaining -= seg
+    return float(pts[-1, 0]), float(pts[-1, 1])
+
+
+def _segments_properly_intersect(p1, p2, p3, p4) -> bool:
+    """True if open segments (p1,p2) and (p3,p4) cross (shared endpoints
+    between ADJACENT ring edges are handled by the caller)."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    return bool(((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)))
+
+
+def ring_is_simple(ring: Ring) -> bool:
+    """No two non-adjacent edges cross (O(n²) — driver-side util sizes)."""
+    r = as_ring(ring)
+    n = len(r)
+    edges = [(r[i], r[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent around the wrap
+            if _segments_properly_intersect(edges[i][0], edges[i][1], edges[j][0], edges[j][1]):
+                return False
+    return True
+
+
+def simplify_ring_preserve_topology(ring: Ring, tol: float) -> Ring:
+    """Topology-preserving Douglas–Peucker (reference ``Geometry.simplify``
+    with ``preserve_topology=True``, ``_base.py:660`` — GEOS
+    TopologyPreservingSimplifier semantics: the output is never invalid).
+
+    Strategy: plain DP at ``tol``; if the result ring self-intersects or
+    collapses (< 3 vertices / zero area), halve the tolerance and retry —
+    converging to the original ring, which is simple by assumption."""
+    r = as_ring(ring)
+    t = float(tol)
+    for _ in range(20):
+        s = simplify_ring(r, t)
+        if len(s) >= 3 and abs(ring_area(s)) > 0 and ring_is_simple(s):
+            return s
+        t /= 2.0
+    return r
+
+
+def simplify_multipolygon(mp: MultiPolygon, tol: float, preserve_topology: bool = True) -> MultiPolygon:
+    """Per-ring simplify over a multipolygon; with ``preserve_topology``
+    every output ring is guaranteed simple and non-degenerate."""
+    fn = simplify_ring_preserve_topology if preserve_topology else simplify_ring
+    out: MultiPolygon = []
+    for poly in mp:
+        rings = [fn(ring, tol) for ring in poly]
+        rings = [r for r in rings if len(r) >= 3 and abs(ring_area(r)) > 0]
+        if rings:
+            out.append(rings)
+    return out
+
+
 def is_convex(ring: Ring) -> bool:
     r = as_ring(ring)
     n = len(r)

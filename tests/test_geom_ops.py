@@ -238,3 +238,64 @@ def test_buffer_with_holes_area_monotone_hypothesis():
         assert bool(np.all(after[before])), "buffer must contain the original polygon"
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# interpolate + topology-preserving simplify (reference _base.py:650,660)
+# ---------------------------------------------------------------------------
+
+def test_interpolate_line():
+    import numpy as np
+    import pytest as _pytest
+    from datacube_core_spark.geom.ops import interpolate_line
+
+    line = np.array([(0.0, 0.0), (3.0, 0.0), (3.0, 4.0)])
+    assert interpolate_line(line, 0.0) == (0.0, 0.0)
+    assert interpolate_line(line, 1.5) == (1.5, 0.0)
+    assert interpolate_line(line, 3.0) == (3.0, 0.0)
+    assert interpolate_line(line, 5.0) == (3.0, 2.0)
+    assert interpolate_line(line, 99.0) == (3.0, 4.0)   # clamp past end
+    assert interpolate_line(line, -2.0) == (0.0, 0.0)   # clamp before start
+    with _pytest.raises(TypeError):
+        interpolate_line(np.zeros((0, 2)), 1.0)
+
+
+def test_simplify_preserve_topology_never_invalid():
+    """A zig-zag ring that plain DP at a coarse tolerance collapses into a
+    self-intersecting bowtie must stay simple under the preserving path."""
+    import numpy as np
+    from datacube_core_spark.geom.ops import (
+        ring_is_simple,
+        simplify_multipolygon,
+        simplify_ring,
+        simplify_ring_preserve_topology,
+    )
+    from datacube_core_spark.geom.polygon import ring_area
+
+    # thin U-shape: aggressive DP removes the notch corners and can fold
+    ring = np.array([
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (6.0, 10.0),
+        (6.0, 1.0), (4.0, 1.0), (4.0, 10.0), (0.0, 10.0),
+    ])
+    assert ring_is_simple(ring)
+    for tol in (0.5, 2.0, 5.0, 20.0):
+        s = simplify_ring_preserve_topology(ring, tol)
+        assert len(s) >= 3 and abs(ring_area(s)) > 0 and ring_is_simple(s), f"tol={tol}"
+    # and the preserving path degrades gracefully to the raw DP result
+    # whenever THAT result is already valid
+    s_raw = simplify_ring(ring, 0.5)
+    if ring_is_simple(s_raw) and len(s_raw) >= 3:
+        np.testing.assert_array_equal(simplify_ring_preserve_topology(ring, 0.5), s_raw)
+
+    mp = simplify_multipolygon([[ring]], 2.0)
+    assert mp and all(ring_is_simple(r) for poly in mp for r in poly)
+
+
+def test_ring_is_simple_detects_bowtie():
+    import numpy as np
+    from datacube_core_spark.geom.ops import ring_is_simple
+
+    bowtie = np.array([(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)])
+    assert not ring_is_simple(bowtie)
+    square = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+    assert ring_is_simple(square)
