@@ -115,19 +115,33 @@ def q_pip_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
     multipolygon (geom.lonlat.chop_along_antimeridian, reference
     ``datacube/utils/geometry/_base.py:1403-1444`` neighborhood), and
     joined through the standard PipIndex generic-polygon tiers."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    return _dateline_index(spark).join(p, keep_cols=["doc_id"]).select("doc_id", "region_id")
+
+
+_DATELINE_INDEX_CACHE: dict = {}
+
+
+def _dateline_index(spark: SparkSession):
+    """Build-once (like _pip_index): chop the extended-longitude footprint
+    and index it; memoized per session."""
     from datacube_core_spark.geom.lonlat import chop_along_antimeridian
     from datacube_core_spark.geom.polygon import box_ring, pack_multipolygon
     from datacube_core_spark.operators.pip import PipIndex
 
-    raw = [[box_ring(170.0, -20.0, 190.0, 25.0)]]
-    chopped = chop_along_antimeridian(raw)
-    regs = spark.createDataFrame(
-        [(0, "dateline", -180.0, -20.0, 180.0, 25.0, bytearray(pack_multipolygon(chopped)))],
-        "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY",
-    )
-    p = pages(spark, sf_dir, repl=Q_REPL)
-    idx = PipIndex(spark, regs, _G)
-    return idx.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id")
+    key = id(spark)
+    idx = _DATELINE_INDEX_CACHE.get(key)
+    if idx is None:
+        raw = [[box_ring(170.0, -20.0, 190.0, 25.0)]]
+        chopped = chop_along_antimeridian(raw)
+        regs = spark.createDataFrame(
+            [(0, "dateline", -180.0, -20.0, 180.0, 25.0, bytearray(pack_multipolygon(chopped)))],
+            "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY",
+        )
+        idx = PipIndex(spark, regs, _G, distributed_classify=False)
+        _DATELINE_INDEX_CACHE.clear()
+        _DATELINE_INDEX_CACHE[key] = idx
+    return idx
 
 
 def q_solar_day(spark: SparkSession, sf_dir: str) -> DataFrame:

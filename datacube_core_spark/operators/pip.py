@@ -131,7 +131,12 @@ class PipIndex:
         self.target_cells = target_cells_per_axis
 
         if distributed_classify is None:
-            distributed_classify = regions_df.count() > self.DISTRIBUTED_CLASSIFY_THRESHOLD
+            # limit-probe, not a full count: deciding the classify mode of
+            # a 10^6-region table must not cost a full scan of it
+            thresh = self.DISTRIBUTED_CLASSIFY_THRESHOLD
+            distributed_classify = (
+                regions_df.select(F.lit(1)).limit(thresh + 1).count() > thresh
+            )
 
         self.levels: Dict[int, Tuple[Optional[DataFrame], Optional[DataFrame]]] = {}
         if distributed_classify:
