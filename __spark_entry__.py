@@ -119,6 +119,54 @@ def q_pip_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dateline_index(spark).join(p, keep_cols=["doc_id"]).select("doc_id", "region_id")
 
 
+def q_doc2dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc2Dataset ingest resolver, driver-gated end-to-end: deterministic
+    EO3 documents are synthesized from the documents table (one JSON doc
+    per row, grid transform derived from doc_id with EXACT binary
+    fractions so extent arithmetic is bit-identical across engines),
+    resolved DISTRIBUTED (mapInPandas over the JSON column: $schema
+    detection, eo3_grid_spatial normalization, signature product match),
+    and projected to the typed row the store ingests.  Reference
+    ``datacube/index/hl.py:246-331`` + ``index/eo3.py:77-157``."""
+    from datacube_core_spark.operators.doc2dataset import ProductRule, resolve_docs_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    lon0 = (F.col("doc_id") % 300).cast("double") - F.lit(150.0)
+    lat0 = (F.col("doc_id") % 140).cast("double") - F.lit(60.0)
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=((F.col("doc_id") * F.lit(9973)) % F.lit(31536000)).cast("double")
+    )
+    doc_json = F.to_json(
+        F.struct(
+            F.lit("https://schemas.opendatacube.org/dataset").alias("$schema"),
+            F.col("doc_id").cast("string").alias("id"),
+            F.struct(F.lit("pages_eo3").alias("name")).alias("product"),
+            F.lit("EPSG:4326").alias("crs"),
+            F.struct(
+                F.struct(
+                    F.array(F.lit(8), F.lit(16)).alias("shape"),
+                    F.array(
+                        F.lit(0.125), F.lit(0.0), lon0,
+                        F.lit(0.0), F.lit(-0.125), lat0,
+                    ).alias("transform"),
+                ).alias("default")
+            ).alias("grids"),
+            F.struct(
+                F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").alias("datetime")
+            ).alias("properties"),
+        )
+    )
+    raw = docs.select(
+        doc_json.alias("doc"),
+        F.concat(F.lit("s3://pages/"), F.col("doc_id").cast("string"), F.lit(".json")).alias("uri"),
+    )
+    rules = [ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}})]
+    resolved = resolve_docs_df(raw, rules)
+    return resolved.where(F.col("error").isNull()).select(
+        "id", "product", "ts", "crs", "lon_min", "lat_min", "lon_max", "lat_max", "uri"
+    )
+
+
 _DATELINE_INDEX_CACHE: dict = {}
 
 
@@ -582,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_bulk": q_knn_bulk,
         "pip_dateline": q_pip_dateline,
+        "doc2dataset": q_doc2dataset,
         "solar_day": q_solar_day,
         "time_buckets": q_time_buckets,
         "dup_detect": q_dup_detect,
@@ -688,6 +737,19 @@ SELECT qid, doc_id, dist_sq, rank FROM (
          ) AS INT) AS rank
   FROM pages p CROSS JOIN q
 ) WHERE rank <= {KNN_K}
+"""
+
+    sqls["doc2dataset"] = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       'pages_eo3' AS product,
+       TIMESTAMP '2024-01-01 00:00:00' + ((doc_id * 9973) % 31536000) * INTERVAL 1 SECOND AS ts,
+       'EPSG:4326' AS crs,
+       CAST(doc_id % 300 AS DOUBLE) - 150.0 AS lon_min,
+       (CAST(doc_id % 140 AS DOUBLE) - 60.0) - 1.0 AS lat_min,
+       (CAST(doc_id % 300 AS DOUBLE) - 150.0) + 2.0 AS lon_max,
+       CAST(doc_id % 140 AS DOUBLE) - 60.0 AS lat_max,
+       's3://pages/' || CAST(doc_id AS VARCHAR) || '.json' AS uri
+FROM documents
 """
 
     # dateline region = union of the two chopped boxes (west 170..180,
