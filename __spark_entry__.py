@@ -244,6 +244,27 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget + order-sensitive fingerprint suite (task-brief text
+    ops): whitespace count, BPE-ish pre-tokenizer count (regexp_count of
+    letter/digit/punct runs), and the Rabin-Karp rolling hash over
+    md5-derived token hashes -- all pure Catalyst, all SQL-twinned."""
+    from datacube_core_spark.functions.text import (
+        bpe_token_count_col,
+        rolling_fingerprint_col,
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_col(t).cast("long").alias("ws_tokens"),
+        bpe_token_count_col(t).cast("long").alias("bpe_tokens"),
+        rolling_fingerprint_col(t).alias("rolling_fp"),
+    )
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text analysis: token count, language-ID, punctuation,
     quality score, fingerprint — all pure Catalyst."""
@@ -636,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_detect": q_dup_detect,
         "lang_stats": q_lang_stats,
         "text_features": q_text_features,
+        "token_stats": q_token_stats,
         "media_stats": q_media_stats,
         "bitmask": q_bitmask,
         "exact_dedup": q_exact_dedup,
@@ -823,6 +845,19 @@ FROM documents GROUP BY 1
         sql_token_count,
     )
     from datacube_core_spark.sources.corpus import CORPUS_CTE
+
+    from datacube_core_spark.functions.text import (
+        sql_bpe_token_count,
+        sql_rolling_fingerprint,
+    )
+
+    sqls["token_stats"] = f"""
+SELECT doc_id,
+       CAST({sql_token_count('text')} AS BIGINT) AS ws_tokens,
+       CAST({sql_bpe_token_count('text')} AS BIGINT) AS bpe_tokens,
+       {sql_rolling_fingerprint('text')} AS rolling_fp
+FROM documents
+"""
 
     sqls["text_features"] = f"""
 SELECT doc_id,

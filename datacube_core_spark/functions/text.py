@@ -83,6 +83,41 @@ def fingerprint_col(text: Column) -> Column:
     return F.substring(F.md5(F.encode(norm, "UTF-8")), 1, 16)
 
 
+# BPE-ish pre-tokenization (GPT-2 style, minus contractions/lookahead so
+# Java regex and RE2 agree): letter runs / digit runs / punctuation runs,
+# each with an optional leading space
+BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Subword-ish token count: the BPE pre-tokenizer split count — the
+    LLM-pipeline budget estimator (whitespace counts undercount CJK and
+    punctuation-heavy docs)."""
+    return F.regexp_count(text, F.lit(BPE_PAT))
+
+
+# rolling-hash constants (same fold family as the LSH band hash — stays
+# < 2^60 in BIGINT arithmetic, identical in Spark and DuckDB)
+ROLL_MULT = 1000003
+ROLL_MOD = 1 << 40
+
+
+def rolling_fingerprint_col(text: Column) -> Column:
+    """ORDER-SENSITIVE document fingerprint: Rabin–Karp polynomial rolling
+    hash over the md5-derived 32-bit hashes of whitespace tokens —
+    ``h = fold(acc·B + h32(tok) mod M)``.  Unlike :func:`fingerprint_col`
+    (whole-content md5), this is incrementally maintainable over token
+    streams and cheap to window over prefixes; 0 for empty text."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    h32 = lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10).cast("long")
+    fold = F.aggregate(
+        F.transform(toks, h32),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(ROLL_MULT) + x) % F.lit(ROLL_MOD),
+    )
+    return F.when(F.trim(text) == "", F.lit(0).cast("long")).otherwise(fold)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------
@@ -128,3 +163,18 @@ def sql_quality_score(col: str = "text") -> str:
 
 def sql_fingerprint(col: str = "text") -> str:
     return f"substring(md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))), 1, 16)"
+
+
+def sql_bpe_token_count(col: str = "text") -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_PAT}'))"
+
+
+def sql_rolling_fingerprint(col: str = "text") -> str:
+    toks = f"string_split_regex(lower(trim({col})), '\\s+')"
+    h32 = "CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)"
+    hashed = f"list_transform({toks}, t -> {h32})"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashed}), "
+        f"(acc, x) -> (acc * {ROLL_MULT} + x) % {ROLL_MOD})"
+    )
+    return f"CASE WHEN trim({col}) = '' THEN 0 ELSE {fold} END"

@@ -61,6 +61,22 @@ def streaming_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
 
 
+def streaming_content_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """CONTENT dedup-on-arrival: keep the first page per content
+    fingerprint (md5 of whitespace-normalized lowercase text) within the
+    watermark horizon — catches mirrors/re-hosts that url-dedup misses.
+    The fingerprint is computed in the stream plan (pure Catalyst), so
+    state size is one 16-char key per distinct content, not the text."""
+    from ..functions.text import fingerprint_col
+
+    return (
+        stream.withColumn("_fp", fingerprint_col(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def streaming_cell_state(
     stream: DataFrame,
     grid: GridSpec,

@@ -291,3 +291,34 @@ def test_reproject_rasters_combinator(spark):
         for r in direct.collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_streaming_content_dedup(spark, tmp_path):
+    """Content-fingerprint dedup catches re-hosted pages (same text,
+    different url) that url-dedup keeps; result matches the batch
+    fingerprint-distinct count."""
+    from datacube_core_spark.functions.text import fingerprint_col
+    from datacube_core_spark.streaming.jobs import streaming_content_dedup
+
+    src = str(tmp_path / "cdedup_src")
+    p = pages(spark, SF_TINY)
+    rehosted = p.limit(40).withColumn(
+        "url", F.concat(F.lit("https://mirror.example/"), F.col("url"))
+    )
+    dup = p.unionByName(rehosted)
+    dup.write.mode("overwrite").parquet(src)
+
+    out = streaming_content_dedup(stream_pages(spark, src), watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) n FROM cdedup_t").collect()[0]["n"]
+    exp = p.select(fingerprint_col(F.col("text")).alias("fp")).distinct().count()
+    assert got == exp, "one survivor per distinct content"
+    # schema untouched (helper column dropped)
+    assert spark.table("cdedup_t").columns == p.columns
