@@ -43,6 +43,9 @@ from ..geom.mercator import merc_x_col, merc_y_col
 from ..geom.warp import reproject
 
 PARTIAL_NODATA = -1
+# reserved nodata for the signed fuse path: outside any realistic int32
+# payload; the kernel raises if the input actually contains it
+SIGNED_NODATA = -(1 << 31)
 
 
 def _axis_seq(lo, hi, origin: float, step: float):
@@ -77,6 +80,7 @@ def warp_rasters_to_grid(
     dst_res: float,
     dst_candidates: DataFrame,
     resampling: str = "nearest",
+    fuse: str = "greatest",
 ) -> DataFrame:
     """Warp per-(src_tile, region) rasters onto dst_grid tiles.
 
@@ -85,15 +89,18 @@ def warp_rasters_to_grid(
     Returns (dst_tx, dst_ty, region_id, h, w, raster) on dst_grid with the
     no-coverage pixels resolved to 0.
 
-    PRECONDITION — src pixel values must be ≥ 0: the partial-fuse uses the
-    in-band sentinel ``PARTIAL_NODATA = -1`` with a ``greatest`` fold and a
-    final clamp-to-0, which is only lossless for non-negative data (a
-    legitimately negative pixel would lose to other partials and then be
-    clamped).  The warp kernel VALIDATES this per batch and raises on the
-    first negative input pixel rather than silently corrupting output;
-    signed rasters need a (valid, value)-struct fuse — not implemented
-    because every current producer (rasterize counts/densities) is
-    non-negative by construction.
+    Two fuse modes:
+
+    * ``fuse="greatest"`` (default, the hot path): in-band sentinel
+      ``PARTIAL_NODATA = -1`` + ``greatest`` fold + clamp-to-0 — one
+      comparison per pixel per partial, but only lossless for
+      NON-NEGATIVE data (a legitimately negative pixel would lose the
+      fold and be clamped).  The kernel VALIDATES that and raises on the
+      first negative input pixel rather than silently corrupting output.
+    * ``fuse="signed"``: sentinel ``SIGNED_NODATA = INT32_MIN`` (reserved
+      — the kernel raises if the input actually contains it) with an
+      explicit when-chain fold (max over VALID partials; uncovered → 0),
+      correct for arbitrary signed payloads at ~2x fold cost.
     """
     s_sy, s_sx = src_grid.tile_size
     s_oy, s_ox = src_grid.origin
@@ -149,6 +156,11 @@ def warp_rasters_to_grid(
 
     from ..geom.mercator import get_transformer
 
+    if fuse not in ("greatest", "signed"):
+        raise ValueError(f"unknown fuse mode {fuse!r} (greatest|signed)")
+    signed = fuse == "signed"
+    sentinel = SIGNED_NODATA if signed else PARTIAL_NODATA
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # the back-projection of a dst tile's pixel-center grid into the
         # src CRS depends only on the dst tile — cache it across the many
@@ -184,11 +196,19 @@ def warp_rasters_to_grid(
                 s_top = (r.src_ty + 1) * abs(s_sy) + s_oy
                 s_affine = Affine(src_res, 0.0, s_left, 0.0, -src_res, s_top)
                 src_arr = np.asarray(r.raster, dtype=np.int32).reshape(sh, sw)
-                if src_arr.min() < 0:
+                lo = int(src_arr.min())
+                if signed:
+                    if lo == sentinel:
+                        raise ValueError(
+                            "warp_rasters_to_grid(fuse='signed') reserves INT32_MIN "
+                            f"as nodata; src tile ({r.src_tx},{r.src_ty}) contains it"
+                        )
+                elif lo < 0:
                     raise ValueError(
                         "warp_rasters_to_grid requires non-negative src pixels "
-                        f"(got {int(src_arr.min())} in src tile ({r.src_tx},{r.src_ty})): "
-                        "the -1 in-band fuse sentinel would corrupt signed data"
+                        f"(got {lo} in src tile ({r.src_tx},{r.src_ty})): "
+                        "the -1 in-band fuse sentinel would corrupt signed data "
+                        "(use fuse='signed')"
                     )
                 if nearest:
                     sx_w, sy_w = dst_lonlat(int(r.dst_tx), int(r.dst_ty))
@@ -200,15 +220,15 @@ def warp_rasters_to_grid(
                     ok = (ix >= 0) & (ix < sw) & (iy >= 0) & (iy < sh)
                     ok &= np.isfinite(xs) & np.isfinite(ys)
                     dst_arr = np.where(
-                        ok, src_arr[iy.clip(0, sh - 1), ix.clip(0, sw - 1)], PARTIAL_NODATA
+                        ok, src_arr[iy.clip(0, sh - 1), ix.clip(0, sw - 1)], sentinel
                     ).astype(np.int32)
                 else:
                     d_left = r.dst_tx * abs(d_sx) + d_ox
                     d_top = (r.dst_ty + 1) * abs(d_sy) + d_oy
                     s_gbox = GeoBox(sw, sh, s_affine, src_crs)
                     d_gbox = GeoBox(dw, dh, Affine(dst_res, 0.0, d_left, 0.0, -dst_res, d_top), dst_crs)
-                    dst_arr = np.full((dh, dw), PARTIAL_NODATA, dtype=np.int32)
-                    reproject(src_arr, dst_arr, s_gbox, d_gbox, resampling, dst_nodata=PARTIAL_NODATA)
+                    dst_arr = np.full((dh, dw), sentinel, dtype=np.int32)
+                    reproject(src_arr, dst_arr, s_gbox, d_gbox, resampling, dst_nodata=sentinel)
                 out.append(
                     (int(r.dst_tx), int(r.dst_ty), int(r.region_id), dst_arr.ravel().tolist())
                 )
@@ -219,15 +239,32 @@ def warp_rasters_to_grid(
         kernel, schema="dst_tx INT, dst_ty INT, region_id INT, partial ARRAY<INT>"
     )
 
-    # element-wise greatest fold over partials; uncovered pixels -> 0
-    empty = F.array_repeat(F.lit(PARTIAL_NODATA), dh * dw)
+    # element-wise fold over partials; uncovered pixels -> 0
+    empty = F.array_repeat(F.lit(sentinel), dh * dw)
+    if signed:
+        # max over VALID partials (explicit when-chain; sentinel never
+        # participates in the comparison, so negative values are safe)
+        def pick(a, b):
+            return (
+                F.when(b == F.lit(sentinel), a)
+                .when(a == F.lit(sentinel), b)
+                .otherwise(F.greatest(a, b))
+            )
+    else:
+        def pick(a, b):
+            return F.greatest(a, b)
     fused = partials.groupBy("dst_tx", "dst_ty", "region_id").agg(
         F.aggregate(
             F.collect_list("partial"), empty,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+            lambda acc, x: F.zip_with(acc, x, pick),
         ).alias("raster0")
     )
-    covered = F.transform(F.col("raster0"), lambda x: F.greatest(x, F.lit(0)))
+    if signed:
+        covered = F.transform(
+            F.col("raster0"), lambda x: F.when(x == F.lit(sentinel), F.lit(0)).otherwise(x)
+        )
+    else:
+        covered = F.transform(F.col("raster0"), lambda x: F.greatest(x, F.lit(0)))
     # dst candidate tiles with no src raster at all are all-zero
     out = dst_candidates.join(fused, on=["dst_tx", "dst_ty", "region_id"], how="left")
     zeros = F.array_repeat(F.lit(0), dh * dw)

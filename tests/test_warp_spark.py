@@ -116,3 +116,77 @@ def test_warp_rejects_negative_src_pixels(spark):
     out = warp_rasters_to_grid(src, GRID_PAGES, RES_SRC, GRID_MERC, RES_DST, cand, "nearest")
     with pytest.raises(Exception, match="non-negative src pixels"):
         out.collect()
+
+
+def test_warp_signed_fuse_preserves_negatives(spark):
+    """fuse='signed' warps arbitrary signed payloads losslessly: per-tile
+    output equals a single-machine reproject of the same signed plane."""
+    from datacube_core_spark.sources.regions import region_bounds, regions
+
+    rid = 120
+    l, b, r, t = region_bounds(rid)
+    regs = regions(spark).where(F.col("region_id") == rid)
+
+    # signed payload: value = (ix - iy) inside the region, 0 outside
+    w, h = 360, 180
+    xs = -180.0 + (np.arange(w) + 0.5)
+    ys = 90.0 - (np.arange(h) + 0.5)
+    XX, YY = np.meshgrid(xs, ys)
+    inside = (XX > l) & (XX < r) & (YY > b) & (YY < t)
+    plane = np.where(inside, (XX.astype(np.int32) - YY.astype(np.int32)), 0).astype(np.int32)
+    assert plane.min() < 0, "test plane must contain negative values"
+
+    # split the plane into GRID_PAGES tiles (4 deg = 4 px at 1 deg/px)
+    sh = sw = 4
+    rows = []
+    for ty in range(0, 180 // sh):
+        for tx in range(0, 360 // sw):
+            arr = plane[180 - (ty + 1) * sh : 180 - ty * sh, tx * sw : (tx + 1) * sw]
+            if arr.any():
+                rows.append((tx - 0, ty - 0, rid, sh, sw, arr.ravel().tolist()))
+    # tile indices relative to the grid origin (-180, -90): tile 0 starts there
+    src = spark.createDataFrame(
+        [(tx, ty, rg, hh, ww, a) for (tx, ty, rg, hh, ww, a) in rows],
+        "tile_x INT, tile_y INT, region_id INT, h INT, w INT, raster ARRAY<INT>",
+    )
+    cand = merc_region_tiles(regs, GRID_MERC)
+    out = warp_rasters_to_grid(
+        src, GRID_PAGES, RES_SRC, GRID_MERC, RES_DST, cand, "nearest", fuse="signed"
+    ).collect()
+    assert out
+
+    from datacube_core_spark.geom.warp import reproject as _rp
+
+    s_gbox = GeoBox(w, h, Affine(1.0, 0.0, -180.0, 0.0, -1.0, 90.0), "EPSG:4326")
+    d_sx = abs(GRID_MERC.tile_size[1])
+    checked = saw_negative = 0
+    for rr in out[:40]:
+        d_left = rr["dst_tx"] * d_sx + GRID_MERC.origin[1]
+        d_top = (rr["dst_ty"] + 1) * abs(GRID_MERC.tile_size[0]) + GRID_MERC.origin[0]
+        d_gbox = GeoBox(8, 8, Affine(RES_DST, 0.0, d_left, 0.0, -RES_DST, d_top), "EPSG:3857")
+        exp = np.full((8, 8), -(1 << 31), dtype=np.int32)
+        _rp(plane, exp, s_gbox, d_gbox, "nearest", dst_nodata=-(1 << 31))
+        exp = np.where(exp == -(1 << 31), 0, exp)
+        got = np.array(rr["raster"], dtype=np.int32).reshape(8, 8)
+        np.testing.assert_array_equal(got, exp, err_msg=str((rr["dst_tx"], rr["dst_ty"])))
+        checked += 1
+        if (got < 0).any():
+            saw_negative += 1
+    assert checked >= 3 and saw_negative >= 1, (
+        f"negatives must survive the fuse (checked={checked}, neg tiles={saw_negative})"
+    )
+
+
+def test_warp_signed_fuse_rejects_reserved_value(spark):
+    regs = regions(spark)
+    src = rasterize_rect_regions(regs, GRID_PAGES, res=RES_SRC).limit(1)
+    src = src.withColumn(
+        "raster",
+        F.concat(F.array(F.lit(-(1 << 31))), F.slice("raster", 2, F.size("raster") - F.lit(1))),
+    )
+    cand = merc_region_tiles(regs, GRID_MERC)
+    out = warp_rasters_to_grid(
+        src, GRID_PAGES, RES_SRC, GRID_MERC, RES_DST, cand, "nearest", fuse="signed"
+    )
+    with pytest.raises(Exception, match="reserves INT32_MIN"):
+        out.collect()
