@@ -283,9 +283,16 @@ def sample_merc_rasters(
     lon: str = "lon",
     lat: str = "lat",
     value_col: str = "value",
+    broadcast_rasters: bool = True,
 ) -> DataFrame:
     """Sample points (lon/lat) against merc-grid rasters: transform to
-    merc (pure Catalyst), inverse-affine pixel lookup, broadcast join."""
+    merc (pure Catalyst), inverse-affine pixel lookup.
+
+    ``broadcast_rasters=True`` (default) broadcasts the raster table —
+    right when rasters are a bounded mosaic (|tiles| × tile bytes fits the
+    broadcast limit).  ``False`` switches to a shuffle equi-join on the
+    tile id — the path for planet-scale raster tables where the POINT side
+    may be the smaller one; AQE picks the build side at runtime."""
     sy, sx = dst_grid.tile_size
     oy, ox = dst_grid.origin
     h = int(round(abs(sy) / dst_res))
@@ -304,7 +311,8 @@ def sample_merc_rasters(
     row_c = F.least(F.greatest(row_i, F.lit(0)), F.lit(h - 1))
     idx = row_c * F.lit(w) + col_c + F.lit(1)
 
-    joined = pts.join(F.broadcast(rasters_df), on=["dst_tx", "dst_ty"], how="inner")
+    right = F.broadcast(rasters_df) if broadcast_rasters else rasters_df
+    joined = pts.join(right, on=["dst_tx", "dst_ty"], how="inner")
     return joined.withColumn(value_col, F.element_at(F.col("raster"), idx)).drop("raster", "h", "w", "mx", "my")
 
 

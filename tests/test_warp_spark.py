@@ -190,3 +190,23 @@ def test_warp_signed_fuse_rejects_reserved_value(spark):
     )
     with pytest.raises(Exception, match="reserves INT32_MIN"):
         out.collect()
+
+
+def test_sample_shuffle_mode_matches_broadcast(spark):
+    """sample_merc_rasters(broadcast_rasters=False) — the planet-scale
+    raster-table path — returns exactly the broadcast path's rows."""
+    from datacube_core_spark.sources.pages import pages
+    from datacube_core_spark.sources.regions import regions
+
+    regs = regions(spark)
+    src = rasterize_rect_regions(regs, GRID_PAGES, res=RES_SRC)
+    cand = merc_region_tiles(regs, GRID_MERC)
+    src = warp_rasters_to_grid(src, GRID_PAGES, RES_SRC, GRID_MERC, RES_DST, cand, "nearest")
+    p = pages(spark, "/root/testdata/sf0.001").where(
+        (F.col("lat") > -85.0) & (F.col("lat") < 85.0)
+    ).limit(400)
+    a = sample_merc_rasters(p, src, GRID_MERC, RES_DST).select("doc_id", "region_id", "value")
+    b = sample_merc_rasters(p, src, GRID_MERC, RES_DST, broadcast_rasters=False).select(
+        "doc_id", "region_id", "value"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
