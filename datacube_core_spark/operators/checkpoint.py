@@ -117,6 +117,32 @@ class CheckpointedJob:
         out = self.spark.read.parquet(self.output_path)
         return out.join(F.broadcast(self.committed_batches()), on="batch_id", how="left_semi")
 
+    def vacuum(self) -> List[str]:
+        """Delete ORPHANED output batch directories — batch partitions
+        written by attempts killed inside the commit window, which
+        ``committed_output`` never reads but which otherwise accumulate
+        forever.  The Iceberg ``remove_orphan_files`` analog.
+
+        Safe by the commit discipline: a batch directory is orphaned iff
+        no ``done`` checkpoint row carries its batch_id, and a batch_id is
+        never reused across attempts (per-attempt nonce), so a directory
+        that is orphaned now is orphaned forever.  Returns the deleted
+        batch_ids."""
+        import shutil
+
+        if not os.path.isdir(self.output_path):
+            return []
+        committed = {r["batch_id"] for r in self.committed_batches().collect()}
+        deleted: List[str] = []
+        for name in sorted(os.listdir(self.output_path)):
+            if not name.startswith("batch_id="):
+                continue
+            bid = name[len("batch_id="):]
+            if bid not in committed:
+                shutil.rmtree(os.path.join(self.output_path, name))
+                deleted.append(bid)
+        return deleted
+
     # -- the run loop ------------------------------------------------------
 
     def run(

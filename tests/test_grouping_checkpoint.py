@@ -301,3 +301,37 @@ def test_kernel_fuse_equals_catalyst(spark):
         for r in fuse_first_valid_kernel(df, ["tx", "ty"], ["sv"], "id", "arr", nodata).collect()
     }
     assert kern == plain
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    """vacuum() deletes batch dirs written by a killed attempt (never
+    committed) and leaves every committed batch untouched."""
+    import os
+    import pytest as _pytest
+
+    base = str(tmp_path / "job")
+    cells = spark.createDataFrame([(x, 0) for x in range(4)], "cell_x INT, cell_y INT")
+
+    def process(batch):
+        rows = [(cx, cy, f"{cx},{cy}") for cx, cy in batch]
+        return spark.createDataFrame(rows, "cell_x INT, cell_y INT, payload STRING"), len(rows)
+
+    job1 = CheckpointedJob(spark, base, job_id="v1")
+    with _pytest.raises(RuntimeError, match="commit window"):
+        job1.run(cells, process, batch_size=2, fail_before_checkpoint=2)
+
+    job2 = CheckpointedJob(spark, base, job_id="v1")
+    job2.run(cells, process, batch_size=2)
+
+    dirs_before = {d for d in os.listdir(job2.output_path) if d.startswith("batch_id=")}
+    committed = {r["batch_id"] for r in job2.committed_batches().collect()}
+    assert len(dirs_before) == len(committed) + 1  # one orphan from the kill
+
+    before = sorted(map(tuple, job2.committed_output().collect()))
+    deleted = job2.vacuum()
+    assert len(deleted) == 1 and deleted[0] not in committed
+
+    dirs_after = {d for d in os.listdir(job2.output_path) if d.startswith("batch_id=")}
+    assert dirs_after == {f"batch_id={b}" for b in committed}
+    assert sorted(map(tuple, job2.committed_output().collect())) == before
+    assert job2.vacuum() == []  # idempotent
