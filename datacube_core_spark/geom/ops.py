@@ -129,12 +129,16 @@ def simplify_ring(ring: Ring, tol: float) -> Ring:
 
 def interpolate_line(line, distance: float) -> Tuple[float, float]:
     """Point ``distance`` units along a polyline — reference
-    ``Geometry.interpolate`` (``_base.py:650``, shapely semantics):
-    negative distances clamp to the start, past-the-end clamps to the
-    last vertex."""
+    ``Geometry.interpolate`` (``_base.py:650``, shapely/GEOS
+    LengthIndexedLine semantics): a NEGATIVE distance is measured
+    backwards from the END of the line; out-of-range distances clamp to
+    the nearest endpoint."""
     pts = np.asarray(line, dtype=np.float64)
     if pts.ndim != 2 or pts.shape[1] != 2 or len(pts) == 0:
         raise TypeError("interpolate needs a (N, 2) polyline")
+    if distance < 0:
+        total = float(np.hypot(*(np.diff(pts, axis=0).T)).sum()) if len(pts) > 1 else 0.0
+        distance = max(0.0, total + distance)
     if len(pts) == 1 or distance <= 0:
         return float(pts[0, 0]), float(pts[0, 1])
     remaining = float(distance)
@@ -158,18 +162,70 @@ def _segments_properly_intersect(p1, p2, p3, p4) -> bool:
     return bool(((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)))
 
 
+def _on_segment(a, b, c) -> bool:
+    """c (already known collinear with a-b) lies within a-b's bbox."""
+    return bool(
+        min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+    )
+
+
+def _segments_touch(p1, p2, p3, p4) -> bool:
+    """ANY contact between the two segments: proper crossing, vertex on
+    the other segment's interior or endpoint, or collinear overlap."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+    if d1 == 0 and _on_segment(p3, p4, p1):
+        return True
+    if d2 == 0 and _on_segment(p3, p4, p2):
+        return True
+    if d3 == 0 and _on_segment(p1, p2, p3):
+        return True
+    if d4 == 0 and _on_segment(p1, p2, p4):
+        return True
+    return False
+
+
 def ring_is_simple(ring: Ring) -> bool:
-    """No two non-adjacent edges cross (O(n²) — driver-side util sizes)."""
+    """Shapely-strength simplicity: no two NON-ADJACENT edges make ANY
+    contact (proper crossing, vertex-on-edge touch, collinear overlap —
+    grid-aligned DP output pinches exactly this way), and no consecutive
+    edge pair doubles back on itself (spike).  O(n²) — driver-side util
+    sizes."""
     r = as_ring(ring)
     n = len(r)
+    if n < 3:
+        return False
     edges = [(r[i], r[(i + 1) % n]) for i in range(n)]
     for i in range(n):
+        a, b = edges[i]
+        c = edges[(i + 1) % n][1]
+        # spike: consecutive edges collinear AND reversing direction
+        if np.cross(b - a, c - b) == 0 and np.dot(b - a, c - b) < 0:
+            return False
         for j in range(i + 2, n):
             if i == 0 and j == n - 1:
                 continue  # adjacent around the wrap
-            if _segments_properly_intersect(edges[i][0], edges[i][1], edges[j][0], edges[j][1]):
+            if _segments_touch(a, b, edges[j][0], edges[j][1]):
                 return False
     return True
+
+
+def rings_touch(r1: Ring, r2: Ring) -> bool:
+    """ANY edge contact between two rings (for shell/hole validation)."""
+    a = as_ring(r1)
+    b = as_ring(r2)
+    ea = [(a[i], a[(i + 1) % len(a)]) for i in range(len(a))]
+    eb = [(b[i], b[(i + 1) % len(b)]) for i in range(len(b))]
+    for s1, s2 in ea:
+        for s3, s4 in eb:
+            if _segments_touch(s1, s2, s3, s4):
+                return True
+    return False
 
 
 def simplify_ring_preserve_topology(ring: Ring, tol: float) -> Ring:
@@ -190,16 +246,56 @@ def simplify_ring_preserve_topology(ring: Ring, tol: float) -> Ring:
     return r
 
 
+def _polygon_rings_valid(rings) -> bool:
+    """Inter-ring validity: every hole stays strictly inside the shell
+    and no two rings touch (per-ring simplicity is checked separately)."""
+    from .polygon import points_strictly_inside
+
+    shell = rings[0]
+    for i, hole in enumerate(rings[1:], start=1):
+        h = as_ring(hole)
+        if not points_strictly_inside(h[:, 0], h[:, 1], [shell]).all():
+            return False
+        if rings_touch(shell, hole):
+            return False
+        for other in rings[i + 1:]:
+            if rings_touch(hole, other):
+                return False
+    return True
+
+
 def simplify_multipolygon(mp: MultiPolygon, tol: float, preserve_topology: bool = True) -> MultiPolygon:
     """Per-ring simplify over a multipolygon; with ``preserve_topology``
-    every output ring is guaranteed simple and non-degenerate."""
-    fn = simplify_ring_preserve_topology if preserve_topology else simplify_ring
+    every output ring is simple and non-degenerate AND the rings of each
+    polygon stay mutually valid (holes inside the shell, no ring-ring
+    contact) — simplifying shell and holes independently can otherwise
+    straighten a concave shell ACROSS a hole (GEOS
+    TopologyPreservingSimplifier prevents exactly this).  On violation
+    the whole polygon retries at halved tolerance, converging to the
+    original rings."""
+    if not preserve_topology:
+        out_simple: MultiPolygon = []
+        for poly in mp:
+            rings = [simplify_ring(ring, tol) for ring in poly]
+            rings = [r for r in rings if len(r) >= 3 and abs(ring_area(r)) > 0]
+            if rings:
+                out_simple.append(rings)
+        return out_simple
+
     out: MultiPolygon = []
     for poly in mp:
-        rings = [fn(ring, tol) for ring in poly]
-        rings = [r for r in rings if len(r) >= 3 and abs(ring_area(r)) > 0]
-        if rings:
-            out.append(rings)
+        t = float(tol)
+        chosen = None
+        for _ in range(20):
+            rings = [simplify_ring_preserve_topology(ring, t) for ring in poly]
+            rings = [r for r in rings if len(r) >= 3 and abs(ring_area(r)) > 0]
+            if rings and (len(rings) < 2 or _polygon_rings_valid(rings)):
+                chosen = rings
+                break
+            t /= 2.0
+        if chosen is None:
+            chosen = [as_ring(r) for r in poly]  # give up: original polygon
+        out.append(chosen)
     return out
 
 

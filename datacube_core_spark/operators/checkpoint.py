@@ -117,29 +117,41 @@ class CheckpointedJob:
         out = self.spark.read.parquet(self.output_path)
         return out.join(F.broadcast(self.committed_batches()), on="batch_id", how="left_semi")
 
-    def vacuum(self) -> List[str]:
+    def vacuum(self, min_age_s: float = 24 * 3600.0) -> List[str]:
         """Delete ORPHANED output batch directories — batch partitions
         written by attempts killed inside the commit window, which
         ``committed_output`` never reads but which otherwise accumulate
         forever.  The Iceberg ``remove_orphan_files`` analog.
 
-        Safe by the commit discipline: a batch directory is orphaned iff
-        no ``done`` checkpoint row carries its batch_id, and a batch_id is
-        never reused across attempts (per-attempt nonce), so a directory
-        that is orphaned now is orphaned forever.  Returns the deleted
-        batch_ids."""
+        Safety: (a) a batch_id is never reused across attempts
+        (per-attempt nonce), so a DEAD attempt's directory is orphaned
+        forever; (b) a LIVE attempt may sit inside its commit window
+        (output written, ``done`` row not yet appended) — exactly like
+        Iceberg's remove_orphan_files, ``min_age_s`` (default 24 h)
+        guards that race: only directories last modified at least that
+        long ago are deleted.  Pass 0 ONLY when no attempt can be
+        running.  Returns the deleted batch_ids."""
         import shutil
+        import time as _time
 
         if not os.path.isdir(self.output_path):
             return []
         committed = {r["batch_id"] for r in self.committed_batches().collect()}
+        now = _time.time()
         deleted: List[str] = []
         for name in sorted(os.listdir(self.output_path)):
             if not name.startswith("batch_id="):
                 continue
             bid = name[len("batch_id="):]
-            if bid not in committed:
-                shutil.rmtree(os.path.join(self.output_path, name))
+            path = os.path.join(self.output_path, name)
+            if bid in committed:
+                continue
+            age = now - max(
+                (os.path.getmtime(os.path.join(dp, f)) for dp, _dn, fs in os.walk(path) for f in fs),
+                default=os.path.getmtime(path),
+            )
+            if age >= min_age_s:
+                shutil.rmtree(path)
                 deleted.append(bid)
         return deleted
 

@@ -93,17 +93,26 @@ class EO3Grid:
 
 def eo3_lonlat_bbox(grids: Sequence[EO3Grid], crs: str) -> Tuple[float, float, float, float]:
     """Lon/lat bounding box over all grids: project every grid's corner
-    ring to EPSG:4326 through the transformer seam, then take the
-    antimeridian-safe bounds (reference ``eo3.py:64-74``)."""
+    ring to EPSG:4326 through the transformer seam, then take the bounds
+    (reference ``eo3.py:64-74``).
+
+    Mode choice: a grid is an AFFINE image of a rectangle, so a
+    geographic-native grid is contiguous and can never wrap the dateline
+    — ``quick`` bounds are exact and safe-mode's span-over-180 heuristic
+    could only corrupt a legitimately wide footprint (a 190°-wide or
+    global grid would be rewritten into a phantom dateline crossing).
+    Projected grids go through the inverse transform, whose wrapped
+    output CAN straddle ±180, so those keep the antimeridian-safe mode."""
     rings = []
+    geographic = _norm_crs(crs) == EPSG_4326
     for g in grids:
         pts = np.asarray(g.points(), dtype=np.float64)
-        if _norm_crs(crs) != EPSG_4326:
+        if not geographic:
             inv = get_transformer(crs, EPSG_4326)
             lon, lat = inv(pts[:, 0], pts[:, 1])
             pts = np.stack([lon, lat], axis=1)
         rings.append(pts)
-    bb = lonlat_bounds([[r] for r in rings])
+    bb = lonlat_bounds([[r] for r in rings], mode="quick" if geographic else "safe")
     return bb.left, bb.bottom, bb.right, bb.top
 
 
@@ -141,12 +150,18 @@ def is_doc_eo3(doc: Mapping[str, Any]) -> bool:
 
 def prep_eo3(doc: Dict[str, Any], auto_skip: bool = True) -> Dict[str, Any]:
     """Add the spatial keys the index requires to an eo3 doc (reference
-    ``prep_eo3``): non-eo3 docs pass through when ``auto_skip``."""
+    ``prep_eo3``): non-eo3 docs pass through when ``auto_skip``; docs
+    already carrying the normalized keys pass through unchanged
+    (idempotent re-ingest instead of a duplicate-key TypeError)."""
     if not is_doc_eo3(doc):
         if auto_skip:
             return doc
         raise ValueError("Not an EO3 document (missing $schema)")
-    return dict(**doc, **eo3_grid_spatial(doc))
+    if "extent" in doc and "grid_spatial" in doc:
+        return doc
+    out = dict(doc)
+    out.update(eo3_grid_spatial(doc))
+    return out
 
 
 def flatten_eo3_lineage(doc: Mapping[str, Any]) -> List[str]:
@@ -255,9 +270,16 @@ def resolve_doc(
             "source_ids": sources,
             "error": None,
         }
-    except (BadMatch, ValueError) as e:
-        return {**_EMPTY, "id": str(doc.get("id")) if doc.get("id") else None,
-                "uri": uri, "error": str(e)}
+    except Exception as e:  # noqa: BLE001 — ingest contract: EVERY bad doc
+        # becomes an error row; a malformed document (wrong-typed shape,
+        # lineage=None, …) raising TypeError must not kill the whole
+        # distributed resolve job
+        try:
+            ds_id = doc.get("id")
+        except Exception:
+            ds_id = None
+        return {**_EMPTY, "id": str(ds_id) if ds_id else None,
+                "uri": uri, "error": f"{type(e).__name__}: {e}"}
 
 
 def resolve_docs_df(docs_df: DataFrame, rules: Sequence[ProductRule], skip_lineage: bool = False) -> DataFrame:
@@ -369,13 +391,25 @@ class Doc2Dataset:
 
     def ingest(self, docs_df: DataFrame) -> Tuple[int, DataFrame]:
         """Resolve + add good rows to the store + append lineage edges.
-        Returns (rows added, error rows DataFrame)."""
+        Returns (rows added, error rows DataFrame).
+
+        Idempotent end to end: rows whose id the store already holds are
+        skipped AND their edges are not re-appended — a retried batch
+        adds 0 rows and 0 edges instead of duplicating every edge in
+        ``lineage_edges`` (edges are derived from the same NEW-rows set
+        the store add uses)."""
         resolved = self.resolve(docs_df).localCheckpoint(eager=True)
-        good = resolved.where(F.col("error").isNull()).drop("error", "source_ids")
-        n = self.store.add(good, skip_existing=True)
-        edges = (
-            resolved.where(F.col("error").isNull())
-            .select(F.col("id").alias("dataset_id"), F.explode("source_ids").alias("source_id"))
+        good = resolved.where(F.col("error").isNull())
+        try:
+            known = self.store.current(include_archived=True).select(
+                F.col(self.store.id_col).cast("string").alias("id")
+            )
+            fresh = good.join(known, on="id", how="left_anti").localCheckpoint(eager=True)
+        except ValueError:  # empty store
+            fresh = good
+        n = self.store.add(fresh.drop("error", "source_ids"), skip_existing=True)
+        edges = fresh.select(
+            F.col("id").alias("dataset_id"), F.explode("source_ids").alias("source_id")
         )
         edges_path = f"{self.store.base}/lineage_edges"
         edges.write.mode("append").parquet(edges_path)

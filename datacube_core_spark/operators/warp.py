@@ -137,8 +137,16 @@ def warp_rasters_to_grid(
     y0 = F.greatest(dyb, F.least(dyt, F.lit(0.0)))  # y=0 clamped into the window
     lon_pts = [inv_lon(x, y) for x in (dxl, dxr) for y in (dyb, dyt, y0)]
     lat_pts = [inv_lat(x, y) for x in (dxl, dxr) for y in (dyb, dyt)]
-    lon_lo, lon_hi = F.least(*lon_pts), F.greatest(*lon_pts)
-    lat_lo, lat_hi = F.least(*lat_pts), F.greatest(*lat_pts)
+    # Clamp to world bounds: src is geographic, so no src tile exists
+    # outside [-180, 180]x[-90, 90] and clipping never loses coverage.
+    # This caps the candidate explode even where the inverse degenerates
+    # (e.g. sinusoidal 1/cos(lat) near the poles would otherwise yield a
+    # near-infinite lon window -> a runaway F.sequence); NaN/Inf corners
+    # also resolve to the world edge instead of poisoning the sequence.
+    lon_lo = F.greatest(F.least(*lon_pts), F.lit(-180.0))
+    lon_hi = F.least(F.greatest(*lon_pts), F.lit(180.0))
+    lat_lo = F.greatest(F.least(*lat_pts), F.lit(-90.0))
+    lat_hi = F.least(F.greatest(*lat_pts), F.lit(90.0))
 
     paired = (
         dst_candidates.withColumn(

@@ -165,3 +165,69 @@ def test_fail_on_missing_lineage(spark, tmp_path):
         [(json.dumps(_doc("x3", sources=["a1"])), "u3")], "doc STRING, uri STRING"
     )).collect()
     assert ok[0]["error"] is None
+
+
+def test_malformed_docs_become_error_rows_not_job_failures(spark, tmp_path):
+    """TypeError-shaped malformations (wrong-typed grids, lineage=None,
+    already-normalized doc) must yield error rows / pass through — never
+    kill the distributed resolve job (r3 review finding)."""
+    from datacube_core_spark.operators.doc2dataset import prep_eo3, resolve_doc
+
+    # already-normalized doc: prep is idempotent, resolve succeeds
+    norm = prep_eo3(_doc("n1"))
+    again = prep_eo3(norm)
+    assert again == norm
+    row = resolve_doc(norm, "u", RULES)
+    assert row["error"] is None
+
+    bad_docs = [
+        {"$schema": EO3, "id": "b1", "crs": "EPSG:4326",
+         "grids": {"default": {"shape": 5}}},              # TypeError: len(5)
+        {"$schema": EO3, "id": "b2", "crs": "EPSG:4326",
+         "grids": {"default": {"shape": [2, 2], "transform": "x"}}},
+        {**_doc("b3"), "lineage": None},                   # flatten gets None -> {} ok
+        {**_doc("b4"), "lineage": {"src": None}},          # TypeError in flatten
+    ]
+    rows = [resolve_doc(d, "u", RULES) for d in bad_docs]
+    assert rows[0]["error"] and rows[1]["error"] and rows[3]["error"]
+    assert rows[2]["error"] is None  # lineage None reads as empty
+
+    # and through the distributed path
+    docs_df = spark.createDataFrame(
+        [(json.dumps(d), "u") for d in bad_docs], "doc STRING, uri STRING"
+    )
+    from datacube_core_spark.operators.doc2dataset import resolve_docs_df
+    out = resolve_docs_df(docs_df, RULES).collect()  # must not raise
+    assert sum(1 for r in out if r["error"]) == 3
+
+
+def test_ingest_retry_is_edge_idempotent(spark, tmp_path):
+    """Re-running the same ingest batch adds 0 rows AND 0 edges
+    (r3 review finding: the edge path must be as idempotent as add)."""
+    store = DatasetStore(spark, str(tmp_path / "cat4"), id_type="STRING")
+    resolver = Doc2Dataset(store, RULES)
+    docs_df = spark.createDataFrame(
+        [(json.dumps(_doc("r1", sources=["s1", "s2"])), "u1"),
+         (json.dumps(_doc("s1")), "u2"), (json.dumps(_doc("s2")), "u3")],
+        "doc STRING, uri STRING",
+    )
+    n1, _ = resolver.ingest(docs_df)
+    edges1 = spark.read.parquet(f"{store.base}/lineage_edges").count()
+    n2, _ = resolver.ingest(docs_df)  # retry
+    edges2 = spark.read.parquet(f"{store.base}/lineage_edges").count()
+    assert n1 == 3 and n2 == 0
+    assert edges1 == 2 and edges2 == 2, "retry duplicated lineage edges"
+
+
+def test_wide_geographic_grid_extent_not_corrupted():
+    """A legitimately 190-degree-wide geographic grid keeps its true
+    extent (safe-mode's dateline heuristic must not rewrite it)."""
+    from datacube_core_spark.operators.doc2dataset import eo3_grid_spatial
+
+    doc = {
+        "$schema": EO3, "id": "w1", "crs": "EPSG:4326",
+        "grids": {"default": {"shape": [100, 1900],
+                              "transform": [0.1, 0, -170.0, 0, -0.1, 30.0]}},
+    }
+    oo = eo3_grid_spatial(doc)
+    assert oo["extent"]["lon"] == {"begin": -170.0, "end": 20.0}

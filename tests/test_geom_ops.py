@@ -255,7 +255,9 @@ def test_interpolate_line():
     assert interpolate_line(line, 3.0) == (3.0, 0.0)
     assert interpolate_line(line, 5.0) == (3.0, 2.0)
     assert interpolate_line(line, 99.0) == (3.0, 4.0)   # clamp past end
-    assert interpolate_line(line, -2.0) == (0.0, 0.0)   # clamp before start
+    # shapely/GEOS: negative distance measures backwards from the END
+    assert interpolate_line(line, -2.0) == (3.0, 2.0)   # len 7 - 2 = 5
+    assert interpolate_line(line, -99.0) == (0.0, 0.0)  # clamp before start
     with _pytest.raises(TypeError):
         interpolate_line(np.zeros((0, 2)), 1.0)
 
@@ -299,3 +301,41 @@ def test_ring_is_simple_detects_bowtie():
     assert not ring_is_simple(bowtie)
     square = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
     assert ring_is_simple(square)
+
+
+def test_ring_is_simple_detects_touch_and_spike():
+    """Non-proper contacts: vertex-on-edge pinch and doubled-back spike
+    (grid-aligned DP output fails exactly this way)."""
+    import numpy as np
+    from datacube_core_spark.geom.ops import ring_is_simple
+
+    # pinch: vertex (2,0) of the notch lands exactly on the bottom edge
+    pinched = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (2.0, 0.0), (0.0, 3.0)])
+    assert not ring_is_simple(pinched)
+    # spike: consecutive edges double back
+    spiked = np.array([(0.0, 0.0), (4.0, 0.0), (2.0, 0.0), (2.0, 3.0)])
+    assert not ring_is_simple(spiked)
+    # collinear overlap between non-adjacent edges
+    overlap = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (3.0, 0.0), (1.0, 0.0), (0.0, 2.0)])
+    assert not ring_is_simple(overlap)
+
+
+def test_simplify_preserves_inter_ring_topology():
+    """A concave shell whose DP straightening would cut across a hole:
+    the polygon-level retry must keep the hole strictly inside."""
+    import numpy as np
+    from datacube_core_spark.geom.ops import _polygon_rings_valid, simplify_multipolygon
+    from datacube_core_spark.geom.polygon import box_ring
+
+    # shell: rectangle with a shallow notch on top; hole sits just under
+    # the notch so a straightened shell would cross it
+    shell = np.array([
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (6.0, 10.0),
+        (5.0, 8.6), (4.0, 10.0), (0.0, 10.0),
+    ])
+    hole = box_ring(4.2, 8.8, 5.8, 9.4)
+    out = simplify_multipolygon([[shell, hole]], tol=2.0)
+    assert len(out) == 1
+    rings = out[0]
+    if len(rings) > 1:
+        assert _polygon_rings_valid(rings), "hole crosses the simplified shell"

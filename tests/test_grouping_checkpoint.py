@@ -328,10 +328,11 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert len(dirs_before) == len(committed) + 1  # one orphan from the kill
 
     before = sorted(map(tuple, job2.committed_output().collect()))
-    deleted = job2.vacuum()
+    assert job2.vacuum() == []  # default min_age guards live-attempt race
+    deleted = job2.vacuum(min_age_s=0)
     assert len(deleted) == 1 and deleted[0] not in committed
 
     dirs_after = {d for d in os.listdir(job2.output_path) if d.startswith("batch_id=")}
     assert dirs_after == {f"batch_id={b}" for b in committed}
     assert sorted(map(tuple, job2.committed_output().collect())) == before
-    assert job2.vacuum() == []  # idempotent
+    assert job2.vacuum(min_age_s=0) == []  # idempotent
