@@ -244,6 +244,43 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus curation (the LLM-pipeline story in one
+    plan): plant exact twins -> content-fingerprint dedup keep-list
+    (keeper = min doc_id per fingerprint, broadcast-free left_semi) ->
+    quality gate (>= 1.2) -> per-lang kept-corpus stats.  Pure Catalyst;
+    every stage's arithmetic is the already-oracled text-function suite."""
+    from datacube_core_spark.functions.text import (
+        fingerprint_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    twins = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.unionByName(twins)
+    fp = corpus.withColumn("fp", fingerprint_col(F.col("text")))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(keep, ["fp", "doc_id"], "left_semi")
+    scored = kept.select(
+        "lang",
+        quality_score_col(F.col("text")).alias("q"),
+        token_count_col(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return (
+        scored.where(F.col("q") >= 1.2)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.max("q").alias("max_q"),
+            F.min("q").alias("min_q"),
+        )
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget + order-sensitive fingerprint suite (task-brief text
     ops): whitespace count, BPE-ish pre-tokenizer count (regexp_count of
@@ -658,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "text_features": q_text_features,
         "token_stats": q_token_stats,
+        "curation": q_curation,
         "media_stats": q_media_stats,
         "bitmask": q_bitmask,
         "exact_dedup": q_exact_dedup,
@@ -850,6 +888,28 @@ FROM documents GROUP BY 1
         sql_bpe_token_count,
         sql_rolling_fingerprint,
     )
+
+    from datacube_core_spark.functions.text import sql_fingerprint as _sfp
+    from datacube_core_spark.functions.text import sql_quality_score as _sqs
+
+    sqls["curation"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (SELECT doc_id, lang, text, {_sfp('text')} AS fp FROM corpus),
+keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY 1),
+kept AS (SELECT f.* FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+scored AS (
+  SELECT lang, {_sqs('text')} AS q,
+         CAST({sql_token_count('text')} AS BIGINT) AS n_tok
+  FROM kept
+)
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       MAX(q) AS max_q, MIN(q) AS min_q
+FROM scored WHERE q >= 1.2 GROUP BY 1
+"""
 
     sqls["token_stats"] = f"""
 SELECT doc_id,

@@ -434,10 +434,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
+    # one md5 per token, two 32-bit halves sliced from the same digest
+    # (the two-call form computed the digest twice per row)
+    md = F.md5(F.encode(F.col("tok"), "UTF-8"))
     th = toks.select(
         "doc_id",
-        md5_h32_col(F.col("tok"), 9).alias("h_lo"),
-        md5_h32_col(F.col("tok"), 1).alias("h_hi"),
+        F.conv(F.substring(md, 9, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("long").alias("h_hi"),
     )
     agg = th.groupBy("doc_id").agg(*simhash_col_aggs())
     bit_terms = [
