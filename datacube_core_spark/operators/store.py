@@ -87,20 +87,46 @@ class DatasetStore:
         rows = [(i,) for i in ids]
         return self.spark.createDataFrame(rows, f"{self.id_col} {self.id_type}")
 
-    def _state(self) -> Optional[DataFrame]:
-        """Last event per id (purge events included)."""
+    def _state(self, as_of: Optional[int] = None) -> Optional[DataFrame]:
+        """Last event per id (purge events included); ``as_of`` rewinds to
+        the state after seq ``as_of`` — the Iceberg snapshot / time-travel
+        analog, free on an event-sourced log (filter, then the same
+        last-writer-wins window)."""
         log = self._log()
         if log is None:
             return None
+        if as_of is not None:
+            log = log.where(F.col("_seq") <= F.lit(int(as_of)))
         w = Window.partitionBy(self.id_col).orderBy(F.col("_seq").desc(), F.col("_tie").desc())
         return log.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
+    def latest_seq(self) -> int:
+        """Highest committed seq — a snapshot id for :meth:`current`'s
+        ``as_of`` (capture before a mutation batch, read consistently
+        after)."""
+        return self._max_logged_seq()
+
+    def history(self, dataset_id) -> DataFrame:
+        """Full event chain for one dataset, oldest first: (payload...,
+        _seq, _op, _archived) — the audit trail the reference keeps in
+        Postgres (dataset archived/added timestamps)."""
+        log = self._log()
+        if log is None:
+            raise ValueError("empty store: nothing added yet")
+        return (
+            log.join(F.broadcast(self._ids_df([dataset_id])), on=self.id_col, how="left_semi")
+            .orderBy(F.col("_seq").asc(), F.col("_tie").asc())
+            .drop("_tie")
+        )
+
     # -- read side -----------------------------------------------------------
 
-    def current(self, include_archived: bool = False) -> DataFrame:
+    def current(self, include_archived: bool = False, as_of: Optional[int] = None) -> DataFrame:
         """Live dataset rows; implicit ``archived IS NULL`` unless
-        ``include_archived`` (then `_archived` carries the timestamp)."""
-        st = self._state()
+        ``include_archived`` (then `_archived` carries the timestamp).
+        ``as_of=<seq>`` time-travels to the state after that mutation
+        (see :meth:`latest_seq`)."""
+        st = self._state(as_of=as_of)
         if st is None:
             raise ValueError("empty store: nothing added yet")
         live = st.where(F.col("_op") != "purge")
@@ -225,7 +251,9 @@ class DatasetStore:
     def compact(self) -> int:
         """Rewrite the log to current state only (drops superseded events
         and purged ids) — the Iceberg rewrite_data_files analog.  Returns
-        surviving row count."""
+        surviving row count.  NOTE: like Iceberg snapshot expiry, this
+        discards history — ``current(as_of=...)`` and ``history()`` can
+        only see events at or after the compaction."""
         st = self._state()
         if st is None:
             return 0

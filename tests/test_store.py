@@ -106,3 +106,31 @@ def test_two_writers_same_path_deterministic(spark, tmp_path):
     assert len(winners) == 1 and winners <= {"a2", "b2"}, (
         f"tied-seq resolution must be stable across reads, got {winners}"
     )
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """Event-sourced log gives Iceberg-style snapshot reads for free:
+    current(as_of=seq) rewinds; history(id) returns the audit chain."""
+    st = DatasetStore(spark, str(tmp_path / "cat5"))
+    st.add(_rows(spark, [(1, "v1", T0, "final"), (2, "b", T0, "final")]))
+    snap1 = st.latest_seq()
+    st.update(_rows(spark, [(1, "v2", T0, "final")]))
+    snap2 = st.latest_seq()
+    st.archive([2])
+    st.purge([2])
+
+    # now: id1 = v2 live, id2 purged
+    assert sorted(r["id"] for r in st.current().collect()) == [1]
+    assert st.current().collect()[0]["key"] == "v2"
+    # as of snap1: both live, id1 still v1
+    old = st.current(as_of=snap1)
+    assert sorted(r["id"] for r in old.collect()) == [1, 2]
+    assert old.where(F.col("id") == 1).collect()[0]["key"] == "v1"
+    # as of snap2: update applied, id2 still live
+    mid = st.current(as_of=snap2)
+    assert mid.where(F.col("id") == 1).collect()[0]["key"] == "v2"
+    assert mid.where(F.col("id") == 2).count() == 1
+
+    h = st.history(2).collect()
+    assert [r["_op"] for r in h] == ["add", "archive", "purge"]
+    assert h[1]["_archived"] is not None
