@@ -139,3 +139,34 @@ def test_bbox_union_contains_all(boxes):
     for bb in bbs:
         assert u.left <= bb.left and u.right >= bb.right
         assert u.bottom <= bb.bottom and u.top >= bb.top
+
+
+@given(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]), min_size=2, max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_fingerprint_order_sensitive_pure(tokens):
+    """Pure-python mirror of rolling_fingerprint_col's fold: equal token
+    sequences hash equal; a genuine reorder changes the hash unless the
+    fold value collides (verify no SYSTEMATIC order-insensitivity)."""
+    import hashlib
+
+    from datacube_core_spark.functions.text import ROLL_MOD, ROLL_MULT
+
+    def h32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    def fold(toks):
+        acc = 0
+        for t in toks:
+            acc = (acc * ROLL_MULT + h32(t)) % ROLL_MOD
+        return acc
+
+    assert fold(tokens) == fold(list(tokens))
+    rev = list(reversed(tokens))
+    if rev != tokens:
+        # positional weighting: reversal of a non-palindrome with ≥2
+        # distinct tokens must change the fold (B > max hash gap makes a
+        # collision here arithmetically impossible for these short lists)
+        if len(set(tokens)) >= 2:
+            assert fold(rev) != fold(tokens)
