@@ -91,6 +91,19 @@ def test_knn_bulk_shuffle_mode_matches_broadcast(spark, pages_pdf):
     sb = {(r["qid"], r["rank"]): (r["doc_id"], r["dist_sq"]) for r in b.collect()}
     assert sa == sb
 
+    # plan shape: shuffle mode must carry NO explicit broadcast hint on
+    # the candidate side — at test scale AQE legitimately re-picks a
+    # broadcast join for the tiny inputs (that is the point of AQE), but
+    # at 100-TB bulk scale the un-hinted join degrades gracefully to
+    # shuffle; a hard-coded hint would force an OOM-sized broadcast.
+    logical_b = b._jdf.queryExecution().optimizedPlan().toString()
+    logical_a = a._jdf.queryExecution().optimizedPlan().toString()
+    assert "hints=[broadcast]" not in logical_b and "ResolvedHint" not in logical_b, (
+        logical_b[:1500]
+    )
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_a  # broadcast mode keeps the hint
+
 
 def test_knn_exact_flag(spark):
     """Queries resolved by the ring guarantee carry exact=True; queries
