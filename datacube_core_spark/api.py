@@ -42,6 +42,40 @@ class Datacube:
     def find_datasets(self, **query) -> DataFrame:
         return Query(**query).apply(pages(self.spark, self.sf_dir, repl=self.repl))
 
+    def list_products(self) -> DataFrame:
+        """Product catalog as a DataFrame — reference ``dc.list_products()``
+        (``datacube/api/core.py:100-130``)."""
+        from .catalog import PAGES_PRODUCT
+
+        rows = [(
+            PAGES_PRODUCT.name,
+            len(PAGES_PRODUCT.measurements),
+            self.grid.crs,
+            list(self.grid.tile_size),
+            list(self.grid.resolution),
+        )]
+        return self.spark.createDataFrame(
+            rows,
+            "name STRING, n_measurements INT, crs STRING, "
+            "tile_size ARRAY<DOUBLE>, resolution ARRAY<DOUBLE>",
+        )
+
+    def list_measurements(self) -> DataFrame:
+        """Measurement catalog — reference ``dc.list_measurements()``
+        (``datacube/api/core.py:132-150``): one row per (product,
+        measurement) with dtype/nodata/units/aliases."""
+        from .catalog import PAGES_PRODUCT
+
+        rows = [
+            (PAGES_PRODUCT.name, m.name, m.dtype, m.nodata, m.units, list(m.aliases))
+            for m in PAGES_PRODUCT.measurements
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "product STRING, measurement STRING, dtype STRING, nodata DOUBLE, "
+            "units STRING, aliases ARRAY<STRING>",
+        )
+
     def load_observations(self, group_by: str = "time", **query) -> DataFrame:
         """Grouped observations per tile: (tile_x, tile_y, <dim>, datasets)."""
         df = with_tile(self.find_datasets(**query), self.grid)

@@ -147,3 +147,17 @@ def test_load_density_reprojected(spark):
             assert int(arr[j, i]) == exp, (r["dst_tx"], r["dst_ty"], j, i)
             checked += 1
     assert checked >= 30
+
+
+def test_list_products_and_measurements(spark):
+    """Reference dc.list_products()/list_measurements() parity surface."""
+    dc = Datacube(spark, SF_TINY)
+    prods = dc.list_products().collect()
+    assert len(prods) == 1 and prods[0]["name"] == "pages"
+    assert prods[0]["n_measurements"] == 8
+    ms = dc.list_measurements().collect()
+    assert len(ms) == 8
+    by_name = {r["measurement"]: r for r in ms}
+    assert "time" in by_name["warc_ts"]["aliases"]
+    assert by_name["lon"]["dtype"] == "float64"
+    assert all(r["product"] == "pages" for r in ms)
