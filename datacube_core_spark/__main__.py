@@ -16,6 +16,11 @@ Jobs:
   checkpointed  the same pipeline per-cell with checkpoint/lineage/metrics
                 tables (resume by re-running with the same --state-dir)
   knn           kNN over cell rings for sampled query points
+  reproject     rasterize 4326 -> warp to Web Mercator -> point sample
+  rollup        hierarchical quadtree rollup of page counts
+  ingest-docs   `datacube dataset add` analog: resolve raw EO3 JSON docs
+                (one JSON object per line under --docs) through the
+                Doc2Dataset pipeline into the --store catalog
 """
 
 from __future__ import annotations
@@ -31,13 +36,15 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--job",
         default="headline",
-        choices=["headline", "checkpointed", "knn", "reproject", "rollup"],
+        choices=["headline", "checkpointed", "knn", "reproject", "rollup", "ingest-docs"],
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repl", type=int, default=100)
     ap.add_argument("--state-dir", default="/tmp/dcs_state")
     ap.add_argument("--master", default=None)
     ap.add_argument("--output", default=None, help="optional parquet output path")
+    ap.add_argument("--docs", default=None, help="ingest-docs: dir/file of line-delimited JSON docs")
+    ap.add_argument("--store", default="/tmp/dcs_catalog", help="ingest-docs: DatasetStore base path")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -49,6 +56,11 @@ def main(argv=None) -> int:
     from .sources.pages import pages
     from .sources.regions import regions
 
+    from pyspark.sql import SparkSession
+
+    # embedding-safe: only stop the session if this entry point created it
+    # (tests/notebooks may call main() with a live shared session)
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"dcs-{args.job}", master=args.master)
     t0 = time.perf_counter()
 
@@ -113,6 +125,21 @@ def main(argv=None) -> int:
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         n = out.count()
+    elif args.job == "ingest-docs":
+        from .operators.doc2dataset import Doc2Dataset, ProductRule
+        from .operators.store import DatasetStore
+
+        if not args.docs:
+            raise SystemExit("--docs is required for ingest-docs")
+        raw = spark.read.text(args.docs).select(
+            F.col("value").alias("doc"),
+            F.concat(F.lit(f"file://{args.docs}#"), F.monotonically_increasing_id().cast("string")).alias("uri"),
+        )
+        store = DatasetStore(spark, args.store, id_type="STRING")
+        resolver = Doc2Dataset(store, [ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}})])
+        n, errors = resolver.ingest(raw)
+        n_err = errors.count()
+        print(json.dumps({"added": n, "errors": n_err, "store": args.store}))
     else:  # knn
         from .operators.knn import knn_join
 
@@ -124,7 +151,8 @@ def main(argv=None) -> int:
         n = out.count()
 
     print(json.dumps({"job": args.job, "rows": n, "secs": round(time.perf_counter() - t0, 3)}))
-    spark.stop()
+    if not preexisting:
+        spark.stop()
     return 0
 
 

@@ -231,3 +231,29 @@ def test_wide_geographic_grid_extent_not_corrupted():
     }
     oo = eo3_grid_spatial(doc)
     assert oo["extent"]["lon"] == {"begin": -170.0, "end": 20.0}
+
+
+def test_ingest_docs_cli_job(spark, tmp_path, capsys):
+    """`datacube dataset add` analog: the ingest-docs CLI job resolves a
+    line-delimited JSON file into a DatasetStore catalog."""
+    from datacube_core_spark.__main__ import main
+
+    docs = [json.dumps({
+        "$schema": EO3, "id": f"cli-{i}",
+        "product": {"name": "pages_eo3"}, "crs": "EPSG:4326",
+        "grids": {"default": {"shape": [8, 16],
+                              "transform": [0.125, 0, float(i), 0, -0.125, 10.0]}},
+        "properties": {"datetime": "2024-05-01T00:00:00"},
+    }) for i in range(5)] + ["{not json"]
+    path = str(tmp_path / "docs.jsonl")
+    open(path, "w").write("\n".join(docs))
+    store = str(tmp_path / "cat")
+
+    rc = main(["--job", "ingest-docs", "--docs", path, "--store", store])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"added": 5' in out and '"errors": 1' in out
+
+    st = DatasetStore(spark, store, id_type="STRING")
+    got = sorted(r["id"] for r in st.current().collect())
+    assert got == [f"cli-{i}" for i in range(5)]
