@@ -43,7 +43,9 @@ def main(argv=None) -> int:
     ap.add_argument("--state-dir", default="/tmp/dcs_state")
     ap.add_argument("--master", default=None)
     ap.add_argument("--output", default=None, help="optional parquet output path")
-    ap.add_argument("--docs", default=None, help="ingest-docs: dir/file of line-delimited JSON docs")
+    ap.add_argument("--docs", default=None, help="ingest-docs: dir/file of dataset documents")
+    ap.add_argument("--format", default="auto", choices=["auto", "yaml", "json", "jsonl"],
+                    help="ingest-docs: document format (auto = by extension)")
     ap.add_argument("--store", default="/tmp/dcs_catalog", help="ingest-docs: DatasetStore base path")
     args = ap.parse_args(argv)
 
@@ -129,12 +131,14 @@ def main(argv=None) -> int:
         from .operators.doc2dataset import Doc2Dataset, ProductRule
         from .operators.store import DatasetStore
 
+        from .operators.doc2dataset import docs_from_files
+
         if not args.docs:
             raise SystemExit("--docs is required for ingest-docs")
-        raw = spark.read.text(args.docs).select(
-            F.col("value").alias("doc"),
-            F.concat(F.lit(f"file://{args.docs}#"), F.monotonically_increasing_id().cast("string")).alias("uri"),
-        )
+        fmt = args.format
+        if fmt == "auto" and args.docs.endswith(".jsonl"):
+            fmt = "jsonl"
+        raw = docs_from_files(spark, args.docs, fmt=fmt)
         store = DatasetStore(spark, args.store, id_type="STRING")
         resolver = Doc2Dataset(store, [ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}})])
         n, errors = resolver.ingest(raw)

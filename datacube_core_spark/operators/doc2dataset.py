@@ -305,6 +305,57 @@ def resolve_docs_df(docs_df: DataFrame, rules: Sequence[ProductRule], skip_linea
     return docs_df.select("doc", "uri").mapInPandas(kernel, schema=RESOLVED_SCHEMA)
 
 
+def docs_from_files(spark, path: str, fmt: str = "auto") -> DataFrame:
+    """(doc JSON-string, uri) rows from dataset-document FILES — the
+    distributed analog of reference ``datacube/utils/documents.py``
+    ``read_documents`` (.yaml/.yml incl. multi-doc ``---`` streams,
+    .json, .jsonl).  YAML is parsed executor-side and re-serialized as
+    JSON so the downstream resolver stays format-agnostic; an unparseable
+    file yields one invalid-JSON row per file, which
+    :func:`resolve_docs_df` turns into an error row instead of failing
+    the job.
+
+    ``fmt``: ``auto`` (by file extension), ``yaml``, ``json``, or
+    ``jsonl`` (line-delimited, read in line mode — the only format that
+    does not need whole-file reads)."""
+    if fmt == "jsonl":
+        return spark.read.text(path).select(
+            F.col("value").alias("doc"),
+            F.concat(F.input_file_name(), F.lit("#"), F.monotonically_increasing_id().cast("string")).alias("uri"),
+        )
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("raw"), F.input_file_name().alias("uri")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import yaml
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                eff = fmt
+                if eff == "auto":
+                    eff = "yaml" if r.uri.endswith((".yaml", ".yml")) else "json"
+                try:
+                    if eff == "yaml":
+                        docs = [d for d in yaml.safe_load_all(r.raw) if d is not None]
+                    else:
+                        docs = [json.loads(r.raw)]
+                except Exception as e:
+                    # sentinel non-JSON payload -> error row downstream
+                    rows.append((f"<unparseable {eff}: {e}", r.uri))
+                    continue
+                if len(docs) == 1:
+                    rows.append((json.dumps(docs[0]), r.uri))
+                else:
+                    rows.extend((json.dumps(d), f"{r.uri}#{i}") for i, d in enumerate(docs))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc", "uri"])
+
+    return files.mapInPandas(kernel, schema="doc STRING, uri STRING")
+
+
 # ---------------------------------------------------------------------------
 # high-level API
 # ---------------------------------------------------------------------------

@@ -257,3 +257,35 @@ def test_ingest_docs_cli_job(spark, tmp_path, capsys):
     st = DatasetStore(spark, store, id_type="STRING")
     got = sorted(r["id"] for r in st.current().collect())
     assert got == [f"cli-{i}" for i in range(5)]
+
+
+def test_docs_from_files_yaml_json_jsonl(spark, tmp_path):
+    """read_documents analog: multi-doc YAML streams, JSON, JSONL, and
+    unparseable files -> error rows, all distributed."""
+    import yaml as _yaml
+    from datacube_core_spark.operators.doc2dataset import docs_from_files
+
+    d1, d2, d3 = _doc("y1"), _doc("y2"), _doc("j1")
+    ydir = tmp_path / "docs"
+    ydir.mkdir()
+    (ydir / "multi.yaml").write_text(_yaml.safe_dump_all([d1, d2]))
+    (ydir / "one.json").write_text(json.dumps(d3))
+    (ydir / "broken.yaml").write_text("key: [unclosed")
+
+    out = docs_from_files(spark, str(ydir))
+    resolved = resolve_docs_df(out, RULES).collect()
+    by_id = {r["id"]: r for r in resolved if r["id"]}
+    assert set(by_id) == {"y1", "y2", "j1"}
+    assert all(by_id[i]["error"] is None for i in by_id)
+    errs = [r for r in resolved if r["error"]]
+    assert len(errs) == 1 and "invalid JSON" in errs[0]["error"]
+    assert errs[0]["uri"].endswith("broken.yaml")
+    # multi-doc uris disambiguated
+    uris = {r["uri"] for r in resolved}
+    assert any(u.endswith("multi.yaml#0") for u in uris) and any(u.endswith("multi.yaml#1") for u in uris)
+
+    # jsonl line mode
+    (ydir / "lines.jsonl").write_text("\n".join(json.dumps(_doc(f"l{i}")) for i in range(3)))
+    out2 = docs_from_files(spark, str(ydir / "lines.jsonl"), fmt="jsonl")
+    r2 = resolve_docs_df(out2, RULES).collect()
+    assert sorted(r["id"] for r in r2) == ["l0", "l1", "l2"]
