@@ -18,9 +18,13 @@ Jobs:
   knn           kNN over cell rings for sampled query points
   reproject     rasterize 4326 -> warp to Web Mercator -> point sample
   rollup        hierarchical quadtree rollup of page counts
-  ingest-docs   `datacube dataset add` analog: resolve raw EO3 JSON docs
-                (one JSON object per line under --docs) through the
-                Doc2Dataset pipeline into the --store catalog
+  ingest-docs   `datacube dataset add` analog: resolve raw EO3 documents
+                (yaml/json/jsonl under --docs) through the Doc2Dataset
+                pipeline into the --store catalog, matching against the
+                catalog's registered products (falls back to a built-in
+                pages_eo3 rule when no products are registered)
+  add-products  `datacube product add` analog: register product
+                definition documents (yaml/json) in the --store catalog
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--job",
         default="headline",
-        choices=["headline", "checkpointed", "knn", "reproject", "rollup", "ingest-docs"],
+        choices=["headline", "checkpointed", "knn", "reproject", "rollup", "ingest-docs", "add-products"],
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repl", type=int, default=100)
@@ -127,11 +131,29 @@ def main(argv=None) -> int:
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         n = out.count()
-    elif args.job == "ingest-docs":
-        from .operators.doc2dataset import Doc2Dataset, ProductRule
-        from .operators.store import DatasetStore
+    elif args.job == "add-products":
+        import yaml as _yaml
 
-        from .operators.doc2dataset import docs_from_files
+        from .operators.doc2dataset import ProductCatalog
+
+        if not args.docs:
+            raise SystemExit("--docs is required for add-products")
+        raw_txt = open(args.docs).read()
+        defs = (
+            [d for d in _yaml.safe_load_all(raw_txt) if d]
+            if args.docs.endswith((".yaml", ".yml"))
+            else [json.loads(raw_txt)]
+        )
+        n = ProductCatalog(spark, args.store).add_documents(defs)
+        print(json.dumps({"products_added": n, "store": args.store}))
+    elif args.job == "ingest-docs":
+        from .operators.doc2dataset import (
+            Doc2Dataset,
+            ProductCatalog,
+            ProductRule,
+            docs_from_files,
+        )
+        from .operators.store import DatasetStore
 
         if not args.docs:
             raise SystemExit("--docs is required for ingest-docs")
@@ -140,10 +162,15 @@ def main(argv=None) -> int:
             fmt = "jsonl"
         raw = docs_from_files(spark, args.docs, fmt=fmt)
         store = DatasetStore(spark, args.store, id_type="STRING")
-        resolver = Doc2Dataset(store, [ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}})])
+        try:
+            rules = ProductCatalog(spark, args.store).rules()
+        except ValueError:
+            rules = [ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}})]
+        resolver = Doc2Dataset(store, rules)
         n, errors = resolver.ingest(raw)
         n_err = errors.count()
-        print(json.dumps({"added": n, "errors": n_err, "store": args.store}))
+        print(json.dumps({"added": n, "errors": n_err,
+                          "products": [r.name for r in rules], "store": args.store}))
     else:  # knn
         from .operators.knn import knn_join
 

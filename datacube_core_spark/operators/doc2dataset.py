@@ -185,6 +185,74 @@ class ProductRule:
         self.measurements = list(measurements)
 
 
+def product_from_doc(doc: Mapping[str, Any]) -> ProductRule:
+    """ProductRule from a product-definition document (reference product
+    YAML shape: ``name``, ``metadata`` = the match signature,
+    ``measurements`` = list of {name, dtype, nodata, units, aliases})."""
+    name = doc.get("name")
+    if not name:
+        raise ValueError("product definition must have a name")
+    measurements = [m["name"] for m in (doc.get("measurements") or []) if isinstance(m, Mapping) and m.get("name")]
+    return ProductRule(str(name), doc.get("metadata") or {}, measurements)
+
+
+class ProductCatalog:
+    """Persistent product registry — the ``datacube product add`` side of
+    the ingest loop (reference ``index.products`` + ``hl.py:31-53``
+    ``load_rules_from_types``).  Backed by the same event-sourced
+    :class:`DatasetStore` CRUD (add/update/archive/time-travel for free),
+    keyed by product name; the definition rides as a JSON column."""
+
+    def __init__(self, spark, base_path: str):
+        from .store import DatasetStore
+
+        self.spark = spark
+        self.store = DatasetStore(spark, f"{base_path.rstrip('/')}/products", id_col="name", id_type="STRING")
+
+    def add_documents(self, docs: Sequence[Mapping[str, Any]], update_existing: bool = False) -> int:
+        rows = []
+        for d in docs:
+            rule = product_from_doc(d)  # validates
+            rows.append((rule.name, json.dumps(dict(d), sort_keys=True)))
+        df = self.spark.createDataFrame(rows, "name STRING, definition STRING")
+        if update_existing:
+            try:
+                known = {r["name"] for r in self.store.current(include_archived=True).select("name").collect()}
+            except ValueError:
+                known = set()
+            to_update = df.where(F.col("name").isin(list(known))) if known else None
+            n = self.store.add(df, skip_existing=True)
+            if to_update is not None and known:
+                n += self.store.update(to_update)
+            return n
+        return self.store.add(df, skip_existing=True)
+
+    def rules(
+        self,
+        product_names: Optional[Sequence[str]] = None,
+        excluding: Optional[Sequence[str]] = None,
+    ) -> List[ProductRule]:
+        """Reference ``load_rules_from_types`` semantics: unknown names
+        and empty results raise with the reference's messages."""
+        got = {
+            r["name"]: product_from_doc(json.loads(r["definition"]))
+            for r in self.store.current().collect()
+        }
+        if product_names:
+            missing = [n for n in product_names if n not in got]
+            if missing:
+                raise ValueError(f'Supplied product name "{missing[0]}" not present in the database')
+            picked = [got[n] for n in product_names]
+        else:
+            picked = [got[n] for n in sorted(got)]
+        if excluding:
+            ex = set(excluding)
+            picked = [r for r in picked if r.name not in ex]
+        if not picked:
+            raise ValueError("Found no matching products in the database")
+        return picked
+
+
 def match_product(doc: Mapping[str, Any], rules: Sequence[ProductRule]) -> ProductRule:
     """Exactly-one-match rule (reference ``product_matcher``): zero or
     several signature matches raise :class:`BadMatch`."""

@@ -289,3 +289,45 @@ def test_docs_from_files_yaml_json_jsonl(spark, tmp_path):
     out2 = docs_from_files(spark, str(ydir / "lines.jsonl"), fmt="jsonl")
     r2 = resolve_docs_df(out2, RULES).collect()
     assert sorted(r["id"] for r in r2) == ["l0", "l1", "l2"]
+
+
+def test_product_catalog_rules_and_full_loop(spark, tmp_path):
+    """`datacube product add` analog: register product definitions, load
+    rules with reference load_rules_from_types semantics, and ingest
+    datasets matched against the REGISTERED products end to end."""
+    import yaml as _yaml
+    from datacube_core_spark.__main__ import main
+    from datacube_core_spark.operators.doc2dataset import ProductCatalog, product_from_doc
+
+    base = str(tmp_path / "cat")
+    defs = [
+        {"name": "pages_eo3", "metadata": {"product": {"name": "pages_eo3"}},
+         "measurements": [{"name": "red", "dtype": "uint16"}, {"name": "nir", "dtype": "uint16"}]},
+        {"name": "other", "metadata": {"product": {"name": "other"}}},
+    ]
+    cat = ProductCatalog(spark, base)
+    assert cat.add_documents(defs) == 2
+
+    rules = cat.rules()
+    assert [r.name for r in rules] == ["other", "pages_eo3"]
+    assert sorted(next(r for r in rules if r.name == "pages_eo3").measurements) == ["nir", "red"]
+    assert [r.name for r in cat.rules(excluding=["other"])] == ["pages_eo3"]
+    with pytest.raises(ValueError, match='"nope" not present'):
+        cat.rules(product_names=["nope"])
+    with pytest.raises(ValueError, match="Found no matching products"):
+        cat.rules(excluding=["other", "pages_eo3"])
+
+    # full CLI loop: add-products then ingest-docs against the catalog
+    pdefs = str(tmp_path / "products.yaml")
+    open(pdefs, "w").write(_yaml.safe_dump_all(defs))
+    base2 = str(tmp_path / "cat2")
+    assert main(["--job", "add-products", "--docs", pdefs, "--store", base2]) == 0
+    ds = str(tmp_path / "scene.yaml")
+    open(ds, "w").write(_yaml.safe_dump_all([_doc("p1"), _doc("p2")]))
+    assert main(["--job", "ingest-docs", "--docs", ds, "--store", base2]) == 0
+    st = DatasetStore(spark, base2, id_type="STRING")
+    assert sorted(r["id"] for r in st.current().collect()) == ["p1", "p2"]
+
+    # product_from_doc validation
+    with pytest.raises(ValueError, match="must have a name"):
+        product_from_doc({"metadata": {}})
