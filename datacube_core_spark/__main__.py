@@ -138,12 +138,15 @@ def main(argv=None) -> int:
 
         if not args.docs:
             raise SystemExit("--docs is required for add-products")
+        # product definitions are small driver-side files — no Spark read
         raw_txt = open(args.docs).read()
-        defs = (
-            [d for d in _yaml.safe_load_all(raw_txt) if d]
-            if args.docs.endswith((".yaml", ".yml"))
-            else [json.loads(raw_txt)]
-        )
+        if args.docs.endswith((".yaml", ".yml")):
+            defs = [d for d in _yaml.safe_load_all(raw_txt) if d]
+        elif args.docs.endswith(".jsonl"):
+            defs = [json.loads(line) for line in raw_txt.splitlines() if line.strip()]
+        else:
+            parsed = json.loads(raw_txt)
+            defs = parsed if isinstance(parsed, list) else [parsed]
         n = ProductCatalog(spark, args.store).add_documents(defs)
         print(json.dumps({"products_added": n, "store": args.store}))
     elif args.job == "ingest-docs":

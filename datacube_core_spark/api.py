@@ -51,8 +51,8 @@ class Datacube:
             PAGES_PRODUCT.name,
             len(PAGES_PRODUCT.measurements),
             self.grid.crs,
-            list(self.grid.tile_size),
-            list(self.grid.resolution),
+            [float(x) for x in self.grid.tile_size],   # grids may carry ints
+            [float(x) for x in self.grid.resolution],
         )]
         return self.spark.createDataFrame(
             rows,
@@ -67,7 +67,9 @@ class Datacube:
         from .catalog import PAGES_PRODUCT
 
         rows = [
-            (PAGES_PRODUCT.name, m.name, m.dtype, m.nodata, m.units, list(m.aliases))
+            (PAGES_PRODUCT.name, m.name, m.dtype,
+             float(m.nodata) if m.nodata is not None else None,
+             m.units, list(m.aliases))
             for m in PAGES_PRODUCT.measurements
         ]
         return self.spark.createDataFrame(

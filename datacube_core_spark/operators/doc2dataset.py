@@ -210,10 +210,14 @@ class ProductCatalog:
         self.store = DatasetStore(spark, f"{base_path.rstrip('/')}/products", id_col="name", id_type="STRING")
 
     def add_documents(self, docs: Sequence[Mapping[str, Any]], update_existing: bool = False) -> int:
-        rows = []
+        # dedupe WITHIN the batch (last definition wins): duplicate names
+        # in one append would share (_seq, _tie) and make last-writer-wins
+        # resolution nondeterministic
+        by_name: Dict[str, str] = {}
         for d in docs:
             rule = product_from_doc(d)  # validates
-            rows.append((rule.name, json.dumps(dict(d), sort_keys=True)))
+            by_name[rule.name] = json.dumps(dict(d), sort_keys=True)
+        rows = sorted(by_name.items())
         df = self.spark.createDataFrame(rows, "name STRING, definition STRING")
         if update_existing:
             try:
@@ -387,9 +391,13 @@ def docs_from_files(spark, path: str, fmt: str = "auto") -> DataFrame:
     ``jsonl`` (line-delimited, read in line mode — the only format that
     does not need whole-file reads)."""
     if fmt == "jsonl":
+        # line mode scales to one huge file (splittable); the uri suffix is
+        # the line's content hash — stable across re-evaluations (a
+        # monotonically_increasing_id would be partition-encoded and could
+        # relabel the same line between actions)
         return spark.read.text(path).select(
             F.col("value").alias("doc"),
-            F.concat(F.input_file_name(), F.lit("#"), F.monotonically_increasing_id().cast("string")).alias("uri"),
+            F.concat(F.input_file_name(), F.lit("#"), F.md5("value")).alias("uri"),
         )
 
     files = spark.read.text(path, wholetext=True).select(
@@ -404,12 +412,26 @@ def docs_from_files(spark, path: str, fmt: str = "auto") -> DataFrame:
             for r in pdf.itertuples():
                 eff = fmt
                 if eff == "auto":
-                    eff = "yaml" if r.uri.endswith((".yaml", ".yml")) else "json"
+                    if r.uri.endswith((".yaml", ".yml")):
+                        eff = "yaml"
+                    elif r.uri.endswith(".jsonl"):
+                        eff = "jsonl_whole"  # .jsonl inside a docs DIRECTORY
+                    else:
+                        eff = "json"
+                if eff == "jsonl_whole":
+                    # per-line parse with per-line error rows — a whole-file
+                    # json.loads would collapse every document in the file
+                    # into one error row
+                    for i, line in enumerate(r.raw.splitlines()):
+                        if line.strip():
+                            rows.append((line, f"{r.uri}#{i}"))
+                    continue
                 try:
                     if eff == "yaml":
                         docs = [d for d in yaml.safe_load_all(r.raw) if d is not None]
                     else:
-                        docs = [json.loads(r.raw)]
+                        parsed = json.loads(r.raw)
+                        docs = parsed if isinstance(parsed, list) else [parsed]
                 except Exception as e:
                     # sentinel non-JSON payload -> error row downstream
                     rows.append((f"<unparseable {eff}: {e}", r.uri))

@@ -160,6 +160,15 @@ def main() -> None:
     # runtime-settable) — this is the engine-level backstop the PIP/tile
     # pipeline relies on when a hot cell exceeds what salting was sized
     # for.  (Reference numbers on this VM: 6.2s OFF → 2.0s ON at 8M rows.)
+    _AQE_KEYS = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    _saved = {k: spark.conf.get(k, None) for k in _AQE_KEYS}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1048576")
@@ -182,7 +191,13 @@ def main() -> None:
     skew_off = skew_join_sec()
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     skew_on = skew_join_sec()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    # restore EVERY touched conf to its prior value so probes appended
+    # after this block measure under the session's original planning
+    for k, v in _saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
     print(json.dumps({
         "rows": args.rows, "cpus": args.cpus,

@@ -331,3 +331,54 @@ def test_product_catalog_rules_and_full_loop(spark, tmp_path):
     # product_from_doc validation
     with pytest.raises(ValueError, match="must have a name"):
         product_from_doc({"metadata": {}})
+
+
+def test_docs_from_files_jsonl_inside_directory(spark, tmp_path):
+    """A .jsonl file found while auto-scanning a DIRECTORY is parsed per
+    line (r3 review finding: whole-file json.loads silently collapsed all
+    its documents into one error row)."""
+    from datacube_core_spark.operators.doc2dataset import docs_from_files
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "scenes.jsonl").write_text(
+        "\n".join(json.dumps(_doc(f"m{i}")) for i in range(4)) + "\n{broken"
+    )
+    (d / "one.json").write_text(json.dumps(_doc("j9")))
+
+    resolved = resolve_docs_df(docs_from_files(spark, str(d)), RULES).collect()
+    ok = sorted(r["id"] for r in resolved if r["error"] is None)
+    assert ok == ["j9", "m0", "m1", "m2", "m3"]
+    errs = [r for r in resolved if r["error"]]
+    assert len(errs) == 1 and errs[0]["uri"].endswith("scenes.jsonl#4")
+
+
+def test_add_products_json_array_file(spark, tmp_path):
+    """A .json products file holding an ARRAY of definitions registers
+    every product (r3 review finding)."""
+    from datacube_core_spark.__main__ import main
+    from datacube_core_spark.operators.doc2dataset import ProductCatalog
+
+    path = str(tmp_path / "products.json")
+    open(path, "w").write(json.dumps([
+        {"name": "a", "metadata": {"product": {"name": "a"}}},
+        {"name": "b", "metadata": {"product": {"name": "b"}}},
+    ]))
+    base = str(tmp_path / "cat")
+    assert main(["--job", "add-products", "--docs", path, "--store", base]) == 0
+    assert [r.name for r in ProductCatalog(spark, base).rules()] == ["a", "b"]
+
+
+def test_add_documents_intra_batch_duplicate_name(spark, tmp_path):
+    """Duplicate product names in ONE batch resolve deterministically
+    (last definition wins) instead of a nondeterministic seq tie."""
+    from datacube_core_spark.operators.doc2dataset import ProductCatalog
+
+    cat = ProductCatalog(spark, str(tmp_path / "cat"))
+    n = cat.add_documents([
+        {"name": "p", "metadata": {"v": 1}},
+        {"name": "p", "metadata": {"v": 2}},
+    ])
+    assert n == 1
+    got = {r.name: r.signature for r in cat.rules()}
+    assert got == {"p": {"v": 2}}
