@@ -476,14 +476,46 @@ def buffer_polygon_concave(poly: Polygon, dist: float, quad_segs: int = 8) -> Mu
     """
     from .boolean import unary_union
 
-    if dist <= 0:
-        raise NotImplementedError("negative/zero buffer distance not supported")
+    if dist < 0:
+        return buffer_polygon_negative(poly, dist, quad_segs)
+    if dist == 0:
+        raise NotImplementedError("zero buffer distance not supported")
     if len(poly) > 1:
         return buffer_polygon_with_holes(poly, dist, quad_segs)
     ring = as_ring(poly[0])
     parts: List[MultiPolygon] = [[[ring]]]
     parts.extend(_ring_band_parts(ring, dist, quad_segs))
     return unary_union(parts)
+
+
+def buffer_polygon_negative(poly: Polygon, dist: float, quad_segs: int = 8) -> MultiPolygon:
+    """EROSION (negative buffer) of a polygon, shapely semantics:
+
+        erode(P, d) = P ∖ band(∂P, d)      (shell shrinks inward)
+
+    with every hole DILATED by d (hole ∪ band(∂hole, d)) and subtracted.
+    A polygon narrower than 2·d erodes to nothing (empty MultiPolygon) —
+    exactly shapely's ``buffer(-d)``.  Corner rounding is inward-only
+    (circumscribed discs make the band a superset of the true band, so
+    the eroded region is a subset of the true erosion — conservative)."""
+    from .boolean import difference, unary_union
+
+    d = abs(float(dist))
+    if d == 0:
+        raise NotImplementedError("zero buffer distance not supported")
+    shell = as_ring(poly[0])
+    band = unary_union(_ring_band_parts(shell, d, quad_segs))
+    eroded = difference([[shell]], band)
+    if not eroded:
+        return []
+    grown_holes: List[MultiPolygon] = []
+    for hole in poly[1:]:
+        hring = as_ring(hole)
+        hb = unary_union([[[hring]]] + _ring_band_parts(hring, d, quad_segs))
+        grown_holes.append(hb)
+    if grown_holes:
+        eroded = difference(eroded, unary_union(grown_holes))
+    return eroded
 
 
 def buffer_polygon_with_holes(poly: Polygon, dist: float, quad_segs: int = 8) -> MultiPolygon:
@@ -501,8 +533,10 @@ def buffer_polygon_with_holes(poly: Polygon, dist: float, quad_segs: int = 8) ->
     """
     from .boolean import difference, unary_union
 
-    if dist <= 0:
-        raise NotImplementedError("negative/zero buffer distance not supported")
+    if dist < 0:
+        return buffer_polygon_negative(poly, dist, quad_segs)
+    if dist == 0:
+        raise NotImplementedError("zero buffer distance not supported")
     shell_buf = buffer_polygon_concave([poly[0]], dist, quad_segs)
     eroded: List[MultiPolygon] = []
     for hole in poly[1:]:

@@ -339,3 +339,34 @@ def test_simplify_preserves_inter_ring_topology():
     rings = out[0]
     if len(rings) > 1:
         assert _polygon_rings_valid(rings), "hole crosses the simplified shell"
+
+
+def test_negative_buffer_erosion():
+    """shapely buffer(-d) semantics: shell shrinks, narrow shapes vanish,
+    holes grow; erosion is conservative (subset of true erosion)."""
+    import numpy as np
+    from datacube_core_spark.geom.ops import buffer_polygon_concave, buffer_polygon_negative
+    from datacube_core_spark.geom.polygon import box_ring, points_strictly_inside_multi, polygon_area
+
+    sq = [box_ring(0.0, 0.0, 10.0, 10.0)]
+    er = buffer_polygon_negative(sq, -1.0)
+    xs = np.array([5.0, 1.5, 0.5, 9.5])
+    ys = np.array([5.0, 1.5, 5.0, 5.0])
+    got = points_strictly_inside_multi(xs, ys, er).tolist()
+    assert got == [True, True, False, False]  # interior stays, 1-band gone
+    area = sum(polygon_area(p) for p in er)
+    assert 60.0 < area <= 64.0 + 1e-9  # true erosion = 8x8; inward-only rounding
+
+    # routes through buffer_polygon_concave with a negative distance
+    assert buffer_polygon_concave(sq, -1.0)
+
+    # narrow slab erodes to nothing
+    assert buffer_polygon_negative([box_ring(0.0, 0.0, 10.0, 1.5)], -1.0) == []
+
+    # holes dilate: donut 0..10 with hole 4..6 eroded by 1 -> hole ~3..7
+    donut = [box_ring(0.0, 0.0, 10.0, 10.0), box_ring(4.0, 4.0, 6.0, 6.0)]
+    er2 = buffer_polygon_negative(donut, -1.0)
+    probes_x = np.array([5.0, 3.5, 2.0, 0.5])
+    probes_y = np.array([5.0, 5.0, 5.0, 5.0])
+    got2 = points_strictly_inside_multi(probes_x, probes_y, er2).tolist()
+    assert got2 == [False, False, True, False]  # hole grown past 3.5; ring interior at 2 stays
