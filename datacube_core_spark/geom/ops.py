@@ -479,7 +479,8 @@ def buffer_polygon_concave(poly: Polygon, dist: float, quad_segs: int = 8) -> Mu
     if dist < 0:
         return buffer_polygon_negative(poly, dist, quad_segs)
     if dist == 0:
-        raise NotImplementedError("zero buffer distance not supported")
+        # shapely's buffer(0) is the identity on valid polygons
+        return [[as_ring(r) for r in poly]]
     if len(poly) > 1:
         return buffer_polygon_with_holes(poly, dist, quad_segs)
     ring = as_ring(poly[0])
@@ -502,7 +503,7 @@ def buffer_polygon_negative(poly: Polygon, dist: float, quad_segs: int = 8) -> M
 
     d = abs(float(dist))
     if d == 0:
-        raise NotImplementedError("zero buffer distance not supported")
+        return [[as_ring(r) for r in poly]]
     shell = as_ring(poly[0])
     band = unary_union(_ring_band_parts(shell, d, quad_segs))
     eroded = difference([[shell]], band)
@@ -536,7 +537,7 @@ def buffer_polygon_with_holes(poly: Polygon, dist: float, quad_segs: int = 8) ->
     if dist < 0:
         return buffer_polygon_negative(poly, dist, quad_segs)
     if dist == 0:
-        raise NotImplementedError("zero buffer distance not supported")
+        return [[as_ring(r) for r in poly]]
     shell_buf = buffer_polygon_concave([poly[0]], dist, quad_segs)
     eroded: List[MultiPolygon] = []
     for hole in poly[1:]:

@@ -370,3 +370,14 @@ def test_negative_buffer_erosion():
     probes_y = np.array([5.0, 5.0, 5.0, 5.0])
     got2 = points_strictly_inside_multi(probes_x, probes_y, er2).tolist()
     assert got2 == [False, False, True, False]  # hole grown past 3.5; ring interior at 2 stays
+
+
+def test_buffer_zero_is_identity():
+    from datacube_core_spark.geom.ops import buffer_polygon_concave, buffer_polygon_negative
+    from datacube_core_spark.geom.polygon import box_ring, polygon_area
+
+    donut = [box_ring(0.0, 0.0, 10.0, 10.0), box_ring(4.0, 4.0, 6.0, 6.0)]
+    for fn in (buffer_polygon_concave, buffer_polygon_negative):
+        out = fn(donut, 0.0)
+        assert len(out) == 1 and len(out[0]) == 2
+        assert polygon_area(out[0]) == polygon_area(donut)
