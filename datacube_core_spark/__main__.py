@@ -25,6 +25,9 @@ Jobs:
                 pages_eo3 rule when no products are registered)
   add-products  `datacube product add` analog: register product
                 definition documents (yaml/json) in the --store catalog
+  search        `datacube dataset search` analog: CLI expression grammar
+                (--expr "lang = en time in [2024-01-01, 2024-06-30]")
+                over the page index; prints matches as JSON lines
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--job",
         default="headline",
-        choices=["headline", "checkpointed", "knn", "reproject", "rollup", "ingest-docs", "add-products"],
+        choices=["headline", "checkpointed", "knn", "reproject", "rollup", "ingest-docs", "add-products", "search"],
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repl", type=int, default=100)
@@ -51,6 +54,8 @@ def main(argv=None) -> int:
     ap.add_argument("--format", default="auto", choices=["auto", "yaml", "json", "jsonl"],
                     help="ingest-docs: document format (auto = by extension)")
     ap.add_argument("--store", default="/tmp/dcs_catalog", help="ingest-docs: DatasetStore base path")
+    ap.add_argument("--expr", default="", help="search: expression string (reference CLI grammar)")
+    ap.add_argument("--limit", type=int, default=20, help="search: max rows printed")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -131,6 +136,17 @@ def main(argv=None) -> int:
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         n = out.count()
+    elif args.job == "search":
+        from .catalog import PageIndex
+        from .plans.expression import parse_expressions
+
+        query = parse_expressions(args.expr) if args.expr.strip() else {}
+        idx = PageIndex(spark, args.sf_dir, repl=args.repl)
+        rows = idx.search(limit=args.limit, **query).drop("html").collect()
+        for r in rows:
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        n = len(rows)
+        print(json.dumps({"matched_shown": n, "expr": args.expr}))
     elif args.job == "add-products":
         import yaml as _yaml
 

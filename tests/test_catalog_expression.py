@@ -84,3 +84,22 @@ def test_page_index_search_kwargs_match_query_semantics(spark):
     n = idx.count(doc_id=(100, 200))
     exp = idx.search().where(F.col("doc_id").between(100, 200)).count()
     assert n == exp
+
+
+def test_search_cli_job(spark, capsys):
+    """`datacube dataset search` analog: CLI expression grammar end to
+    end through main()."""
+    import json as _json
+
+    from datacube_core_spark.__main__ import main
+
+    rc = main(["--job", "search", "--sf-dir", SF_TINY,
+               "--expr", "lang = en", "--limit", "7", "--repl", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("{")]
+    summary = next(l for l in lines if "matched_shown" in l)
+    assert _json.loads(summary)["matched_shown"] == 7
+    rows = [_json.loads(l) for l in lines if '"lang"' in l]
+    assert rows and all(r["lang"] == "en" for r in rows)
+    assert all("html" not in r for r in rows)  # binary column dropped
