@@ -133,12 +133,19 @@ def knn_join(
             resolved_q = stats.where(guaranteed).select("qid", F.lit(True).alias("exact"))
             empty_marks = None
 
-        batch = topk.join(F.broadcast(resolved_q), on="qid", how="inner")
+        # resolved_q has ONE ROW PER QUERY.  In bulk/shuffle mode
+        # (broadcast_queries=False — queries as numerous as pages) a
+        # broadcast hint here would force an O(|queries|) collect onto the
+        # driver every escalation round, exactly the OOM the shuffle mode
+        # exists to avoid.  Hint only in broadcast mode; otherwise plain
+        # joins let AQE pick the strategy from runtime sizes.
+        resolved_side = F.broadcast(resolved_q) if broadcast_queries else resolved_q
+        batch = topk.join(resolved_side, on="qid", how="inner")
         if empty_marks is not None:
             batch = batch.unionByName(empty_marks)
         results = batch if results is None else results.unionByName(batch)
 
-        pending = pending.join(F.broadcast(resolved_q), on="qid", how="left_anti")
+        pending = pending.join(resolved_side, on="qid", how="left_anti")
         if exhausted or len(pending.take(1)) == 0:
             break
         r *= 2

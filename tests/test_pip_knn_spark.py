@@ -109,6 +109,41 @@ def test_knn_bulk_shuffle_mode_matches_broadcast(spark, pages_pdf):
     assert "BroadcastHashJoin" in plan_a  # broadcast mode keeps the hint
 
 
+def test_knn_shuffle_mode_hints_only_ring_table(spark, monkeypatch):
+    """ZERO broadcast hints on query-cardinality tables in shuffle mode
+    (VERDICT r3 #1): `resolved_q` / `cand_tiles` have one row per query —
+    an O(|queries|) forced broadcast every escalation round, exactly the
+    OOM the bulk path exists to avoid.  The ONLY legitimate hint is on
+    the constant ring-offset table (|ring| = (2r+1)^2, query-independent).
+
+    Asserted at the call site, not by plan-string forensics: every
+    DataFrame handed to F.broadcast inside the knn module must be the
+    ring table (columns exactly {dx, dy})."""
+    import datacube_core_spark.operators.knn as knn_mod
+
+    hinted_cols = []
+    real_broadcast = F.broadcast
+
+    def spy(df):
+        hinted_cols.append(tuple(sorted(df.columns)))
+        return real_broadcast(df)
+
+    monkeypatch.setattr(knn_mod.F, "broadcast", spy)
+
+    p = pages(spark, SF_TINY)
+    q = p.where(F.col("doc_id") % 101 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    knn_join(p, q, GRID_PAGES, k=5, broadcast_queries=False).collect()
+    assert hinted_cols, "ring table should still be hinted"
+    assert set(hinted_cols) == {("dx", "dy")}, (
+        f"query-cardinality table broadcast-hinted in shuffle mode: {set(hinted_cols)}"
+    )
+
+    # broadcast mode DOES hint the query-side tables (that is its point)
+    hinted_cols.clear()
+    knn_join(p, q, GRID_PAGES, k=5, broadcast_queries=True).collect()
+    assert any(cols != ("dx", "dy") for cols in hinted_cols)
+
+
 def test_knn_exact_flag(spark):
     """Queries resolved by the ring guarantee carry exact=True; queries
     resolved only by max_r exhaustion are flagged exact=False (ADVICE:
