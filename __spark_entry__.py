@@ -136,12 +136,31 @@ def q_doc2dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
         secs=((F.col("doc_id") * F.lit(9973)) % F.lit(31536000)).cast("double")
     )
+    # every 4th doc declares a TIGHTER valid-data footprint via the eo3
+    # `geometry` key (reference index/eo3.py:126-141): extent must then
+    # come from the geometry, not the grid bbox — all offsets are exact
+    # binary fractions so both engines agree bit-for-bit
+    def _pt(x, y):
+        return F.array(x, y)
+
+    gx0, gx1 = lon0 + F.lit(0.25), lon0 + F.lit(1.5)
+    gy0, gy1 = lat0 - F.lit(0.75), lat0 - F.lit(0.25)
+    geom = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(
+                F.array(_pt(gx0, gy0), _pt(gx1, gy0), _pt(gx1, gy1), _pt(gx0, gy1), _pt(gx0, gy0))
+            ).alias("coordinates"),
+        ),
+    )
     doc_json = F.to_json(
         F.struct(
             F.lit("https://schemas.opendatacube.org/dataset").alias("$schema"),
             F.col("doc_id").cast("string").alias("id"),
             F.struct(F.lit("pages_eo3").alias("name")).alias("product"),
             F.lit("EPSG:4326").alias("crs"),
+            geom.alias("geometry"),
             F.struct(
                 F.struct(
                     F.array(F.lit(8), F.lit(16)).alias("shape"),
@@ -799,15 +818,22 @@ SELECT qid, doc_id, dist_sq, rank FROM (
 ) WHERE rank <= {KNN_K}
 """
 
+    # docs with doc_id % 4 = 0 carry an eo3 `geometry` valid-data polygon
+    # inset by (0.25, 1.5) x (-0.75, -0.25) from the grid origin — their
+    # extent comes from the geometry, everyone else's from the grid bbox
     sqls["doc2dataset"] = """
 SELECT CAST(doc_id AS VARCHAR) AS id,
        'pages_eo3' AS product,
        TIMESTAMP '2024-01-01 00:00:00' + ((doc_id * 9973) % 31536000) * INTERVAL 1 SECOND AS ts,
        'EPSG:4326' AS crs,
-       CAST(doc_id % 300 AS DOUBLE) - 150.0 AS lon_min,
-       (CAST(doc_id % 140 AS DOUBLE) - 60.0) - 1.0 AS lat_min,
-       (CAST(doc_id % 300 AS DOUBLE) - 150.0) + 2.0 AS lon_max,
-       CAST(doc_id % 140 AS DOUBLE) - 60.0 AS lat_max,
+       (CAST(doc_id % 300 AS DOUBLE) - 150.0)
+         + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0.0 END AS lon_min,
+       (CAST(doc_id % 140 AS DOUBLE) - 60.0)
+         - CASE WHEN doc_id % 4 = 0 THEN 0.75 ELSE 1.0 END AS lat_min,
+       (CAST(doc_id % 300 AS DOUBLE) - 150.0)
+         + CASE WHEN doc_id % 4 = 0 THEN 1.5 ELSE 2.0 END AS lon_max,
+       (CAST(doc_id % 140 AS DOUBLE) - 60.0)
+         - CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0.0 END AS lat_max,
        's3://pages/' || CAST(doc_id AS VARCHAR) || '.json' AS uri
 FROM documents
 """

@@ -91,10 +91,35 @@ class EO3Grid:
         return {n: dict(x=x, y=y) for n, (x, y) in zip(names, self.points())}
 
 
-def eo3_lonlat_bbox(grids: Sequence[EO3Grid], crs: str) -> Tuple[float, float, float, float]:
-    """Lon/lat bounding box over all grids: project every grid's corner
-    ring to EPSG:4326 through the transformer seam, then take the bounds
-    (reference ``eo3.py:64-74``).
+def _segmentize(ring: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment of the CLOSED ring exceeds
+    ``max_len`` (reference ``Geometry.segmented``, used by
+    ``lonlat_bounds(…, resolution=…)``): under a curved projection the
+    true lon/lat extremum can sit mid-edge, so denser vertices tighten
+    the projected bounds at the cost of more transform work."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) < 2 or not (max_len > 0) or not np.isfinite(max_len):
+        return pts
+    out = [pts[0]]
+    for a, b in zip(pts[:-1], pts[1:]):
+        seg = float(np.hypot(*(b - a)))
+        n = max(1, int(np.ceil(seg / max_len)))
+        for i in range(1, n + 1):
+            out.append(a + (b - a) * (i / n))
+    return np.asarray(out)
+
+
+def eo3_lonlat_bbox(
+    grids: Sequence[EO3Grid],
+    crs: str,
+    valid_data: Optional[Sequence] = None,
+    resolution: Optional[float] = None,
+) -> Tuple[float, float, float, float]:
+    """Lon/lat bounding box (reference ``eo3.py:64-74``): over all grids'
+    corner rings, or over the ``valid_data`` rings when a tighter footprint
+    was declared via the doc's ``geometry`` key.  Rings are projected to
+    EPSG:4326 through the transformer seam; ``resolution`` segmentizes
+    projected rings first (reference ``lonlat_bounds`` resolution param).
 
     Mode choice: a grid is an AFFINE image of a rectangle, so a
     geographic-native grid is contiguous and can never wrap the dateline
@@ -103,11 +128,20 @@ def eo3_lonlat_bbox(grids: Sequence[EO3Grid], crs: str) -> Tuple[float, float, f
     global grid would be rewritten into a phantom dateline crossing).
     Projected grids go through the inverse transform, whose wrapped
     output CAN straddle ±180, so those keep the antimeridian-safe mode."""
-    rings = []
     geographic = _norm_crs(crs) == EPSG_4326
-    for g in grids:
-        pts = np.asarray(g.points(), dtype=np.float64)
+    src_rings = (
+        [np.asarray(r, dtype=np.float64) for r in valid_data]
+        if valid_data is not None
+        else [np.asarray(g.points(ring=True), dtype=np.float64) for g in grids]
+    )
+    rings = []
+    for pts in src_rings:
         if not geographic:
+            # reference only segmentizes on the projected path — the
+            # geographic path returns the bbox directly (eo3 lonlat_bounds
+            # short-circuits on geom.crs.geographic)
+            if resolution is not None:
+                pts = _segmentize(pts, float(resolution))
             inv = get_transformer(crs, EPSG_4326)
             lon, lat = inv(pts[:, 0], pts[:, 1])
             pts = np.stack([lon, lat], axis=1)
@@ -116,10 +150,20 @@ def eo3_lonlat_bbox(grids: Sequence[EO3Grid], crs: str) -> Tuple[float, float, f
     return bb.left, bb.bottom, bb.right, bb.top
 
 
-def eo3_grid_spatial(doc: Mapping[str, Any], grid_name: str = "default") -> Dict[str, Any]:
-    """grid_spatial + extent keys from doc[grids|crs] (reference
-    ``eo3.py:77-157``): geo_ref_points from the DEFAULT grid's corners,
-    lon/lat extent over ALL grids."""
+def eo3_grid_spatial(
+    doc: Mapping[str, Any],
+    resolution: Optional[float] = None,
+    grid_name: str = "default",
+) -> Dict[str, Any]:
+    """grid_spatial + extent keys from doc[grids|crs|geometry] (reference
+    ``eo3.py:77-157``): geo_ref_points from the DEFAULT grid's corners;
+    lon/lat extent over ALL grids — unless the doc carries an optional
+    ``geometry`` polygon (a tighter valid-data footprint), in which case
+    the extent comes from THAT geometry instead (reference ``eo3.py:126-141``)
+    and the geometry lands verbatim in ``projection.valid_data``.  Without
+    a ``geometry`` key, valid_data is the default grid's corner polygon
+    (reference ``grid.polygon().json``).  ``resolution`` is the bounds
+    rounding/segmentation parameter (reference ``eo3.py:78``)."""
     gridspecs = doc.get("grids") or {}
     crs = doc.get("crs")
     if crs is None or not gridspecs:
@@ -128,12 +172,32 @@ def eo3_grid_spatial(doc: Mapping[str, Any], grid_name: str = "default") -> Dict
     grid = grids.get(grid_name)
     if grid is None:
         raise ValueError(f"Input must have grids.{grid_name}")
-    x1, y1, x2, y2 = eo3_lonlat_bbox(list(grids.values()), crs)
+
+    geometry = doc.get("geometry")
+    if geometry is not None:
+        # reference accepts the GeoJSON exterior ring (eo3.py:133:
+        # polygon(geometry["coordinates"][0], crs=crs)); raise on shapes
+        # the reference would not handle rather than silently widening
+        if not isinstance(geometry, Mapping) or geometry.get("type") != "Polygon":
+            raise ValueError(f"geometry must be a GeoJSON Polygon, got {geometry!r:.80}")
+        valid_data: Dict[str, Any] = dict(geometry)
+        valid_rings: Optional[List] = [geometry["coordinates"][0]]
+    else:
+        valid_data = {
+            "type": "Polygon",
+            "coordinates": [[list(p) for p in grid.points(ring=True)]],
+        }
+        valid_rings = None
+
+    x1, y1, x2, y2 = eo3_lonlat_bbox(
+        list(grids.values()), crs, valid_data=valid_rings, resolution=resolution
+    )
     return {
         "grid_spatial": {
             "projection": {
                 "spatial_reference": crs,
                 "geo_ref_points": grid.ref_points(),
+                "valid_data": valid_data,
             }
         },
         "extent": {
@@ -148,7 +212,9 @@ def is_doc_eo3(doc: Mapping[str, Any]) -> bool:
     return schema is not None and str(schema).startswith(EO3_SCHEMA)
 
 
-def prep_eo3(doc: Dict[str, Any], auto_skip: bool = True) -> Dict[str, Any]:
+def prep_eo3(
+    doc: Dict[str, Any], auto_skip: bool = True, resolution: Optional[float] = None
+) -> Dict[str, Any]:
     """Add the spatial keys the index requires to an eo3 doc (reference
     ``prep_eo3``): non-eo3 docs pass through when ``auto_skip``; docs
     already carrying the normalized keys pass through unchanged
@@ -160,7 +226,7 @@ def prep_eo3(doc: Dict[str, Any], auto_skip: bool = True) -> Dict[str, Any]:
     if "extent" in doc and "grid_spatial" in doc:
         return doc
     out = dict(doc)
-    out.update(eo3_grid_spatial(doc))
+    out.update(eo3_grid_spatial(doc, resolution=resolution))
     return out
 
 

@@ -67,6 +67,70 @@ def test_eo3_grid_spatial_and_prep():
     assert prep_eo3({"id": "x"}) == {"id": "x"}
 
 
+def test_eo3_geometry_tightens_extent_and_valid_data():
+    """Optional `geometry` key (reference index/eo3.py:126-141): the
+    polygon lands verbatim in projection.valid_data and DRIVES the lon/lat
+    extent instead of the grid bbox; without it valid_data is the default
+    grid's corner polygon."""
+    doc = _doc("g1")
+    ring = [[10.5, 19.25], [11.5, 19.25], [11.5, 19.75], [10.5, 19.75], [10.5, 19.25]]
+    doc["geometry"] = {"type": "Polygon", "coordinates": [ring]}
+    oo = eo3_grid_spatial(doc)
+    assert oo["extent"]["lon"] == {"begin": 10.5, "end": 11.5}
+    assert oo["extent"]["lat"] == {"begin": 19.25, "end": 19.75}
+    assert oo["grid_spatial"]["projection"]["valid_data"] == doc["geometry"]
+    # geo_ref_points still come from the GRID corners, not the geometry
+    assert oo["grid_spatial"]["projection"]["geo_ref_points"]["ul"] == {"x": 10.0, "y": 20.0}
+
+    # no geometry → valid_data is the default grid polygon, extent = grid bbox
+    plain = eo3_grid_spatial(_doc("g2"))
+    vd = plain["grid_spatial"]["projection"]["valid_data"]
+    assert vd["type"] == "Polygon"
+    assert vd["coordinates"][0][0] == [10.0, 20.0] and len(vd["coordinates"][0]) == 5
+    assert plain["extent"]["lon"] == {"begin": 10.0, "end": 12.0}
+
+    # non-polygon geometry: raise (parity over silent widening)
+    bad = _doc("g3")
+    bad["geometry"] = {"type": "MultiPolygon", "coordinates": []}
+    with pytest.raises(ValueError, match="GeoJSON Polygon"):
+        eo3_grid_spatial(bad)
+
+
+def test_eo3_resolution_segmentizes_projected_bounds():
+    """The `resolution` parameter (reference eo3.py:78 + lonlat_bounds
+    segmentation): on a curved projection the true lon/lat extremum sits
+    mid-edge; segmentized bounds must be at least as wide and strictly
+    wider on a spherical-sinusoidal grid whose top edge bulges."""
+    from datacube_core_spark.geom.mercator import get_transformer
+
+    # spherical sinusoidal (ESRI:54008, registered by the CRS seam):
+    # lon = x/(R·cos(lat)), so a constant-x edge CROSSING THE EQUATOR has
+    # its lon extremum mid-edge (at lat=0, where cos is largest) — corner
+    # sampling alone misses it; segmentation must recover it
+    fwd = get_transformer("EPSG:4326", "ESRI:54008")
+    import numpy as np
+
+    lon = np.array([10.0, 12.0, 12.0, 10.0])
+    lat = np.array([30.0, 30.0, -30.0, -30.0])
+    xs, ys = fwd(lon, lat)
+    # affine grid spanning those projected corners
+    x0, y0 = float(xs[0]), float(ys[0])
+    doc = {
+        "$schema": EO3, "id": "s1", "crs": "ESRI:54008",
+        "grids": {"default": {"shape": [100, 200],
+                              "transform": [(float(xs[1]) - x0) / 200, 0, x0,
+                                            0, (float(ys[2]) - y0) / 100, y0]}},
+    }
+    coarse = eo3_grid_spatial(doc)
+    fine = eo3_grid_spatial(doc, resolution=10_000.0)  # ~10 km segments
+    c_lon = coarse["extent"]["lon"]
+    f_lon = fine["extent"]["lon"]
+    assert f_lon["begin"] <= c_lon["begin"] and f_lon["end"] >= c_lon["end"]
+    assert (f_lon["end"] - f_lon["begin"]) > (c_lon["end"] - c_lon["begin"]), (
+        "segmentation must widen the bulging sinusoidal footprint"
+    )
+
+
 def test_eo3_grid_spatial_projected_crs():
     """A 3857 grid round-trips through the transformer seam to lon/lat."""
     from datacube_core_spark.geom.mercator import lonlat_to_merc
