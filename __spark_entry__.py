@@ -698,6 +698,71 @@ def q_archive_less_mature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "maturity", "archived")
 
 
+def q_raw_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetadataType dynamic search fields over RAW JSON documents — the
+    no-reingest search path (reference drivers/postgres/_fields.py:532-637
+    parse_fields + jsonb offsets, model/fields.py:106-110).  Deterministic
+    eo3-ish docs are synthesized from the documents table; the search
+    (lat/lon range OVERLAP + coalesce'd multi-offset platform + datetime
+    range) compiles entirely to get_json_object Catalyst expressions — no
+    Python in the plan."""
+    from datacube_core_spark.plans.fields import parse_fields, search_raw_docs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    lon0 = ((F.col("doc_id") * 7) % 300).cast("double") - F.lit(150.0)
+    lat0 = ((F.col("doc_id") * 11) % 140).cast("double") - F.lit(60.0)
+    month = (F.col("doc_id") % 12 + 1).cast("int")
+    plat = F.concat(F.lit("sat-"), (F.col("doc_id") % 3).cast("string"))
+    # platform alternates between two keys to exercise multi-offset
+    # coalesce; to_json drops null fields, so the unused key vanishes
+    props = F.struct(
+        F.date_format(F.make_date(F.lit(2024), month, F.lit(15)), "yyyy-MM-dd'T'12:00:00").alias("datetime"),
+        F.when(F.col("doc_id") % 2 == 0, plat).alias("eo:platform"),
+        F.when(F.col("doc_id") % 2 == 1, plat).alias("platform"),
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("doc_id").cast("string").alias("id"),
+            F.struct(
+                F.struct(lon0.alias("begin"), (lon0 + F.lit(2.0)).alias("end")).alias("lon"),
+                F.struct((lat0 - F.lit(1.0)).alias("begin"), lat0.alias("end")).alias("lat"),
+            ).alias("extent"),
+            props.alias("properties"),
+        )
+    )
+    raw = d.select(doc.alias("doc"))
+    specs = {
+        "lat": {"type": "double-range",
+                "min_offset": [["extent", "lat", "begin"]],
+                "max_offset": [["extent", "lat", "end"]]},
+        "lon": {"type": "float-range",
+                "min_offset": [["extent", "lon", "begin"]],
+                "max_offset": [["extent", "lon", "end"]]},
+        "time": {"type": "datetime-range",
+                 "min_offset": [["properties", "datetime"]],
+                 "max_offset": [["properties", "datetime"]]},
+        "platform": {"type": "string",
+                     "offset": [["properties", "eo:platform"], ["properties", "platform"]]},
+        "dsid": {"type": "string", "offset": ["id"]},
+    }
+    import datetime as _dt
+
+    hits = search_raw_docs(
+        raw, specs,
+        lat=(-40.0, 50.0), lon=(-120.0, 120.0), platform="sat-1",
+        time=(_dt.datetime(2024, 2, 1), _dt.datetime(2024, 11, 20)),
+    )
+    fields = parse_fields(specs, "doc")
+    return hits.select(
+        fields["dsid"].expression.alias("id"),
+        fields["lat"].lower.expression.alias("lat_min"),
+        fields["lat"].greater.expression.alias("lat_max"),
+        fields["lon"].lower.expression.alias("lon_min"),
+        fields["lon"].greater.expression.alias("lon_max"),
+        fields["platform"].expression.alias("platform"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -738,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_obs": q_cell_obs,
         "fuse": q_fuse,
         "archive_less_mature": q_archive_less_mature,
+        "raw_field_search": q_raw_field_search,
     }
 
 
@@ -1181,6 +1247,29 @@ FROM pc
     sqls["reproject"] = sql_reproject_sample(
         _P, REGIONS_CTE.strip(), _GP, 1.0, GRID_MERC, 256_000.0
     )
+
+    # raw_field_search: the docs are a pure function of doc_id, so the
+    # oracle applies the same range-overlap / coalesce / datetime
+    # predicates to the generating arithmetic directly
+    sqls["raw_field_search"] = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CAST((doc_id * 7) % 300 AS DOUBLE) - 150.0 AS lon_min,
+         CAST((doc_id * 11) % 140 AS DOUBLE) - 60.0 - 1.0 AS lat_min,
+         CAST((doc_id * 7) % 300 AS DOUBLE) - 150.0 + 2.0 AS lon_max,
+         CAST((doc_id * 11) % 140 AS DOUBLE) - 60.0 AS lat_max,
+         'sat-' || CAST(doc_id % 3 AS VARCHAR) AS platform,
+         CAST(doc_id % 12 + 1 AS INT) AS mo
+  FROM documents
+)
+SELECT id, lat_min, lat_max, lon_min, lon_max, platform
+FROM f
+WHERE lat_max >= -40.0 AND lat_min <= 50.0
+  AND lon_max >= -120.0 AND lon_min <= 120.0
+  AND platform = 'sat-1'
+  AND make_timestamp(2024, mo, 15, 12, 0, 0.0) >= TIMESTAMP '2024-02-01 00:00:00'
+  AND make_timestamp(2024, mo, 15, 12, 0, 0.0) <= TIMESTAMP '2024-11-20 00:00:00'
+"""
 
     return sqls
 

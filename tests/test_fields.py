@@ -1,0 +1,193 @@
+"""Dynamic search-field extraction over raw JSON docs (VERDICT r3 #5).
+
+Reference: ``datacube/drivers/postgres/_fields.py:132-156,532-637``
+(offset grammar, selection types, parse_fields), ``model/fields.py:106-110``.
+Acceptance bar: field specs over RAW docs produce the same predicate
+results as the TYPED-column path on the same data.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacube_core_spark.operators.doc2dataset import (
+    ProductRule,
+    prep_eo3,
+    resolve_docs_df,
+)
+from datacube_core_spark.plans.fields import (
+    DoubleRangeDocField,
+    parse_fields,
+    search_raw_docs,
+)
+
+EO3 = "https://schemas.opendatacube.org/dataset"
+
+
+def _raw_docs(spark, n=60):
+    """Deterministic eo3 docs with spatial keys pre-computed (prep_eo3),
+    serialized as the raw-JSON table a user would already have."""
+    rows = []
+    for i in range(n):
+        lon0 = float((i * 7) % 300 - 150)
+        lat0 = float((i * 11) % 140 - 60)
+        doc = {
+            "$schema": EO3,
+            "id": f"ds-{i}",
+            "product": {"name": "pages_eo3"},
+            "crs": "EPSG:4326",
+            "grids": {"default": {"shape": [100, 200],
+                                  "transform": [0.01, 0, lon0, 0, -0.01, lat0]}},
+            "properties": {
+                "datetime": f"2024-{(i % 12) + 1:02d}-15T12:00:00",
+                # multi-offset exercise: platform under one of two keys
+                ("eo:platform" if i % 2 == 0 else "platform"): f"sat-{i % 3}",
+            },
+        }
+        rows.append((json.dumps(prep_eo3(doc)), f"file:///{i}.json"))
+    return spark.createDataFrame(rows, "doc STRING, uri STRING")
+
+
+SPECS = {
+    "lat": {
+        "type": "double-range",
+        "min_offset": [["extent", "lat", "begin"]],
+        "max_offset": [["extent", "lat", "end"]],
+    },
+    "lon": {
+        "type": "float-range",  # reference back-compat alias
+        "min_offset": [["extent", "lon", "begin"]],
+        "max_offset": [["extent", "lon", "end"]],
+    },
+    "time": {
+        "type": "datetime-range",
+        "min_offset": [["properties", "datetime"]],
+        "max_offset": [["properties", "datetime"]],
+    },
+    "platform": {
+        "type": "string",
+        "offset": [["properties", "eo:platform"], ["properties", "platform"]],
+    },
+    "dsid": {"type": "string", "offset": ["id"]},
+}
+
+
+def test_raw_doc_search_matches_typed_path(spark):
+    """The same (lat, lon, platform) query over raw JSON docs and over the
+    typed (ingested) table selects the same dataset ids."""
+    raw = _raw_docs(spark)
+    got = search_raw_docs(
+        raw, SPECS, lat=(-10.0, 30.0), lon=(0.0, 90.0), platform="sat-1"
+    )
+    got_ids = {json.loads(r["doc"])["id"] for r in got.collect()}
+
+    typed = resolve_docs_df(raw, [ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}})])
+    # typed path: same overlap semantics on the ingested columns
+    exp = typed.where(
+        (F.col("lat_max") >= -10.0) & (F.col("lat_min") <= 30.0)
+        & (F.col("lon_max") >= 0.0) & (F.col("lon_min") <= 90.0)
+    )
+    exp_ids = {r["id"] for r in exp.collect()}
+    # typed table has no platform column (design substitution) — apply the
+    # platform cut on the raw side only for the ids it admits
+    plat_ids = {
+        json.loads(r["doc"])["id"]
+        for r in search_raw_docs(raw, SPECS, platform="sat-1").collect()
+    }
+    assert got_ids == exp_ids & plat_ids
+    assert got_ids  # non-degenerate
+
+
+def test_struct_mode_equals_json_mode(spark):
+    """struct-path extraction (from_json'd docs) ≡ get_json_object path."""
+    raw = _raw_docs(spark)
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("extent", T.StructType([
+            T.StructField("lon", T.StructType([
+                T.StructField("begin", T.DoubleType()), T.StructField("end", T.DoubleType())])),
+            T.StructField("lat", T.StructType([
+                T.StructField("begin", T.DoubleType()), T.StructField("end", T.DoubleType())])),
+        ])),
+    ])
+    parsed = raw.withColumn("d", F.from_json("doc", schema))
+    spec = {k: SPECS[k] for k in ("lat", "lon", "dsid")}
+    a = search_raw_docs(raw, spec, lat=(-10.0, 30.0), lon=(0.0, 90.0))
+    b = search_raw_docs(parsed, spec, doc_col="d", json=False, lat=(-10.0, 30.0), lon=(0.0, 90.0))
+    ids_a = {json.loads(r["doc"])["id"] for r in a.collect()}
+    ids_b = {r["d"]["id"] for r in b.collect()}
+    assert ids_a == ids_b and ids_a
+
+
+def test_multi_offset_selections(spark):
+    """coalesce (first) for simple fields; least/greatest inside range
+    fields over the reference's corner-style multi-offsets."""
+    rows = [
+        (json.dumps({
+            "id": f"c{i}",
+            "extent": {"coord": {
+                "ul": {"lat": 10.0 + i}, "ll": {"lat": 9.0 + i},
+                "ur": {"lat": 20.0 + i}, "lr": {"lat": 21.0 + i},
+            }},
+        }),)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc STRING")
+    fields = parse_fields({
+        "lat": {
+            "type": "double-range",
+            "min_offset": [["extent", "coord", "ul", "lat"], ["extent", "coord", "ll", "lat"]],
+            "max_offset": [["extent", "coord", "ur", "lat"], ["extent", "coord", "lr", "lat"]],
+        },
+    }, "doc")
+    out = df.select(fields["lat"].expression).collect()
+    begins = sorted(r["lat"]["begin"] for r in out)
+    ends = sorted(r["lat"]["end"] for r in out)
+    assert begins == [9.0 + i for i in range(5)]   # least of ul/ll
+    assert ends == [21.0 + i for i in range(5)]    # greatest of ur/lr
+
+    # range == value is containment; between is overlap (inclusive)
+    f = fields["lat"]
+    assert df.where(f == 9.5).count() == 1            # only c0 contains 9.5
+    assert df.where(f.between(20.0, 40.0)).count() == 5  # all ends ≥ 21
+    assert df.where(f.between(24.5, 40.0)).count() == 1  # only c4 (end=25)
+
+
+def test_datetime_and_point_queries(spark):
+    raw = _raw_docs(spark)
+    import datetime
+
+    jan = search_raw_docs(
+        raw, SPECS,
+        time=(datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 31)),
+    )
+    ids = {json.loads(r["doc"])["id"] for r in jan.collect()}
+    assert ids == {f"ds-{i}" for i in range(60) if i % 12 == 0}
+    # simple-field equality
+    one = search_raw_docs(raw, SPECS, dsid="ds-7")
+    assert one.count() == 1
+
+
+def test_spec_validation_errors(spark):
+    with pytest.raises(ValueError, match="unknown type"):
+        parse_fields({"x": {"type": "hyperloglog"}}, "doc")
+    with pytest.raises(ValueError, match="Unknown field selection"):
+        parse_fields({"x": {"type": "string", "offset": ["a"], "selection": "median"}}, "doc")
+    with pytest.raises(RuntimeError, match="unexpected argument"):
+        parse_fields({"x": {"type": "string", "offset": ["a"], "frobnicate": 1}}, "doc")
+    with pytest.raises(ValueError, match="No such search field"):
+        search_raw_docs(_raw_docs(spark, 2), SPECS, nope=1).collect()
+    with pytest.raises(ValueError, match="at least one offset"):
+        DoubleRangeDocField("r", [], [["a"]], F.col("doc"), json=True)
+
+
+def test_no_python_udf_in_plan(spark):
+    """Field predicates must stay in Catalyst (get_json_object is a JVM
+    expression): no Python evaluation nodes in the plan."""
+    raw = _raw_docs(spark, 4)
+    df = search_raw_docs(raw, SPECS, lat=(-10.0, 30.0), platform="sat-1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
