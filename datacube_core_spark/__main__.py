@@ -28,6 +28,14 @@ Jobs:
   search        `datacube dataset search` analog: CLI expression grammar
                 (--expr "lang = en time in [2024-01-01, 2024-06-30]")
                 over the page index; prints matches as JSON lines
+  dataset-archive / dataset-restore / dataset-purge
+                `datacube dataset archive/restore/purge` analogs over the
+                --store DatasetStore (--ids a,b,c; purge takes --force to
+                purge non-archived rows)
+  product-list  `datacube product list` analog: names + descriptions of
+                the products registered in --store, as JSON lines
+  product-show  `datacube product show` analog: full definition document
+                of --product, pretty-printed
 """
 
 from __future__ import annotations
@@ -43,7 +51,12 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--job",
         default="headline",
-        choices=["headline", "checkpointed", "knn", "reproject", "rollup", "ingest-docs", "add-products", "search"],
+        choices=[
+            "headline", "checkpointed", "knn", "reproject", "rollup",
+            "ingest-docs", "add-products", "search",
+            "dataset-archive", "dataset-restore", "dataset-purge",
+            "product-list", "product-show",
+        ],
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repl", type=int, default=100)
@@ -56,6 +69,10 @@ def main(argv=None) -> int:
     ap.add_argument("--store", default="/tmp/dcs_catalog", help="ingest-docs: DatasetStore base path")
     ap.add_argument("--expr", default="", help="search: expression string (reference CLI grammar)")
     ap.add_argument("--limit", type=int, default=20, help="search: max rows printed")
+    ap.add_argument("--ids", default="", help="dataset-archive/restore/purge: comma-separated dataset ids")
+    ap.add_argument("--product", default=None, help="product-show: product name")
+    ap.add_argument("--force", action="store_true",
+                    help="dataset-purge: also purge non-archived datasets (reference --force)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -190,6 +207,53 @@ def main(argv=None) -> int:
         n_err = errors.count()
         print(json.dumps({"added": n, "errors": n_err,
                           "products": [r.name for r in rules], "store": args.store}))
+    elif args.job in ("dataset-archive", "dataset-restore", "dataset-purge"):
+        # reference datacube/scripts/dataset.py archive/restore/purge
+        from .operators.store import DatasetStore
+
+        if not args.ids:
+            raise SystemExit(f"--ids is required for {args.job}")
+        ids = [s for s in args.ids.split(",") if s]
+        store = DatasetStore(spark, args.store, id_type="STRING")
+        if args.job == "dataset-archive":
+            n = store.archive(ids)
+        elif args.job == "dataset-restore":
+            n = store.restore(ids)
+        else:
+            n = store.purge(ids, allow_non_archived=args.force)
+        print(json.dumps({"job": args.job, "affected": n, "store": args.store}))
+    elif args.job == "product-list":
+        # reference datacube/scripts/product.py list_products
+        from .operators.doc2dataset import ProductCatalog
+
+        cat = ProductCatalog(spark, args.store)
+        try:
+            rows = cat.store.current().select("name", "definition").collect()
+        except ValueError:
+            rows = []
+        for r in sorted(rows, key=lambda r: r["name"]):
+            d = json.loads(r["definition"])
+            print(json.dumps({
+                "name": r["name"],
+                "description": d.get("description"),
+                "measurements": [m.get("name") for m in d.get("measurements", [])],
+            }))
+        n = len(rows)
+    elif args.job == "product-show":
+        # reference datacube/scripts/product.py show_product
+        from .operators.doc2dataset import ProductCatalog
+
+        if not args.product:
+            raise SystemExit("--product is required for product-show")
+        cat = ProductCatalog(spark, args.store)
+        try:
+            rows = cat.store.current().where(F.col("name") == args.product).collect()
+        except ValueError:
+            rows = []
+        if not rows:
+            raise SystemExit(f'"{args.product}" is not a valid Product name')
+        print(json.dumps(json.loads(rows[0]["definition"]), indent=2, sort_keys=True))
+        n = 1
     else:  # knn
         from .operators.knn import knn_join
 

@@ -275,17 +275,59 @@ class PipIndex:
         scy = F.floor((F.col(lat) - F.lit(self.oy)) / F.lit(hy)).cast("long")
         return scx, scy
 
+    def _refine(self, cand: DataFrame, lon: str, lat: str) -> DataFrame:
+        """Exact numpy PIP refine of tier-3 candidate rows (thin boundary
+        band only) — shared by both join plans."""
+        bc_geoms = self._bc_geoms
+        lon_name, lat_name = lon, lat
+        out_schema = cand.schema
+
+        def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: Dict[int, object] = {}
+
+            def poly_of(rid: int):
+                mp = cache.get(rid)
+                if mp is None:
+                    mp = unpack_multipolygon(bc_geoms.value[rid])
+                    cache[rid] = mp
+                return mp
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keep = np.zeros(len(pdf), dtype=bool)
+                xs = pdf[lon_name].to_numpy(dtype=np.float64)
+                ys = pdf[lat_name].to_numpy(dtype=np.float64)
+                rids = pdf["region_id"].to_numpy()
+                for rid in pd.unique(rids):
+                    m = rids == rid
+                    keep[m] = points_strictly_inside_multi(xs[m], ys[m], poly_of(int(rid)))
+                out = pdf.loc[keep]
+                if len(out):
+                    yield out
+
+        return cand.mapInPandas(refine, schema=out_schema)
+
     def join(
         self,
         pages_df: DataFrame,
         lon: str = "lon",
         lat: str = "lat",
         keep_cols: Optional[list] = None,
+        single_scan: bool = True,
     ) -> DataFrame:
         """Join pages to the regions whose interior strictly contains them.
 
         Returns (keep_cols or all pages columns) + lon/lat + ``region_id``.
-        """
+
+        ``single_scan=True`` (default; PERF.md §13 A/B): the lattice tiers
+        compute ALL per-level subcell ids in one pass over the big side
+        (array + explode, pipelined — no shuffle) and join ONCE against
+        the level-tagged union of the full/boundary candidate tables, so
+        the big table is read 3× total (rect tier, full join, boundary
+        join) instead of 1 + 2·|levels| times — at 100 TB each avoided
+        pass is a full table read.  ``False`` keeps the scan-per-level
+        plan (one broadcast join per level table)."""
         base_cols = keep_cols if keep_cols is not None else [c for c in pages_df.columns if c not in (lon, lat)]
         out_cols = [*base_cols, lon, lat, "region_id"]
         parts: List[DataFrame] = []
@@ -307,50 +349,67 @@ class PipIndex:
             )
             parts.append(rect)
 
-        for level, (full_cells, boundary_cells) in sorted(self.levels.items()):
-            scx, scy = self._subcell_cols(lon, lat, level)
-            sub = pages_df.select(*base_cols, lon, lat).withColumn("sc_x", scx).withColumn("sc_y", scy)
+        if single_scan and self.levels:
+            # one exploded pass: every page row emits its subcell id at
+            # EVERY active level (|levels| ≤ MAX_LEVEL−MIN_LEVEL+1 = 7,
+            # typically 1-3), then ONE broadcast equi-join per tier against
+            # the level-tagged union of the candidate tables
+            elems = []
+            for level in sorted(self.levels):
+                scx, scy = self._subcell_cols(lon, lat, level)
+                elems.append(
+                    F.struct(
+                        F.lit(level).alias("level"), scx.alias("sc_x"), scy.alias("sc_y")
+                    )
+                )
+            sub_all = (
+                pages_df.select(*base_cols, lon, lat)
+                .withColumn("_s", F.explode(F.array(*elems)))
+                .select(*base_cols, lon, lat, "_s.level", "_s.sc_x", "_s.sc_y")
+            )
 
-            # tier 2: interior subcells — equi-join alone proves membership
-            if full_cells is not None:
+            def tagged_union(pick: int) -> Optional[DataFrame]:
+                tables = [
+                    t[pick].withColumn("level", F.lit(level))
+                    for level, t in sorted(self.levels.items())
+                    if t[pick] is not None
+                ]
+                if not tables:
+                    return None
+                out = tables[0]
+                for t in tables[1:]:
+                    out = out.unionByName(t)
+                return out.select("level", "sc_x", "sc_y", "region_id")
+
+            full_union = tagged_union(0)
+            bnd_union = tagged_union(1)
+            if full_union is not None:
                 parts.append(
-                    sub.join(F.broadcast(full_cells), on=["sc_x", "sc_y"], how="inner").select(*out_cols)
+                    sub_all.join(F.broadcast(full_union), on=["level", "sc_x", "sc_y"], how="inner")
+                    .select(*out_cols)
                 )
+            if bnd_union is not None:
+                cand = sub_all.join(
+                    F.broadcast(bnd_union), on=["level", "sc_x", "sc_y"], how="inner"
+                ).select(*out_cols)
+                parts.append(self._refine(cand, lon, lat))
+        else:
+            for level, (full_cells, boundary_cells) in sorted(self.levels.items()):
+                scx, scy = self._subcell_cols(lon, lat, level)
+                sub = pages_df.select(*base_cols, lon, lat).withColumn("sc_x", scx).withColumn("sc_y", scy)
 
-            # tier 3: boundary subcells — exact numpy refine on the thin band
-            if boundary_cells is not None:
-                cand = sub.join(F.broadcast(boundary_cells), on=["sc_x", "sc_y"], how="inner").select(
-                    *out_cols
-                )
-                bc_geoms = self._bc_geoms
-                lon_name, lat_name = lon, lat
-                out_schema = cand.schema
+                # tier 2: interior subcells — equi-join alone proves membership
+                if full_cells is not None:
+                    parts.append(
+                        sub.join(F.broadcast(full_cells), on=["sc_x", "sc_y"], how="inner").select(*out_cols)
+                    )
 
-                def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                    cache: Dict[int, object] = {}
-
-                    def poly_of(rid: int):
-                        mp = cache.get(rid)
-                        if mp is None:
-                            mp = unpack_multipolygon(bc_geoms.value[rid])
-                            cache[rid] = mp
-                        return mp
-
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        keep = np.zeros(len(pdf), dtype=bool)
-                        xs = pdf[lon_name].to_numpy(dtype=np.float64)
-                        ys = pdf[lat_name].to_numpy(dtype=np.float64)
-                        rids = pdf["region_id"].to_numpy()
-                        for rid in pd.unique(rids):
-                            m = rids == rid
-                            keep[m] = points_strictly_inside_multi(xs[m], ys[m], poly_of(int(rid)))
-                        out = pdf.loc[keep]
-                        if len(out):
-                            yield out
-
-                parts.append(cand.mapInPandas(refine, schema=out_schema))
+                # tier 3: boundary subcells — exact numpy refine on the thin band
+                if boundary_cells is not None:
+                    cand = sub.join(F.broadcast(boundary_cells), on=["sc_x", "sc_y"], how="inner").select(
+                        *out_cols
+                    )
+                    parts.append(self._refine(cand, lon, lat))
 
         if not parts:
             raise ValueError("PipIndex built from an empty region table")

@@ -323,6 +323,75 @@ def test_ingest_docs_cli_job(spark, tmp_path, capsys):
     assert got == [f"cli-{i}" for i in range(5)]
 
 
+def test_dataset_lifecycle_cli_jobs(spark, tmp_path, capsys):
+    """`datacube dataset archive/restore/purge` analogs (VERDICT r3 #7):
+    the CLI jobs drive DatasetStore over a catalog ingested by
+    ingest-docs, and purge refuses live rows without --force."""
+    from datacube_core_spark.__main__ import main
+
+    docs = [json.dumps({
+        "$schema": EO3, "id": f"lc-{i}",
+        "product": {"name": "pages_eo3"}, "crs": "EPSG:4326",
+        "grids": {"default": {"shape": [8, 16],
+                              "transform": [0.125, 0, float(i), 0, -0.125, 10.0]}},
+        "properties": {"datetime": "2024-05-01T00:00:00"},
+    }) for i in range(4)]
+    path = str(tmp_path / "docs.jsonl")
+    open(path, "w").write("\n".join(docs))
+    store = str(tmp_path / "cat")
+    assert main(["--job", "ingest-docs", "--docs", path, "--store", store]) == 0
+    capsys.readouterr()
+
+    assert main(["--job", "dataset-archive", "--store", store, "--ids", "lc-0,lc-1"]) == 0
+    assert '"affected": 2' in capsys.readouterr().out
+    st = DatasetStore(spark, store, id_type="STRING")
+    assert sorted(r["id"] for r in st.current().collect()) == ["lc-2", "lc-3"]
+
+    assert main(["--job", "dataset-restore", "--store", store, "--ids", "lc-1"]) == 0
+    assert '"affected": 1' in capsys.readouterr().out
+    assert sorted(r["id"] for r in st.current().collect()) == ["lc-1", "lc-2", "lc-3"]
+
+    # purge of the still-archived lc-0 works; purging a LIVE row needs --force
+    assert main(["--job", "dataset-purge", "--store", store, "--ids", "lc-0"]) == 0
+    assert '"affected": 1' in capsys.readouterr().out
+    with pytest.raises(ValueError, match="non-archived"):
+        main(["--job", "dataset-purge", "--store", store, "--ids", "lc-2"])
+    assert main(["--job", "dataset-purge", "--store", store, "--ids", "lc-2", "--force"]) == 0
+    assert '"affected": 1' in capsys.readouterr().out
+    assert sorted(r["id"] for r in st.current(include_archived=True).collect()) == ["lc-1", "lc-3"]
+
+
+def test_product_cli_jobs(spark, tmp_path, capsys):
+    """`datacube product list/show` analogs over the ProductCatalog."""
+    from datacube_core_spark.__main__ import main
+
+    defs = [
+        {"name": "pages_eo3", "description": "web pages",
+         "metadata": {"product": {"name": "pages_eo3"}},
+         "measurements": [{"name": "red"}, {"name": "nir"}]},
+        {"name": "other", "description": "other product",
+         "metadata": {"product": {"name": "other"}}},
+    ]
+    path = str(tmp_path / "products.json")
+    open(path, "w").write(json.dumps(defs))
+    store = str(tmp_path / "cat")
+    assert main(["--job", "add-products", "--docs", path, "--store", store]) == 0
+    capsys.readouterr()
+
+    assert main(["--job", "product-list", "--store", store]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    listed = [l for l in lines if "name" in l and "measurements" in l]
+    assert [l["name"] for l in listed] == ["other", "pages_eo3"]
+    assert listed[1]["measurements"] == ["red", "nir"]
+
+    assert main(["--job", "product-show", "--store", store, "--product", "pages_eo3"]) == 0
+    shown = json.loads(capsys.readouterr().out.rsplit("\n{", 1)[0])
+    assert shown["description"] == "web pages"
+
+    with pytest.raises(SystemExit, match="not a valid Product name"):
+        main(["--job", "product-show", "--store", store, "--product", "nope"])
+
+
 def test_docs_from_files_yaml_json_jsonl(spark, tmp_path):
     """read_documents analog: multi-doc YAML streams, JSON, JSONL, and
     unparseable files -> error rows, all distributed."""

@@ -293,6 +293,45 @@ def test_pip_index_driver_bytes_scale_with_generic(spark):
     assert set(idx.geom_map) == set(idx._bc_geoms.value.keys() if idx._bc_geoms else [])
 
 
+def test_pip_single_scan_matches_per_level_and_reads_less(spark):
+    """single_scan=True (default, PERF.md §13: 1.7-2x at sf0.1) must be
+    row-identical to the scan-per-level plan, and its physical plan must
+    read the big parquet side at most 3x (rect tier + full join + boundary
+    join) instead of 1 + 2·|levels| times."""
+    from datacube_core_spark.operators.pip import PipIndex
+    from datacube_core_spark.sources.regions import regions_complex
+
+    # generic shapes at two different scales -> at least 2 lattice levels
+    shapes = sorted(regions_complex().items())
+    rows = [
+        (i, name, 0.0, 0.0, 0.0, 0.0, bytearray(pack_multipolygon(mp)))
+        for i, (name, mp) in enumerate(shapes)
+    ]
+    regs = spark.createDataFrame(
+        rows, "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY"
+    )
+    idx = PipIndex(spark, regs, GRID_PAGES)
+    assert len(idx.levels) >= 2, "fixture must span multiple lattice levels"
+
+    p = pages(spark, SF_TINY).select("doc_id", "lon", "lat")
+    a = idx.join(p, keep_cols=["doc_id"], single_scan=True)
+    b = idx.join(p, keep_cols=["doc_id"], single_scan=False)
+    sa = {(r["doc_id"], r["region_id"]) for r in a.collect()}
+    sb = {(r["doc_id"], r["region_id"]) for r in b.collect()}
+    assert sa == sb and sa
+
+    def scans(df):
+        # AQE prints the plan twice (current + "== Initial Plan =="):
+        # count only the current section
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("== Initial Plan ==")[0].count("Scan parquet")
+
+    n_levels = len(idx.levels)
+    assert scans(a) <= 3
+    assert scans(b) >= 2 * n_levels  # the plan single_scan replaces
+    assert scans(a) < scans(b)
+
+
 def test_ivf_topk_recall_and_plan(spark):
     """IVF ANN: equi-join plan (no cartesian product) and measured
     recall@10 vs the exact brute force — the quantizer must actually
