@@ -91,7 +91,14 @@ def q_pip_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact kNN over cell rings; ties broken by (dist_sq, doc_id)."""
+    """Exact kNN over cell rings; ties broken by (dist_sq, doc_id).
+
+    Return-schema note (selected through from knn_join): a query whose
+    ``max_r`` ring holds ZERO pages still yields one marker row with NULL
+    doc_id/dist_sq/rank rather than vanishing — consumers joining on
+    doc_id or doing rank arithmetic must filter ``doc_id IS NOT NULL``
+    first.  Every page tile is populated at this data shape, so no marker
+    rows occur here (the oracle would surface them if they did)."""
     p = pages(spark, sf_dir, repl=Q_REPL)
     q = p.where(F.col("doc_id") % 1009 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
     return knn_join(p, q, _G, k=KNN_K).select("qid", "doc_id", "dist_sq", "rank")
@@ -100,7 +107,8 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk kNN in SHUFFLE mode (broadcast_queries=False): both sides
     repartition on the tile id — the 100-TB path where queries are as
-    numerous as pages.  Same exactness guarantee and tie-break as q_knn."""
+    numerous as pages.  Same exactness guarantee, tie-break, and
+    empty-ring NULL-marker return contract as q_knn."""
     p = pages(spark, sf_dir, repl=Q_REPL)
     q = p.where(F.col("doc_id") % 101 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
     return knn_join(p, q, _G, k=KNN_K, broadcast_queries=False).select(

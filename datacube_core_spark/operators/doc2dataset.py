@@ -460,7 +460,16 @@ def docs_from_files(spark, path: str, fmt: str = "auto") -> DataFrame:
         # line mode scales to one huge file (splittable); the uri suffix is
         # the line's content hash — stable across re-evaluations (a
         # monotonically_increasing_id would be partition-encoded and could
-        # relabel the same line between actions)
+        # relabel the same line between actions).  DOCUMENTED COLLAPSE:
+        # byte-identical lines within one file share a uri (and thus one
+        # provenance/error row) — they carry identical content, resolve to
+        # the same dataset id, and the store add is id-idempotent, so the
+        # ingest RESULT is unchanged; only per-line provenance granularity
+        # is lost.  A positional suffix would need either a full shuffle
+        # (window per file) or an unstable partition-encoded id — the
+        # wrong trade for the splittable one-huge-file path.  The
+        # whole-file jsonl path (a .jsonl inside a docs directory) keeps
+        # per-index suffixes.
         return spark.read.text(path).select(
             F.col("value").alias("doc"),
             F.concat(F.input_file_name(), F.lit("#"), F.md5("value")).alias("uri"),

@@ -36,6 +36,21 @@ OPS = ("add", "update", "archive", "restore", "purge")
 
 
 class DatasetStore:
+    """Event-sourced dataset catalog over a parquet log.
+
+    Concurrency contract (single-writer snapshots): ``as_of`` /
+    ``latest_seq`` snapshot isolation holds for a SINGLE writer per log
+    path.  Two writers opened concurrently against the same path continue
+    from the same max seq and emit EQUAL ``_seq`` values; reads stay
+    deterministic (last-writer-wins is resolved by the per-process
+    ``_tie`` nonce, stable across every read), but
+    ``current(as_of=latest_seq())`` may then include the other writer's
+    later events that share the captured seq, and which writer "wins" a
+    conflicting id is the arbitrary-but-stable nonce comparison.  Fence
+    writers externally (one ingest job per catalog path at a time) when
+    snapshot semantics matter — the same discipline an Iceberg
+    single-table committer enforces with optimistic retries."""
+
     def __init__(self, spark: SparkSession, base_path: str, id_col: str = "id", id_type: str = "LONG"):
         self.spark = spark
         self.base = base_path.rstrip("/")
@@ -45,11 +60,10 @@ class DatasetStore:
         # seq continues from the log's max — NOT the wall clock: two store
         # instances opened against the same path (or one opened after a
         # clock regression) must never emit out-of-order seqs relative to
-        # events already persisted.  Equal seqs from genuinely concurrent
-        # writers are resolved deterministically by the per-process
-        # ``_tie`` nonce in the last-writer-wins ordering (arbitrary
-        # between the two writers, but stable across every read).
-        self._seq = self._max_logged_seq()
+        # events already persisted.  Computed LAZILY on first write: a
+        # read-only store (ProductCatalog.rules, CLI product-list, ...)
+        # must not pay a cluster aggregation job just to construct.
+        self._seq: Optional[int] = None
         self._tie = uuid.uuid4().hex[:12]
 
     # -- internals ----------------------------------------------------------
@@ -62,6 +76,8 @@ class DatasetStore:
         return int(mx) if mx is not None else 0
 
     def _next_seq(self) -> int:
+        if self._seq is None:
+            self._seq = self._max_logged_seq()
         self._seq += 1
         return self._seq
 
@@ -69,9 +85,17 @@ class DatasetStore:
         if not os.path.isdir(self.log_path):
             return None
         try:
-            return self.spark.read.parquet(self.log_path)
+            # mergeSchema: a log written by a pre-`_tie` version (or a
+            # mixed old+new dir) must still read with the column present
+            # rather than depending on which file's schema parquet picks
+            df = self.spark.read.option("mergeSchema", "true").parquet(self.log_path)
         except Exception:
             return None
+        if "_tie" not in df.columns:
+            df = df.withColumn("_tie", F.lit(""))
+        else:
+            df = df.withColumn("_tie", F.coalesce(F.col("_tie"), F.lit("")))
+        return df
 
     def _append(self, df: DataFrame, op: str, archived_ts=None) -> None:
         seq = self._next_seq()

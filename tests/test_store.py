@@ -93,14 +93,15 @@ def test_two_writers_same_path_deterministic(spark, tmp_path):
     a = DatasetStore(spark, path)
     a.add(_rows(spark, [(1, "a1", T0, "final")]))
 
-    b = DatasetStore(spark, path)   # opens AFTER a's add: seq continues
-    assert b._seq == a._seq
+    b = DatasetStore(spark, path)   # opens AFTER a's add; seq resolves
+    assert b._seq is None           # ...lazily, at the first WRITE
 
-    # a and b both write at the SAME next seq (true concurrent case):
-    # the top of the log is now a genuine seq tie between the two writers
-    a.update(_rows(spark, [(1, "a2", T0, "final")]))
+    # true concurrent case: b's first write snapshots the log max (1) and
+    # writes seq 2; a's cached seq also advances 1 -> 2 — a genuine seq
+    # tie between the two writers on the same id
     b.update(_rows(spark, [(1, "b2", T0, "final")]))
-    assert a._seq == b._seq
+    a.update(_rows(spark, [(1, "a2", T0, "final")]))
+    assert a._seq == b._seq == 2
     winners = {a.current().where(F.col("id") == 1).collect()[0]["key"] for _ in range(3)}
     winners |= {b.current().where(F.col("id") == 1).collect()[0]["key"] for _ in range(3)}
     assert len(winners) == 1 and winners <= {"a2", "b2"}, (
@@ -134,3 +135,47 @@ def test_time_travel_and_history(spark, tmp_path):
     h = st.history(2).collect()
     assert [r["_op"] for r in h] == ["add", "archive", "purge"]
     assert h[1]["_archived"] is not None
+
+
+def test_pre_tie_log_back_compat(spark, tmp_path):
+    """A dataset_log persisted WITHOUT the _tie column (pre-r3 layout, or
+    a mixed old+new dir) must still open and read — ADVICE r3: the new
+    ordering column is coalesced in, not required of old files."""
+    base = str(tmp_path / "cat")
+    st = DatasetStore(spark, base)
+    st.add(_rows(spark, [(1, "a", T0, "final")]))
+
+    # simulate an old-version writer: append a log file with NO _tie
+    old_row = (
+        _rows(spark, [(2, "b", T0, "final")])
+        .withColumn("_seq", F.lit(2))
+        .withColumn("_op", F.lit("add"))
+        .withColumn("_archived", F.lit(None).cast("timestamp"))
+    )
+    old_row.write.mode("append").parquet(st.log_path)
+
+    st2 = DatasetStore(spark, base)
+    got = {r["id"]: r["key"] for r in st2.current().collect()}
+    assert got == {1: "a", 2: "b"}
+    # history/state ordering still works on the mixed log
+    assert [r["_op"] for r in st2.history(2).collect()] == ["add"]
+    # and new writes continue past the old max seq
+    st2.add(_rows(spark, [(3, "c", T0, "nrt")]))
+    assert sorted(st2.current().toPandas()["id"]) == [1, 2, 3]
+
+
+def test_store_init_runs_no_job(spark, tmp_path):
+    """Constructing a DatasetStore must NOT run a Spark aggregation
+    (ADVICE r3: ProductCatalog / CLI construct stores repeatedly) — the
+    max-seq scan is deferred to the first write."""
+    base = str(tmp_path / "cat")
+    st = DatasetStore(spark, base)
+    st.add(_rows(spark, [(1, "a", T0, "final")]))
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    jobs0 = spark.sparkContext.uiWebUrl  # touch nothing
+    st2 = DatasetStore(spark, base)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert st2._seq is None, "seq must stay lazy until the first write"
+    assert after == before, "constructor ran a Spark job"

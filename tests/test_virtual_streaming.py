@@ -293,6 +293,81 @@ def test_reproject_rasters_combinator(spark):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_content_dedup_matches_batch_keep_set(spark, tmp_path):
+    """Streaming↔batch contract on a PLANTED late-arrival timeline
+    (VERDICT r3 #8): streaming_content_dedup with watermark w must keep
+    exactly the batch archive_less_mature keep-set with leniency w —
+    including a duplicate that CROSSES the watermark boundary (state
+    evicted → new keeper in both engines) and one inside it (dropped by
+    both).  Events are fed one file per micro-batch in event-time order
+    so first-arrival == earliest (deterministic survivor)."""
+    import time as _time
+
+    from datacube_core_spark.functions.text import fingerprint_col
+    from datacube_core_spark.operators.dupes import archive_less_mature
+    from datacube_core_spark.streaming.jobs import stream_pages, streaming_content_dedup
+
+    t0 = "2024-01-01 00:00:00"
+
+    def ev(doc_id, url, ts_off_h, text):
+        return (doc_id, url, F.lit(t0).cast("timestamp"), ts_off_h, text)
+
+    # (doc_id, url, hours-after-t0, text): texts A/B repeat (same
+    # fingerprint), pushers P/Q are unique and advance the watermark
+    timeline = [
+        (1, "a1", 0, "alpha content"),
+        (2, "a2", 1, "Alpha   CONTENT"),     # in-window dup of A (normalized fp)
+        (3, "b1", 2, "bravo content"),
+        (4, "p1", 30, "pusher one"),          # wm -> t0+6h after this batch
+        (5, "b2", 8, "bravo  content"),       # dup of B, 6h gap: dropped by both
+        (6, "q1", 60, "pusher two"),          # wm -> t0+36h after this batch
+        (8, "r1", 59, "pusher three"),        # state cleanup lags one batch: A
+                                              # (expiry 25h) + B (expiry 26h) are
+                                              # evicted at the END of this batch
+        (7, "a3", 48, "alpha content"),       # 48h after a1 > 24h leniency AND
+                                              # state evicted: NEW keeper in both
+    ]
+    src = tmp_path / "contract_src"
+    src.mkdir()
+    rows = []
+    for doc_id, url, off_h, text in timeline:
+        rows.append((doc_id, url, off_h, text))
+    schema = "doc_id LONG, url STRING, off_h INT, text STRING"
+    for i, row in enumerate(rows):
+        one = (
+            spark.createDataFrame([row], schema)
+            .select(
+                "doc_id", "url",
+                (F.lit(t0).cast("timestamp") + F.make_interval(hours=F.col("off_h"))).alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                "text",
+                F.lit("en").alias("lang"),
+                F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat"),
+            )
+            .coalesce(1)
+        )
+        one.write.mode("append").parquet(str(src))
+        _time.sleep(0.15)  # distinct mtimes → arrival order == event-time order
+
+    out = streaming_content_dedup(stream_pages(spark, str(src), max_files_per_trigger=1),
+                                  watermark="24 hours")
+    q = (
+        out.writeStream.format("memory").queryName("cdedup_contract")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    stream_keep = {r["url"] for r in spark.sql("SELECT url FROM cdedup_contract").collect()}
+
+    batch = spark.read.parquet(str(src)).withColumn("_fp", fingerprint_col(F.col("text")))
+    flagged = archive_less_mature(
+        batch, ["_fp"], ts_col="warc_ts", leniency_ms=24 * 3600 * 1000, id_col="doc_id"
+    )
+    batch_keep = {r["url"] for r in flagged.where(~F.col("archived")).collect()}
+
+    assert batch_keep == {"a1", "b1", "p1", "q1", "r1", "a3"}, batch_keep
+    assert stream_keep == batch_keep
+
+
 def test_streaming_content_dedup(spark, tmp_path):
     """Content-fingerprint dedup catches re-hosted pages (same text,
     different url) that url-dedup keeps; result matches the batch
