@@ -201,15 +201,43 @@ def _bucket(unit: str) -> Callable[[Column], Column]:
     return lambda t: F.to_date(F.date_trunc(unit, t))
 
 
+def _fiscal_year(t: Column) -> Column:
+    """Reference Q-JUN fiscal year (``transformations.py:443-461``)."""
+    from ..operators.grouping import time_bucket_col
+
+    return time_bucket_col(t, "fiscal_year")
+
+
+class _EarliestTime:
+    """Sentinel for the reference ``earliest_time`` group_by
+    (``transformations.py:477-479``): ONE bucket labeled with the year of
+    the earliest observation — a global property, so it cannot be a pure
+    per-row column; the aggregate factory grafts a broadcast 1-row
+    cross-join carrying the min year instead of an all-rows window."""
+
+
+EARLIEST_TIME = _EarliestTime()
+
+
 def _agg_xarray_reduction(child: VirtualProduct, bucket, params: Mapping[str, Any]) -> VirtualProduct:
     aggs = params.get("output") or params.get("aggs")
     if not aggs:
         raise VirtualProductError(f"no output for xarray_reduction in {params}")
+    time_col = params.get("time_col", "time")
+    if isinstance(bucket, _EarliestTime):
+        def attach_min_year(df: DataFrame, _tc=time_col) -> DataFrame:
+            first = df.agg(
+                F.min(F.to_date(F.date_trunc("year", F.col(_tc)))).alias("_bucket0")
+            )
+            return df.crossJoin(F.broadcast(first))
+
+        child = FnTransform(child, attach_min_year)
+        bucket = lambda t: F.col("_bucket0")  # noqa: E731
     return Aggregate(
         child,
         bucket=bucket,
         aggs=dict(aggs),
-        time_col=params.get("time_col", "time"),
+        time_col=time_col,
         extra_keys=params.get("extra_keys", ()),
     )
 
@@ -365,6 +393,8 @@ DEFAULT_RESOLVER = NameResolver(
             month=_bucket("month"),
             week=_bucket("week"),
             day=_bucket("day"),
+            fiscal_year=_fiscal_year,
+            earliest_time=EARLIEST_TIME,
         ),
         "product": dict(
             pages=_pages_leaf,

@@ -164,6 +164,36 @@ def test_nested_collate_juxtapose_aggregate_recipe(spark):
     assert got.count() > 0
 
 
+def test_fiscal_year_and_earliest_time_group_by(spark):
+    """The remaining two reference group_by kinds
+    (transformations.py:443-479): Q-JUN fiscal year, and earliest_time =
+    ONE bucket labeled with the earliest observation's year."""
+    r = DEFAULT_RESOLVER.clone()
+    rows = [("2023-05-10 00:00:00",), ("2023-08-02 00:00:00",), ("2024-02-20 00:00:00",)]
+    r.register(
+        "product", "three_ts",
+        lambda s, d: s.createDataFrame(rows, "t STRING").select(F.col("t").cast("timestamp").alias("time")),
+    )
+    fy = construct(
+        name_resolver=r, aggregate="xarray_reduction", group_by="fiscal_year",
+        output={"time": "count"}, input={"product": "three_ts"},
+    ).build(spark, SF_TINY)
+    got = {str(row["time"]): row["time_count"] for row in fy.collect()}
+    # Q-JUN: FY2023 = Jul'22..Jun'23 (May'23); FY2024 = Jul'23..Jun'24 (Aug'23, Feb'24)
+    assert got == {"2023-01-01": 1, "2024-01-01": 2}
+
+    et = construct(
+        name_resolver=r, aggregate="xarray_reduction", group_by="earliest_time",
+        output={"time": "count"}, input={"product": "three_ts"},
+    ).build(spark, SF_TINY)
+    out = et.collect()
+    assert len(out) == 1
+    assert str(out[0]["time"]) == "2023-01-01" and out[0]["time_count"] == 3
+    # no all-rows single-partition window in the plan (broadcast join instead)
+    plan = et._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_yaml_recipe_and_measurement_collision(spark):
     yml = """
 juxtapose:
