@@ -771,6 +771,25 @@ def q_raw_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget corpus sampling (training-data op): keep
+    the longest documents per lang, in (ws_tokens DESC, doc_id ASC)
+    priority order, while the running token total stays within budget —
+    deterministic, exact, oracle-twinned as a SQL window.  The scale
+    path (threshold search, no full-group window) is proven equivalent in
+    tests/test_sampling.py."""
+    from datacube_core_spark.functions.text import token_count_col
+    from datacube_core_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", token_count_col(F.col("text")).cast("long").alias("tokens")
+    )
+    return token_budget_sample(
+        docs, budget=2500, token_col="tokens", group_cols=("lang",),
+        priority=(("tokens", "desc"), ("doc_id", "asc")),
+    ).select("doc_id", "lang", "tokens", "cum_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -812,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse": q_fuse,
         "archive_less_mature": q_archive_less_mature,
         "raw_field_search": q_raw_field_search,
+        "token_budget": q_token_budget,
     }
 
 
@@ -1277,6 +1297,18 @@ WHERE lat_max >= -40.0 AND lat_min <= 50.0
   AND platform = 'sat-1'
   AND make_timestamp(2024, mo, 15, 12, 0, 0.0) >= TIMESTAMP '2024-02-01 00:00:00'
   AND make_timestamp(2024, mo, 15, 12, 0, 0.0) <= TIMESTAMP '2024-11-20 00:00:00'
+"""
+
+    sqls["token_budget"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST({sql_token_count('text')} AS BIGINT) AS tokens FROM documents
+), c AS (
+  SELECT doc_id, lang, tokens,
+         SUM(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, tokens, cum_tokens FROM c WHERE cum_tokens <= 2500
 """
 
     return sqls

@@ -1,0 +1,160 @@
+"""Token-budget corpus sampling — a first-class training-data op
+(task-brief §2.12 class: "token budgeting"): pick, per group (language /
+source / domain), the best documents whose token counts fit a budget,
+deterministically.
+
+Two plans for the same semantics:
+
+* :func:`token_budget_sample` — EXACT: per-group running token sum over
+  the priority order (``Window.partitionBy(group).orderBy(priority)``),
+  keep rows while the cumulative sum stays within budget.  One shuffle on
+  the group key; the hot group serializes through a single window
+  partition — correct at any size but the 100-TB wall-clock is bounded
+  by the largest group.  This is the oracle-twinned form (SQL window in
+  DuckDB, entry ``token_budget``).
+
+* :func:`token_budget_sample_threshold` — SCALE PATH: the prefix-sum is
+  really a THRESHOLD search ("the worst priority we still admit"), so it
+  two-passes: (1) per-(group, priority-range-bucket) token sums — a plain
+  hash aggregation, fully parallel; (2) the tiny (groups × buckets) grid
+  goes to the driver, which picks each group's boundary bucket and the
+  budget remaining when entering it; (3) rows in strictly-better buckets
+  are kept by a broadcast join ALONE (no window), and only the boundary
+  bucket — ~1/n_buckets of each group — pays an exact within-bucket
+  window.  Identical keep-set to the exact plan for any priority with
+  deterministic total order (ties must be broken inside ``priority``,
+  e.g. by doc id — both plans assume it).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(priority: Sequence[Tuple[str, str]]) -> List[Column]:
+    out = []
+    for name, direction in priority:
+        c = F.col(name)
+        out.append(c.desc() if direction.lower() == "desc" else c.asc())
+    return out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "tokens",
+    group_cols: Sequence[str] = ("lang",),
+    priority: Sequence[Tuple[str, str]] = (("tokens", "desc"), ("doc_id", "asc")),
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Exact per-group budget sample: rows in priority order while the
+    running token total ≤ ``budget`` (a row that would cross the budget
+    is excluded, as are all rows after it).  Output = input columns +
+    ``cum_col`` (the running total INCLUDING the row)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*_order_cols(priority))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(cum_col, F.sum(F.col(token_col)).over(w))
+        .where(F.col(cum_col) <= F.lit(int(budget)))
+    )
+
+
+def token_budget_sample_threshold(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "tokens",
+    group_cols: Sequence[str] = ("lang",),
+    priority_col: str = "tokens",
+    priority_desc: bool = True,
+    tie_col: str = "doc_id",
+    n_buckets: int = 64,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Threshold-search form of :func:`token_budget_sample` for a SINGLE
+    numeric priority column (+ tie column): same keep-set, no full-group
+    window.  See module docstring for the plan shape.
+
+    The within-bucket exact pass still emits ``cum_col`` offset by the
+    tokens consumed in better buckets, so output rows carry the same
+    running totals as the exact plan."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+
+    # pass 0: per-group priority range (one hash agg)
+    rng = df.groupBy(*group_cols).agg(
+        F.min(priority_col).alias("_pmin"), F.max(priority_col).alias("_pmax")
+    )
+    withb = df.join(F.broadcast(rng), on=list(group_cols), how="inner")
+    span = F.col("_pmax") - F.col("_pmin")
+    frac = F.when(span > 0, (F.col(priority_col) - F.col("_pmin")) / span).otherwise(F.lit(0.0))
+    # bucket 0 = BEST priority
+    pos = F.floor(frac * n_buckets).cast("int")
+    pos = F.least(pos, F.lit(n_buckets - 1))
+    bucket = (F.lit(n_buckets - 1) - pos) if priority_desc else pos
+    withb = withb.withColumn("_bkt", bucket).drop("_pmin", "_pmax")
+
+    # pass 1: token mass per (group, bucket) — tiny result, driver decides
+    grid = (
+        withb.groupBy(*group_cols, "_bkt").agg(F.sum(token_col).alias("_mass")).collect()
+    )
+    per_group: dict = {}
+    for r in grid:
+        key = tuple(r[c] for c in group_cols)
+        per_group.setdefault(key, []).append((int(r["_bkt"]), int(r["_mass"])))
+    # boundary bucket + budget/offset entering it, per group
+    rows = []
+    for key, masses in per_group.items():
+        masses.sort()
+        consumed = 0
+        boundary, offset = None, 0
+        for bkt, mass in masses:
+            if consumed + mass > budget:
+                boundary, offset = bkt, consumed
+                break
+            consumed += mass
+        if boundary is None:
+            boundary, offset = masses[-1][0] + 1, consumed  # everything fits
+        rows.append((*key, boundary, offset))
+    spark = df.sparkSession
+    group_schema = ", ".join(
+        f"{c} {dict(df.dtypes)[c].upper()}" for c in group_cols
+    )
+    bdf = spark.createDataFrame(rows, f"{group_schema}, _boundary INT, _offset LONG")
+
+    routed = withb.join(F.broadcast(bdf), on=list(group_cols), how="inner")
+
+    # strictly-better buckets: kept by the join alone; cum_col needs the
+    # within-kept running sum — that part is still a window, but ONLY over
+    # the kept prefix (≤ budget tokens per group by construction)
+    kept_prefix = routed.where(F.col("_bkt") < F.col("_boundary"))
+    order = [
+        F.col(priority_col).desc() if priority_desc else F.col(priority_col).asc(),
+        F.col(tie_col).asc(),
+    ]
+    wp = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_prefix = kept_prefix.withColumn(cum_col, F.sum(F.col(token_col)).over(wp))
+
+    # boundary bucket: exact pass over ~1/n_buckets of the group
+    edge = routed.where(F.col("_bkt") == F.col("_boundary"))
+    we = (
+        Window.partitionBy(*group_cols, "_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        edge.withColumn(cum_col, F.sum(F.col(token_col)).over(we) + F.col("_offset"))
+        .where(F.col(cum_col) <= F.lit(int(budget)))
+    )
+
+    drop = ["_bkt", "_boundary", "_offset"]
+    return kept_prefix.drop(*drop).unionByName(edge.drop(*drop))

@@ -1,0 +1,87 @@
+"""Token-budget corpus sampling: exact window plan vs threshold-search
+scale plan (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.functions.text import token_count_col
+from datacube_core_spark.operators.sampling import (
+    token_budget_sample,
+    token_budget_sample_threshold,
+)
+
+from .conftest import SF_TINY
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id", "lang", token_count_col(F.col("text")).cast("long").alias("tokens"))
+    )
+
+
+def _keyset(df):
+    return {(r["doc_id"], r["lang"], r["tokens"], r["cum_tokens"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("budget", [300, 2500, 10_000_000])
+def test_threshold_plan_equals_exact_plan(spark, budget):
+    """Identical keep-set AND identical running totals at small budget
+    (boundary inside the first bucket), medium (boundary mid-grid), and
+    a budget larger than every group (everything kept)."""
+    docs = _docs(spark)
+    exact = token_budget_sample(docs, budget)
+    fast = token_budget_sample_threshold(docs, budget)
+    assert _keyset(exact) == _keyset(fast)
+    if budget == 10_000_000:
+        assert exact.count() == docs.count()
+
+
+def test_budget_invariants(spark):
+    docs = _docs(spark)
+    out = token_budget_sample(docs, 2500).toPandas()
+    # per-group totals within budget and maximal (adding the next-best
+    # excluded doc would cross it)
+    all_rows = docs.toPandas()
+    for lang, grp in out.groupby("lang"):
+        assert grp.cum_tokens.max() <= 2500
+        kept = set(grp.doc_id)
+        rest = all_rows[(all_rows.lang == lang) & (~all_rows.doc_id.isin(kept))]
+        if len(rest):
+            best_excluded = rest.sort_values(["tokens", "doc_id"], ascending=[False, True]).iloc[0]
+            # exact semantics: the FIRST excluded row in priority order is
+            # the one that would have crossed the budget
+            order = all_rows[all_rows.lang == lang].sort_values(
+                ["tokens", "doc_id"], ascending=[False, True]
+            )
+            cum = 0
+            for row in order.itertuples():
+                cum += row.tokens
+                if cum > 2500:
+                    assert row.doc_id not in kept
+                    break
+                assert row.doc_id in kept
+
+
+def test_threshold_plan_shape(spark):
+    """Scale claims: the strictly-better-bucket prefix must be admitted by
+    a broadcast join (no full-group window over the ORIGINAL rows — the
+    only windows run over the kept prefix and the single boundary
+    bucket), and no Python appears in the plan."""
+    docs = _docs(spark)
+    out = token_budget_sample_threshold(docs, 2500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan.split("== Initial Plan ==")[0]
+
+
+def test_constant_priority_degenerates_safely(spark):
+    """All-equal priorities put every row in one bucket: the threshold
+    plan degenerates to the exact window over that bucket (documented)."""
+    df = spark.createDataFrame(
+        [(i, "en", 10) for i in range(20)], "doc_id LONG, lang STRING, tokens LONG"
+    )
+    exact = token_budget_sample(df, 55, priority=(("tokens", "desc"), ("doc_id", "asc")))
+    fast = token_budget_sample_threshold(df, 55)
+    assert _keyset(exact) == _keyset(fast)
+    assert exact.count() == 5  # 5 * 10 <= 55 < 6 * 10
