@@ -790,6 +790,38 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "tokens", "cum_tokens")
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (webtext op): deterministic messy urls
+    (scheme/case/www/utm/fragment/trailing-slash variants, all functions
+    of doc_id) -> canonical url + host + registrable domain, pure
+    Catalyst regexp chains twinned in DuckDB RE2."""
+    from datacube_core_spark.functions.url import canonical_url_col, domain_col, host_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = (F.col("doc_id") % 97).cast("string")
+    host = F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("SITE"), n, F.lit(".EXAMPLE")))\
+        .otherwise(F.concat(F.lit("site"), n, F.lit(".example")))
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(F.lit("https://"))
+    www = F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p"), F.col("doc_id").cast("string"))
+    q = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&utm_medium=y"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?q=1&utm_campaign=z"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(F.col("doc_id") % 11 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    slash = F.when(F.col("doc_id") % 13 == 0, F.lit("/")).otherwise(F.lit(""))
+    messy = F.concat(scheme, www, host, path, slash, q, frag)
+    u = d.withColumn("url", messy)
+    return u.select(
+        "doc_id",
+        F.col("url").alias("raw_url"),
+        canonical_url_col(F.col("url")).alias("canon_url"),
+        host_col(F.col("url")).alias("host"),
+        domain_col(F.col("url")).alias("domain"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -832,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_less_mature": q_archive_less_mature,
         "raw_field_search": q_raw_field_search,
         "token_budget": q_token_budget,
+        "url_canon": q_url_canon,
     }
 
 
@@ -1309,6 +1342,36 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, lang, tokens, cum_tokens FROM c WHERE cum_tokens <= 2500
+"""
+
+    from datacube_core_spark.functions.url import (
+        sql_canonical_url,
+        sql_domain,
+        sql_host,
+    )
+
+    sqls["url_canon"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN 'SITE' || CAST(doc_id % 97 AS VARCHAR) || '.EXAMPLE'
+                  ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' END)
+         || '/p' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&utm_medium=y'
+                  WHEN doc_id % 3 = 1 THEN '?q=1&utm_campaign=z'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+)
+SELECT doc_id,
+       url AS raw_url,
+       {sql_canonical_url('url')} AS canon_url,
+       {sql_host('url')} AS host,
+       {sql_domain('url')} AS domain
+FROM m
 """
 
     return sqls

@@ -1,0 +1,67 @@
+"""URL canonicalization edge cases (functions/url.py)."""
+
+from pyspark.sql import functions as F
+
+from datacube_core_spark.functions.url import (
+    canonical_url_col,
+    domain_col,
+    host_col,
+    strip_tracking_col,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    return [
+        r["c"]
+        for r in df.select(canonical_url_col(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonicalization_cases(spark):
+    cases = {
+        # scheme + www + host case + trailing slash
+        "http://WWW.Site.COM/Page/": "https://site.com/Page",
+        # utm stripped, real params kept, order preserved
+        "https://a.com/p?utm_source=x&q=1": "https://a.com/p?q=1",
+        "https://a.com/p?q=1&utm_campaign=z": "https://a.com/p?q=1",
+        "https://a.com/p?utm_a=1&utm_b=2": "https://a.com/p",
+        # fragment stripped
+        "https://a.com/p#section": "https://a.com/p",
+        # path case PRESERVED (only host lowercased)
+        "https://A.com/CaseSensitive": "https://a.com/CaseSensitive",
+        # already-canonical is a fixed point
+        "https://a.com/p?q=1": "https://a.com/p?q=1",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+    # idempotence: canon(canon(u)) == canon(u)
+    again = _canon(spark, got)
+    assert again == got
+
+
+def test_host_and_domain(spark):
+    df = spark.createDataFrame(
+        [("https://www.Sub.News.Example.co/p",), ("http://plain.org/x?y=1",)], "url STRING"
+    )
+    rows = df.select(
+        host_col(F.col("url")).alias("h"), domain_col(F.col("url")).alias("d")
+    ).collect()
+    assert (rows[0]["h"], rows[0]["d"]) == ("sub.news.example.co", "example.co")
+    assert (rows[1]["h"], rows[1]["d"]) == ("plain.org", "plain.org")
+
+
+def test_strip_tracking_separator_cleanup(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/p?utm_x=1",), ("https://a.com/p?utm_x=1&utm_y=2&k=v",)], "url STRING"
+    )
+    got = [r["s"] for r in df.select(strip_tracking_col(F.col("url")).alias("s")).collect()]
+    assert got == ["https://a.com/p", "https://a.com/p?k=v"]
+
+
+def test_no_python_in_plan(spark):
+    df = spark.createDataFrame([("https://a.com/p",)], "url STRING").select(
+        canonical_url_col(F.col("url")).alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
