@@ -822,6 +822,85 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recipe_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual-product RECIPE end-to-end (driver-gated, not just pytest):
+    a YAML recipe — juxtapose of two monthly per-lang aggregates over the
+    pages product — is parsed by plans/recipe.construct_from_yaml into
+    the combinator tree and built as one Catalyst plan.  Aggregates are
+    order-insensitive (min/max/count) so the oracle hash is exact."""
+    from datacube_core_spark.plans.recipe import DEFAULT_RESOLVER, construct_from_yaml
+
+    resolver = DEFAULT_RESOLVER.clone()
+    resolver.register(
+        "product", "pages_sel",
+        lambda s, d: pages(s, d, repl=Q_REPL).select(
+            F.col("warc_ts").alias("time"), "lang", "lon", "lat"
+        ),
+    )
+    recipe = """
+juxtapose:
+  - aggregate: xarray_reduction
+    group_by: month
+    output: {lon: min, time: count}
+    extra_keys: [lang]
+    input: {product: pages_sel}
+  - aggregate: xarray_reduction
+    group_by: month
+    output: {lat: max}
+    extra_keys: [lang]
+    input: {product: pages_sel}
+on: [time, lang]
+"""
+    out = construct_from_yaml(recipe, name_resolver=resolver).build(spark, sf_dir)
+    return out.select(
+        F.col("time").alias("bucket"), "lang",
+        "lon_min", F.col("time_count").alias("n"), "lat_max",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data op): deterministic emails / phones /
+    IPs planted into the documents text, detected (regexp_count) and
+    redacted (fixed email->phone->IP order) — pure Catalyst, RE2-twinned
+    including DuckDB's 'g' replace-all flag."""
+    from datacube_core_spark.functions.pii import (
+        email_count_col,
+        ip_count_col,
+        phone_count_col,
+        scrub_pii_col,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    i = F.col("doc_id")
+    email = F.when(i % 3 == 0, F.concat(F.lit(" contact user"), i.cast("string"), F.lit("@example.org"))).otherwise(F.lit(""))
+    phone = F.when(i % 4 == 0, F.concat(F.lit(" call +1 (555) 123-4"), F.lpad((i % 100).cast("string"), 3, "0"))).otherwise(F.lit(""))
+    ip = F.when(i % 5 == 0, F.concat(F.lit(" from 10.0."), (i % 256).cast("string"), F.lit("."), ((i * 7) % 256).cast("string"))).otherwise(F.lit(""))
+    t = F.concat(F.col("text"), email, phone, ip)
+    planted = d.select("doc_id", t.alias("ptext"))
+    return planted.select(
+        "doc_id",
+        email_count_col(F.col("ptext")).cast("long").alias("n_email"),
+        phone_count_col(F.col("ptext")).cast("long").alias("n_phone"),
+        ip_count_col(F.col("ptext")).cast("long").alias("n_ip"),
+        F.md5(scrub_pii_col(F.col("ptext"))).alias("scrub_md5"),
+    )
+
+
+_STRAT_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling (mixture weighting): keep a
+    per-language fraction of documents via a pure key-hash predicate —
+    reproducible across engines and partition layouts (df.sample is
+    neither).  Per-lang kept counts + the kept doc ids drive the hash."""
+    from datacube_core_spark.operators.sampling import hash_stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    kept = hash_stratified_sample(d, _STRAT_RATES, default_rate=0.05)
+    return kept.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -865,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_field_search": q_raw_field_search,
         "token_budget": q_token_budget,
         "url_canon": q_url_canon,
+        "recipe_monthly": q_recipe_monthly,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1372,6 +1454,51 @@ SELECT doc_id,
        {sql_host('url')} AS host,
        {sql_domain('url')} AS domain
 FROM m
+"""
+
+    sqls["recipe_monthly"] = f"""{_P.rstrip()}, a AS (
+  SELECT CAST(date_trunc('month', warc_ts) AS DATE) AS bucket, lang,
+         MIN(lon) AS lon_min, COUNT(warc_ts) AS n
+  FROM pages GROUP BY 1, 2
+), b AS (
+  SELECT CAST(date_trunc('month', warc_ts) AS DATE) AS bucket, lang,
+         MAX(lat) AS lat_max
+  FROM pages GROUP BY 1, 2
+)
+SELECT a.bucket, a.lang, a.lon_min, a.n, b.lat_max
+FROM a JOIN b ON a.bucket = b.bucket AND a.lang = b.lang
+"""
+
+    from datacube_core_spark.functions.pii import (
+        sql_email_count,
+        sql_ip_count,
+        sql_phone_count,
+        sql_scrub_pii,
+    )
+
+    sqls["pii_scrub"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN ' call +1 (555) 123-4' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END)
+         AS ptext
+  FROM documents
+)
+SELECT doc_id,
+       CAST({sql_email_count('ptext')} AS BIGINT) AS n_email,
+       CAST({sql_phone_count('ptext')} AS BIGINT) AS n_phone,
+       CAST({sql_ip_count('ptext')} AS BIGINT) AS n_ip,
+       md5({sql_scrub_pii('ptext')}) AS scrub_md5
+FROM p
+"""
+
+    from datacube_core_spark.operators.sampling import sql_hash_stratified_pred
+
+    sqls["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {sql_hash_stratified_pred(_STRAT_RATES, default_rate=0.05)}
 """
 
     return sqls

@@ -158,3 +158,44 @@ def token_budget_sample_threshold(
 
     drop = ["_bkt", "_boundary", "_offset"]
     return kept_prefix.drop(*drop).unionByName(edge.drop(*drop))
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group rate sampling (mixture weighting): keep a
+    row iff ``hash(key) mod 1e6 < rate(group) * 1e6`` — a pure function
+    of the key, so the sample is reproducible across runs/engines and
+    stable under repartitioning (unlike ``df.sample``, whose output
+    depends on partition layout).  The hash is a Knuth multiplicative
+    mix, kept inside int64 by reducing the key first; the arithmetic is
+    plain SQL, so an external oracle can reproduce the exact sample.
+
+    ``rates``: {group value: keep fraction in [0, 1]}; groups not listed
+    use ``default_rate``."""
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    h = ((F.col(key_col) % F.lit(1_000_003)) * F.lit(2_654_435_761)) % F.lit(4_294_967_296)
+    bucket = h % F.lit(1_000_000)
+    rate = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == F.lit(g)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    return df.where(bucket < (rate * F.lit(1_000_000)).cast("long"))
+
+
+def sql_hash_stratified_pred(rates: dict, key_col: str = "doc_id",
+                             group_col: str = "lang", default_rate: float = 0.0) -> str:
+    """DuckDB twin of :func:`hash_stratified_sample`'s predicate."""
+    cases = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {r!r}" for g, r in sorted(rates.items())
+    )
+    rate = f"(CASE {cases} ELSE {float(default_rate)!r} END)"
+    h = f"((({key_col} % 1000003) * 2654435761) % 4294967296)"
+    return f"({h} % 1000000) < CAST({rate} * 1000000 AS BIGINT)"
