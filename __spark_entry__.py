@@ -901,6 +901,17 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-word
+    fraction and duplicate-bigram instance fraction — explode + hash
+    aggregations whose shuffle keys all include the doc id (per-doc work
+    stays parallel), no Python."""
+    from datacube_core_spark.functions.text import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -947,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recipe_monthly": q_recipe_monthly,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1500,6 +1512,10 @@ FROM p
 SELECT doc_id, lang FROM documents
 WHERE {sql_hash_stratified_pred(_STRAT_RATES, default_rate=0.05)}
 """
+
+    from datacube_core_spark.functions.text import sql_repetition_cte
+
+    sqls["repetition_stats"] = sql_repetition_cte()
 
     return sqls
 

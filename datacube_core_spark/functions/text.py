@@ -178,3 +178,82 @@ def sql_rolling_fingerprint(col: str = "text") -> str:
         f"(acc, x) -> (acc * {ROLL_MULT} + x) % {ROLL_MOD})"
     )
     return f"CASE WHEN trim({col}) = '' THEN 0 ELSE {fold} END"
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition metrics (the Gopher/C4 repetition filters):
+
+    * ``n_tokens``       — whitespace token count
+    * ``top_word_frac``  — share of tokens taken by the single most
+      frequent word (Gopher: "fraction in the most common n-gram", n=1)
+    * ``dup_bigram_frac``— share of bigram INSTANCES whose bigram occurs
+      more than once in the document
+
+    Plan shape: explode → two hash aggregations keyed on (doc, gram) then
+    (doc) — every shuffle key includes the doc id, so per-doc work stays
+    fully parallel and no document ever concentrates on one task beyond
+    its own length.  No Python.  DuckDB twin: :func:`sql_repetition_cte`
+    (entry ``repetition_stats``)."""
+    from pyspark.sql import DataFrame  # local: keep module import surface small
+
+    toks = df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("ws"))
+    words = toks.select("_id", F.explode("ws").alias("w"))
+    wc = words.groupBy("_id", "w").agg(F.count("*").alias("c"))
+    top = wc.groupBy("_id").agg(
+        F.max("c").alias("_top_c"), F.sum("c").alias("n_tokens")
+    )
+    bigrams = toks.select(
+        "_id",
+        F.expr(
+            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', element_at(ws, i + 2)))"
+        ).alias("bgs"),
+    ).select("_id", F.explode("bgs").alias("bg"))
+    bc = bigrams.groupBy("_id", "bg").agg(F.count("*").alias("c"))
+    dup = bc.groupBy("_id").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("_dup_inst"),
+        F.sum("c").alias("_n_bg"),
+    )
+    out = top.join(dup, on="_id", how="left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("_top_c").cast("double") / F.col("n_tokens")).alias("top_word_frac"),
+        F.coalesce(
+            F.col("_dup_inst").cast("double")
+            / F.when(F.col("_n_bg") > 0, F.col("_n_bg")),
+            F.lit(0.0),
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def sql_repetition_cte(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_stats` (same metric definitions,
+    same division order — exact hash parity)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS _id, string_split({text_col}, ' ') AS ws FROM {table}
+), wc AS (
+  SELECT _id, w, COUNT(*) AS c FROM (SELECT _id, unnest(ws) AS w FROM t) GROUP BY 1, 2
+), top AS (
+  SELECT _id, MAX(c) AS top_c, SUM(c) AS n_tokens FROM wc GROUP BY 1
+), bg AS (
+  SELECT t._id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM t, unnest(range(1, len(ws))) AS r(i)
+), bc AS (
+  SELECT _id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), dup AS (
+  SELECT _id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_inst, SUM(c) AS n_bg
+  FROM bc GROUP BY 1
+)
+SELECT top._id AS {id_col},
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(top_c AS DOUBLE) / n_tokens AS top_word_frac,
+       COALESCE(CAST(dup_inst AS DOUBLE) / (CASE WHEN n_bg > 0 THEN n_bg END), 0.0) AS dup_bigram_frac
+FROM top LEFT JOIN dup ON top._id = dup._id
+"""

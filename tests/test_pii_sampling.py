@@ -77,3 +77,23 @@ def test_no_python_in_plans(spark):
     out = hash_stratified_sample(df, {"en": 0.5}).select(scrub_pii_col(F.col("t")))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_repetition_stats_vectors(spark):
+    from datacube_core_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # top word 'a' 3/5; bigrams: ab,ba,ab,ba -> all dup -> 1.0
+            (2, "x y z w"),          # all unique: top 1/4, dup 0
+            (3, "solo"),             # single token: no bigrams -> 0.0
+            (4, "r r r r"),          # top 4/4; bigrams 'r r' x3 all dup
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 5 and got[1]["top_word_frac"] == 3 / 5
+    assert got[1]["dup_bigram_frac"] == 1.0
+    assert got[2]["top_word_frac"] == 0.25 and got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+    assert got[4]["top_word_frac"] == 1.0 and got[4]["dup_bigram_frac"] == 1.0
