@@ -36,6 +36,12 @@ Jobs:
                 the products registered in --store, as JSON lines
   product-show  `datacube product show` analog: full definition document
                 of --product, pretty-printed
+  update-docs   `datacube dataset update` analog: update EXISTING
+                datasets from documents; unknown ids are errors
+  dataset-info  `datacube dataset info` analog: current payload + full
+                event history per --ids id
+  system-check  `datacube system check` analog: store health — dataset/
+                product/archived counts + orphan lineage edges
 """
 
 from __future__ import annotations
@@ -56,6 +62,7 @@ def main(argv=None) -> int:
             "ingest-docs", "add-products", "search",
             "dataset-archive", "dataset-restore", "dataset-purge",
             "product-list", "product-show",
+            "update-docs", "dataset-info", "system-check",
         ],
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -207,6 +214,100 @@ def main(argv=None) -> int:
         n_err = errors.count()
         print(json.dumps({"added": n, "errors": n_err,
                           "products": [r.name for r in rules], "store": args.store}))
+    elif args.job == "update-docs":
+        # reference `datacube dataset update`: update EXISTING datasets
+        # from documents; unknown ids become error rows, never inserts
+        from .operators.doc2dataset import (
+            Doc2Dataset,
+            ProductCatalog,
+            ProductRule,
+            docs_from_files,
+        )
+        from .operators.store import DatasetStore
+
+        if not args.docs:
+            raise SystemExit("--docs is required for update-docs")
+        fmt = args.format
+        if fmt == "auto" and args.docs.endswith(".jsonl"):
+            fmt = "jsonl"
+        raw = docs_from_files(spark, args.docs, fmt=fmt)
+        store = DatasetStore(spark, args.store, id_type="STRING")
+        try:
+            rules = ProductCatalog(spark, args.store).rules()
+        except ValueError:
+            rules = [ProductRule("pages_eo3", {"product": {"name": "pages_eo3"}})]
+        resolver = Doc2Dataset(store, rules)
+        n, errors = resolver.update(raw)
+        print(json.dumps({"updated": n, "errors": errors.count(), "store": args.store}))
+    elif args.job == "dataset-info":
+        # reference `datacube dataset info`: current payload + audit trail
+        from .operators.store import DatasetStore
+
+        if not args.ids:
+            raise SystemExit("--ids is required for dataset-info")
+        store = DatasetStore(spark, args.store, id_type="STRING")
+        n = 0
+        for ds_id in [s for s in args.ids.split(",") if s]:
+            try:
+                hist = store.history(ds_id).collect()
+            except ValueError:
+                hist = []
+            if not hist:
+                print(json.dumps({"id": ds_id, "error": "not found"}))
+                continue
+            cur = hist[-1]
+            payload = {k: str(v) for k, v in cur.asDict().items() if not k.startswith("_")}
+            print(json.dumps({
+                "id": ds_id,
+                "current": payload,
+                "archived": cur["_archived"] is not None,
+                "events": [
+                    {"seq": r["_seq"], "op": r["_op"],
+                     "archived_ts": str(r["_archived"]) if r["_archived"] else None}
+                    for r in hist
+                ],
+            }))
+            n += 1
+    elif args.job == "system-check":
+        # reference `datacube system check`: catalog health — store
+        # reachability, product/dataset/archived counts, orphan lineage
+        # edges (edges whose dataset id is no longer in the store)
+        import os as _os
+
+        from .operators.doc2dataset import ProductCatalog
+        from .operators.store import DatasetStore
+
+        report = {"store": args.store, "ok": True}
+        store = DatasetStore(spark, args.store, id_type="STRING")
+        try:
+            cur = store.current(include_archived=True)
+            live = cur.where(F.col("_archived").isNull()).count()
+            report["datasets"] = live
+            report["archived"] = cur.count() - live
+        except ValueError:
+            report["datasets"] = report["archived"] = 0
+        try:
+            report["products"] = ProductCatalog(spark, args.store).store.current().count()
+        except ValueError:
+            report["products"] = 0
+        edges_path = f"{args.store.rstrip('/')}/lineage_edges"
+        if _os.path.isdir(edges_path):
+            edges = spark.read.parquet(edges_path)
+            try:
+                known = store.current(include_archived=True).select(
+                    F.col(store.id_col).cast("string").alias("dataset_id")
+                )
+                orphans = edges.join(known, on="dataset_id", how="left_anti").count()
+            except ValueError:
+                orphans = edges.count()
+            report["lineage_edges"] = edges.count()
+            report["orphan_edges"] = orphans
+            if orphans:
+                report["ok"] = False
+        else:
+            report["lineage_edges"] = report["orphan_edges"] = 0
+        print(json.dumps(report))
+        n = report["datasets"]
     elif args.job in ("dataset-archive", "dataset-restore", "dataset-purge"):
         # reference datacube/scripts/dataset.py archive/restore/purge
         from .operators.store import DatasetStore

@@ -630,3 +630,29 @@ class Doc2Dataset:
         edges_path = f"{self.store.base}/lineage_edges"
         edges.write.mode("append").parquet(edges_path)
         return n, resolved.where(F.col("error").isNotNull())
+
+    def update(self, docs_df: DataFrame) -> Tuple[int, DataFrame]:
+        """Resolve + UPDATE existing rows (reference ``datacube dataset
+        update``, ``scripts/dataset.py``): a resolved doc whose id is NOT
+        in the store becomes an error row ("No such dataset in the
+        database") instead of an insert — update never creates.  Returns
+        (rows updated, error rows DataFrame)."""
+        resolved = self.resolve(docs_df).localCheckpoint(eager=True)
+        good = resolved.where(F.col("error").isNull())
+        try:
+            known = self.store.current(include_archived=True).select(
+                F.col(self.store.id_col).cast("string").alias("id")
+            )
+        except ValueError:  # empty store: nothing can be updated
+            known = None
+        if known is None:
+            missing = good
+            present = good.limit(0)
+        else:
+            present = good.join(known, on="id", how="left_semi").localCheckpoint(eager=True)
+            missing = good.join(known, on="id", how="left_anti")
+        n = self.store.update(present.drop("error", "source_ids")) if present.take(1) else 0
+        errors = resolved.where(F.col("error").isNotNull()).unionByName(
+            missing.withColumn("error", F.lit("No such dataset in the database"))
+        )
+        return n, errors

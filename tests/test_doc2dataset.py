@@ -392,6 +392,62 @@ def test_product_cli_jobs(spark, tmp_path, capsys):
         main(["--job", "product-show", "--store", store, "--product", "nope"])
 
 
+def test_update_docs_info_and_system_check_cli(spark, tmp_path, capsys):
+    """`datacube dataset update` / `dataset info` / `system check`
+    analogs: update only touches existing ids (unknown -> error row,
+    never an insert), info prints payload + event history, system-check
+    reports counts and flags orphan lineage edges."""
+    from datacube_core_spark.__main__ import main
+
+    def doc(i, lat0=10.0):
+        return json.dumps({
+            "$schema": EO3, "id": f"u-{i}",
+            "product": {"name": "pages_eo3"}, "crs": "EPSG:4326",
+            "grids": {"default": {"shape": [8, 16],
+                                  "transform": [0.125, 0, float(i), 0, -0.125, lat0]}},
+            "properties": {"datetime": "2024-05-01T00:00:00"},
+        })
+
+    path = str(tmp_path / "docs.jsonl")
+    open(path, "w").write("\n".join(doc(i) for i in range(3)))
+    store = str(tmp_path / "cat")
+    assert main(["--job", "ingest-docs", "--docs", path, "--store", store]) == 0
+    capsys.readouterr()
+
+    # update 2 existing (moved grid origin) + 1 unknown -> updated=2, errors=1
+    upd = str(tmp_path / "upd.jsonl")
+    open(upd, "w").write("\n".join([doc(0, lat0=50.0), doc(1, lat0=50.0),
+                                    doc(99, lat0=50.0)]))
+    assert main(["--job", "update-docs", "--docs", upd, "--store", store]) == 0
+    out = capsys.readouterr().out
+    assert '"updated": 2' in out and '"errors": 1' in out
+    st = DatasetStore(spark, store, id_type="STRING")
+    lat_max = {r["id"]: r["lat_max"] for r in st.current().collect()}
+    assert lat_max["u-0"] == 50.0 and lat_max["u-2"] == 10.0
+    assert "u-99" not in lat_max  # update never inserts
+
+    assert main(["--job", "dataset-info", "--store", store, "--ids", "u-0,nope"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{") and '"job"' not in l]
+    by_id = {l["id"]: l for l in lines}
+    assert [e["op"] for e in by_id["u-0"]["events"]] == ["add", "update"]
+    assert by_id["u-0"]["current"]["lat_max"] == "50.0"
+    assert by_id["nope"]["error"] == "not found"
+
+    assert main(["--job", "system-check", "--store", store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert rep["ok"] is True and rep["datasets"] == 3 and rep["archived"] == 0
+    assert rep["orphan_edges"] == 0
+
+    # purge one dataset -> its lineage edges (if any) would orphan; here
+    # docs have no lineage, so counts just drop
+    assert main(["--job", "dataset-archive", "--store", store, "--ids", "u-0"]) == 0
+    capsys.readouterr()
+    assert main(["--job", "system-check", "--store", store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert rep["datasets"] == 2 and rep["archived"] == 1
+
+
 def test_docs_from_files_yaml_json_jsonl(spark, tmp_path):
     """read_documents analog: multi-doc YAML streams, JSON, JSONL, and
     unparseable files -> error rows, all distributed."""
