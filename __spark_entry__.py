@@ -861,8 +861,9 @@ on: [time, lang]
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (training-data op): deterministic emails / phones /
     IPs planted into the documents text, detected (regexp_count) and
-    redacted (fixed email->phone->IP order) — pure Catalyst, RE2-twinned
-    including DuckDB's 'g' replace-all flag."""
+    redacted (fixed email->IP->phone order — an IPv4 address matches the
+    permissive phone pattern, so IP must redact first) — pure Catalyst,
+    RE2-twinned including DuckDB's 'g' replace-all flag."""
     from datacube_core_spark.functions.pii import (
         email_count_col,
         ip_count_col,

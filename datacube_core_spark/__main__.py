@@ -256,6 +256,18 @@ def main(argv=None) -> int:
                 print(json.dumps({"id": ds_id, "error": "not found"}))
                 continue
             cur = hist[-1]
+            if cur["_op"] == "purge":
+                # the tombstone ends the chain: report purged, not a
+                # live payload the store no longer serves
+                print(json.dumps({
+                    "id": ds_id, "error": "purged",
+                    "events": [
+                        {"seq": r["_seq"], "op": r["_op"],
+                         "archived_ts": str(r["_archived"]) if r["_archived"] else None}
+                        for r in hist
+                    ],
+                }))
+                continue
             payload = {k: str(v) for k, v in cur.asDict().items() if not k.startswith("_")}
             print(json.dumps({
                 "id": ds_id,

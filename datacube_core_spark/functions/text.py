@@ -198,8 +198,6 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     fully parallel and no document ever concentrates on one task beyond
     its own length.  No Python.  DuckDB twin: :func:`sql_repetition_cte`
     (entry ``repetition_stats``)."""
-    from pyspark.sql import DataFrame  # local: keep module import surface small
-
     toks = df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("ws"))
     words = toks.select("_id", F.explode("ws").alias("w"))
     wc = words.groupBy("_id", "w").agg(F.count("*").alias("c"))

@@ -60,9 +60,12 @@ def canonical_url_col(url: Column) -> Column:
 # --- DuckDB twins (RE2 syntax; backrefs are \\1, not $1) -------------------
 
 def sql_strip_tracking(col: str = "url") -> str:
+    # 'g' = replace ALL matches: DuckDB regexp_replace is first-match-only
+    # by default, while Spark's replaces every match — a 2+-utm-param url
+    # would diverge without it (same reason pii.sql_scrub_pii carries 'g')
     return (
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        f"{col}, '#.*', ''), 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', ''), '[?&]$', '')"
+        f"{col}, '#.*', '', 'g'), 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$', '', 'g'), '[?&]$', '', 'g')"
     )
 
 
@@ -78,6 +81,7 @@ def sql_domain(col: str = "url") -> str:
 
 
 def sql_canonical_url(col: str = "url") -> str:
+    # anchored patterns below can only match once, so 'g' is not needed
     u = sql_strip_tracking(col)
     u = f"regexp_replace({u}, '^http://', 'https://')"
     host = f"regexp_replace(lower(regexp_extract({u}, '^https://([^/?#]*)', 1)), '^www\\.', '')"

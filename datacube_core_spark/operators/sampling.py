@@ -182,20 +182,29 @@ def hash_stratified_sample(
             raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
     h = ((F.col(key_col) % F.lit(1_000_003)) * F.lit(2_654_435_761)) % F.lit(4_294_967_296)
     bucket = h % F.lit(1_000_000)
-    rate = None
-    for g, r in sorted(rates.items()):
+    # thresholds are INTEGER literals computed once on the driver: a
+    # float-expression threshold diverges between engines (double
+    # 0.3*1e6 truncates to 299999 in Spark while DECIMAL arithmetic
+    # rounds to 300000 in DuckDB) — round-half-up in exactly one place
+    # and ship the int to both
+    thresholds = {g: int(round(r * 1_000_000)) for g, r in rates.items()}
+    default_t = int(round(float(default_rate) * 1_000_000))
+    thr = None
+    for g, t in sorted(thresholds.items()):
         cond = F.col(group_col) == F.lit(g)
-        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
-    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
-    return df.where(bucket < (rate * F.lit(1_000_000)).cast("long"))
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    thr = F.lit(default_t) if thr is None else thr.otherwise(F.lit(default_t))
+    return df.where(bucket < thr)
 
 
 def sql_hash_stratified_pred(rates: dict, key_col: str = "doc_id",
                              group_col: str = "lang", default_rate: float = 0.0) -> str:
-    """DuckDB twin of :func:`hash_stratified_sample`'s predicate."""
+    """DuckDB twin of :func:`hash_stratified_sample`'s predicate — the
+    same pre-rounded INTEGER thresholds (see the comment there)."""
     cases = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {r!r}" for g, r in sorted(rates.items())
+        f"WHEN {group_col} = '{g}' THEN {int(round(r * 1_000_000))}"
+        for g, r in sorted(rates.items())
     )
-    rate = f"(CASE {cases} ELSE {float(default_rate)!r} END)"
+    thr = f"(CASE {cases} ELSE {int(round(float(default_rate) * 1_000_000))} END)"
     h = f"((({key_col} % 1000003) * 2654435761) % 4294967296)"
-    return f"({h} % 1000000) < CAST({rate} * 1000000 AS BIGINT)"
+    return f"({h} % 1000000) < {thr}"

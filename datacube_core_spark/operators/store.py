@@ -198,7 +198,12 @@ class DatasetStore:
 
     def update(self, df: DataFrame) -> int:
         """Replace payload of EXISTING datasets (reference ``update``
-        :861 — updating a missing dataset is an error)."""
+        :861 — updating a missing dataset is an error).
+
+        Archived state is PRESERVED: an update replaces the payload only;
+        a dataset archived before the update stays archived (the
+        reference keeps ``archived`` beside the doc — ``dataset update``
+        never clears it).  Un-archiving is ``restore``'s job."""
         st = self._state()
         missing = None
         if st is None:
@@ -210,7 +215,19 @@ class DatasetStore:
             raise ValueError(f"cannot update missing dataset: {missing[0][self.id_col]}")
         n = df.count()
         if n:
-            self._append(df, "update")
+            prev = st.where(F.col("_op") != "purge").select(
+                self.id_col, F.col("_archived").alias("_prev_archived")
+            )
+            seq = self._next_seq()
+            out = (
+                df.join(prev, on=self.id_col, how="left")
+                .withColumn("_seq", F.lit(seq))
+                .withColumn("_tie", F.lit(self._tie))
+                .withColumn("_op", F.lit("update"))
+                .withColumn("_archived", F.col("_prev_archived").cast("timestamp"))
+                .drop("_prev_archived")
+            )
+            out.write.mode("append").parquet(self.log_path)
         return n
 
     def _payload_for(self, ids_df: DataFrame) -> DataFrame:

@@ -154,8 +154,16 @@ class RangeDocField:
 
     def between(self, low, high) -> Column:
         """Range query: the field's [lower, greater] OVERLAPS [low, high]
-        (inclusive, reference ``RangeBetweenExpression`` bounds='[]')."""
-        return (self.greater.expression >= F.lit(low)) & (self.lower.expression <= F.lit(high))
+        (inclusive, reference ``RangeBetweenExpression`` bounds='[]').
+        One-sided when an endpoint is None — a NULL literal would
+        otherwise poison the whole predicate and silently match nothing."""
+        if low is not None and high is not None:
+            return (self.greater.expression >= F.lit(low)) & (self.lower.expression <= F.lit(high))
+        if low is not None:
+            return self.greater.expression >= F.lit(low)
+        if high is not None:
+            return self.lower.expression <= F.lit(high)
+        raise ValueError("Expect at least one of [low,high] to be set")
 
 
 class IntRangeDocField(RangeDocField):

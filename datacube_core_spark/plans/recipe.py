@@ -457,7 +457,15 @@ class Catalog(Mapping):
         if name in self._names("transforms"):
             recipe = self.contents["transforms"][name]["recipe"]
             return lambda input_recipe: self.name_resolver.construct(**recipe, input=input_recipe)
+        # reference parity: None, not KeyError (catalog.py:57 — "raising a
+        # KeyError here stops autocompletion from working")
         return None
+
+    def __contains__(self, name):
+        # Mapping.__contains__ would probe __getitem__ for KeyError and
+        # therefore claim EVERY name is present (getitem returns None for
+        # unknowns, reference parity) — answer from the name lists instead
+        return name in self._names("products") or name in self._names("transforms")
 
     def __len__(self):
         return len(self._names("products")) + len(self._names("transforms"))

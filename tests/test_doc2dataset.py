@@ -447,6 +447,15 @@ def test_update_docs_info_and_system_check_cli(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[0])
     assert rep["datasets"] == 2 and rep["archived"] == 1
 
+    # a PURGED dataset must report as purged, not a live payload
+    # (code-review r4: the tombstone ends the chain)
+    assert main(["--job", "dataset-purge", "--store", store, "--ids", "u-0"]) == 0
+    capsys.readouterr()
+    assert main(["--job", "dataset-info", "--store", store, "--ids", "u-0"]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert line["error"] == "purged" and "current" not in line
+    assert [e["op"] for e in line["events"]][-1] == "purge"
+
 
 def test_docs_from_files_yaml_json_jsonl(spark, tmp_path):
     """read_documents analog: multi-doc YAML streams, JSON, JSONL, and

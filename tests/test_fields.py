@@ -191,3 +191,19 @@ def test_no_python_udf_in_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_one_sided_range_queries(spark):
+    """Open-ended range queries (low, None)/(None, high) must be
+    one-sided, not NULL-poisoned empty results (code-review r4)."""
+    raw = _raw_docs(spark)
+    n_all = raw.count()
+    lo = search_raw_docs(raw, SPECS, lat=(0.0, None)).count()
+    hi = search_raw_docs(raw, SPECS, lat=(None, 0.0)).count()
+    assert lo > 0 and hi > 0
+    # overlap semantics: ranges touching 0 are counted on both sides
+    both = search_raw_docs(raw, SPECS, lat=(0.0, 0.0)).count()
+    assert lo + hi == n_all + both
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        search_raw_docs(raw, SPECS, lat=(None, None)).count()

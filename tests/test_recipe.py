@@ -338,6 +338,11 @@ transforms:
     applied = cat["keep_ids"]({"product": "documents"})
     assert applied.build(spark, SF_TINY).columns == ["doc_id", "lang"]
     assert cat["missing"] is None
+    # __contains__ answers from the NAME LISTS, not getitem-probe (which
+    # returns None for unknowns, reference parity) — membership must not
+    # claim every name exists (code-review r4)
+    assert "en_docs" in cat and "keep_ids" in cat
+    assert "missing" not in cat
 
     with pytest.raises(VirtualProductError, match="common names"):
         Catalog(DEFAULT_RESOLVER, {"products": {"x": {}}, "transforms": {"x": {}}})

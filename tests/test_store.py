@@ -179,3 +179,23 @@ def test_store_init_runs_no_job(spark, tmp_path):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert st2._seq is None, "seq must stay lazy until the first write"
     assert after == before, "constructor ran a Spark job"
+
+
+def test_update_preserves_archived_state(spark, tmp_path):
+    """Update replaces the PAYLOAD only — an archived dataset stays
+    archived through an update (code-review r4 finding: update previously
+    wrote _archived NULL and silently un-archived)."""
+    st = DatasetStore(spark, str(tmp_path / "cat"))
+    st.add(_rows(spark, [(1, "a", T0, "final"), (2, "b", T0, "final")]))
+    st.archive([1])
+    st.update(_rows(spark, [(1, "a2", T0, "final"), (2, "b2", T0, "final")]))
+
+    live = {r["id"]: r["key"] for r in st.current().collect()}
+    assert live == {2: "b2"}  # 1 is still hidden
+    every = {r["id"]: (r["key"], r["_archived"] is not None)
+             for r in st.current(include_archived=True).collect()}
+    assert every[1] == ("a2", True)   # payload updated, STILL archived
+    assert every[2] == ("b2", False)
+    # restore is the only way back
+    st.restore([1])
+    assert sorted(r["id"] for r in st.current().collect()) == [1, 2]

@@ -65,3 +65,41 @@ def test_no_python_in_plan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sql_twins_match_spark_on_adversarial_urls(spark):
+    """Cross-engine parity on inputs the entry corpus does NOT cover
+    (code-review r4 finding: DuckDB regexp_replace is first-match-only
+    without 'g' — a 2+-utm url diverged)."""
+    import duckdb
+
+    from datacube_core_spark.functions.url import (
+        sql_canonical_url,
+        sql_domain,
+        sql_host,
+    )
+
+    urls = [
+        "https://a.com/p?utm_x=1&utm_y=2&k=v",        # two utm params
+        "https://a.com/p?utm_a=1&utm_b=2&utm_c=3",    # three, nothing left
+        "http://WWW.Sub.Site.COM/Path/?utm_s=x#f",    # everything at once
+        "https://plain.org/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    got = [
+        (r["c"], r["h"], r["d"])
+        for r in df.select(
+            canonical_url_col(F.col("url")).alias("c"),
+            host_col(F.col("url")).alias("h"),
+            domain_col(F.col("url")).alias("d"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    exp = []
+    for u in urls:
+        row = con.execute(
+            f"SELECT {sql_canonical_url('u')}, {sql_host('u')}, {sql_domain('u')} "
+            f"FROM (SELECT ? AS u)", [u]
+        ).fetchone()
+        exp.append(tuple(row))
+    assert got == exp
