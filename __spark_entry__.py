@@ -913,6 +913,40 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d)
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus rollup (the Common-Crawl per-domain stats op):
+    messy urls -> canonical domain (url_canon pipeline) joined with token
+    counts, aggregated per registrable domain — doc count, distinct
+    hosts, token mass, mean doc length is avoided (order-dependent double
+    sums break hash parity; sums and counts are exact)."""
+    from datacube_core_spark.functions.text import token_count_col
+    from datacube_core_spark.functions.url import domain_col, host_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = (F.col("doc_id") % 97).cast("string")
+    # subdomains (cdn./blog.) collapse into the registrable domain but
+    # count as distinct hosts; case + www variants collapse entirely
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdn."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("blog."))
+        .otherwise(F.lit(""))
+    )
+    host = F.when(F.col("doc_id") % 7 == 0, F.concat(sub, F.lit("SITE"), n, F.lit(".EXAMPLE")))\
+        .otherwise(F.concat(sub, F.lit("site"), n, F.lit(".example")))
+    www = F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), www, host, F.lit("/p"), F.col("doc_id").cast("string"))
+    u = d.select("doc_id", url.alias("url"), token_count_col(F.col("text")).cast("long").alias("tokens"))
+    return (
+        u.groupBy(domain_col(F.col("url")).alias("domain"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(host_col(F.col("url"))).alias("n_hosts"),
+            F.sum("tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -960,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1517,6 +1552,27 @@ WHERE {sql_hash_stratified_pred(_STRAT_RATES, default_rate=0.05)}
     from datacube_core_spark.functions.text import sql_repetition_cte
 
     sqls["repetition_stats"] = sql_repetition_cte()
+
+    sqls["domain_stats"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         'https://'
+         || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' WHEN doc_id % 3 = 1 THEN 'blog.' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN 'SITE' || CAST(doc_id % 97 AS VARCHAR) || '.EXAMPLE'
+                  ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' END)
+         || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         CAST({sql_token_count('text')} AS BIGINT) AS tokens
+  FROM documents
+)
+SELECT {sql_domain('url')} AS domain,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT {sql_host('url')}) AS n_hosts,
+       SUM(tokens) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM m GROUP BY 1
+"""
 
     return sqls
 
