@@ -292,11 +292,14 @@ def main(argv=None) -> int:
         report = {"store": args.store, "ok": True}
         store = DatasetStore(spark, args.store, id_type="STRING")
         try:
-            cur = store.current(include_archived=True)
+            # resolve the event log ONCE and reuse for every sub-check —
+            # current() replays the whole last-writer-wins window each call
+            cur = store.current(include_archived=True).localCheckpoint(eager=True)
             live = cur.where(F.col("_archived").isNull()).count()
             report["datasets"] = live
             report["archived"] = cur.count() - live
         except ValueError:
+            cur = None
             report["datasets"] = report["archived"] = 0
         try:
             report["products"] = ProductCatalog(spark, args.store).store.current().count()
@@ -305,12 +308,10 @@ def main(argv=None) -> int:
         edges_path = f"{args.store.rstrip('/')}/lineage_edges"
         if _os.path.isdir(edges_path):
             edges = spark.read.parquet(edges_path)
-            try:
-                known = store.current(include_archived=True).select(
-                    F.col(store.id_col).cast("string").alias("dataset_id")
-                )
+            if cur is not None:
+                known = cur.select(F.col(store.id_col).cast("string").alias("dataset_id"))
                 orphans = edges.join(known, on="dataset_id", how="left_anti").count()
-            except ValueError:
+            else:
                 orphans = edges.count()
             report["lineage_edges"] = edges.count()
             report["orphan_edges"] = orphans

@@ -25,11 +25,26 @@ from pyspark.sql import functions as F
 
 
 def strip_tracking_col(url: Column) -> Column:
-    """Steps 1-3: fragment, utm_* params, dangling separators."""
+    """Steps 1-3: fragment, utm_* params, dangling separators.
+
+    Tracking params are removed by PARAM-LIST FILTERING, not substring
+    regex (code-review r4: an unanchored ``utm_`` regex also chewed
+    ``?q=utm_test&...`` — a param whose VALUE contains the substring; and
+    the anchored form can't take consecutive utm params in one pass
+    without lookbehind, which DuckDB's RE2 lacks): split the query at the
+    first ``?``, drop params whose NAME starts with ``utm_``, rejoin."""
     u = F.regexp_replace(url, r"#.*", "")
-    u = F.regexp_replace(u, r"utm_[^&#]*&", "")     # param followed by more
-    u = F.regexp_replace(u, r"[?&]utm_[^&#]*$", "")  # trailing param
-    return F.regexp_replace(u, r"[?&]$", "")
+    qpos = F.locate("?", u)
+    base = F.when(qpos > 0, F.substring(u, F.lit(1), qpos - 1)).otherwise(u)
+    query = F.when(qpos > 0, u.substr(qpos + 1, F.length(u))).otherwise(F.lit(""))
+    # empty params (dangling ?/& separators) are dropped too
+    kept = F.filter(F.split(query, "&"), lambda p: (~p.startswith("utm_")) & (p != ""))
+    joined = F.array_join(kept, "&")
+    return (
+        F.when(qpos == 0, u)
+        .when(F.length(joined) > 0, F.concat(base, F.lit("?"), joined))
+        .otherwise(base)
+    )
 
 
 def host_col(url: Column) -> Column:
@@ -60,12 +75,19 @@ def canonical_url_col(url: Column) -> Column:
 # --- DuckDB twins (RE2 syntax; backrefs are \\1, not $1) -------------------
 
 def sql_strip_tracking(col: str = "url") -> str:
-    # 'g' = replace ALL matches: DuckDB regexp_replace is first-match-only
-    # by default, while Spark's replaces every match — a 2+-utm-param url
-    # would diverge without it (same reason pii.sql_scrub_pii carries 'g')
+    """DuckDB twin of the param-list filter ('g' on the fragment strip:
+    DuckDB regexp_replace is first-match-only without it)."""
+    u = f"regexp_replace({col}, '#.*', '', 'g')"
+    base = f"(CASE WHEN strpos({u}, '?') > 0 THEN substr({u}, 1, strpos({u}, '?') - 1) ELSE {u} END)"
+    query = f"(CASE WHEN strpos({u}, '?') > 0 THEN substr({u}, strpos({u}, '?') + 1) ELSE '' END)"
+    joined = (
+        f"array_to_string(list_filter(string_split({query}, '&'),"
+        " p -> NOT starts_with(p, 'utm_') AND p <> ''), '&')"
+    )
     return (
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        f"{col}, '#.*', '', 'g'), 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$', '', 'g'), '[?&]$', '', 'g')"
+        f"(CASE WHEN strpos({u}, '?') = 0 THEN {u}"
+        f" WHEN length({joined}) > 0 THEN {base} || '?' || {joined}"
+        f" ELSE {base} END)"
     )
 
 

@@ -651,8 +651,19 @@ class Doc2Dataset:
         else:
             present = good.join(known, on="id", how="left_semi").localCheckpoint(eager=True)
             missing = good.join(known, on="id", how="left_anti")
+        # one payload per id per batch (store.update rejects intra-batch
+        # duplicates — equal (_seq, _tie) rows read back nondeterministic):
+        # keep the first by uri, surface the rest as error rows
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("id").orderBy(F.col("uri").asc_nulls_last())
+        ranked = present.withColumn("_rn", F.row_number().over(w))
+        present = ranked.where(F.col("_rn") == 1).drop("_rn")
+        dup_err = ranked.where(F.col("_rn") > 1).drop("_rn").withColumn(
+            "error", F.lit("duplicate document for id in one update batch")
+        )
         n = self.store.update(present.drop("error", "source_ids")) if present.take(1) else 0
         errors = resolved.where(F.col("error").isNotNull()).unionByName(
             missing.withColumn("error", F.lit("No such dataset in the database"))
-        )
+        ).unionByName(dup_err)
         return n, errors

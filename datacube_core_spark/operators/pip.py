@@ -353,24 +353,25 @@ class PipIndex:
             # one exploded pass: every page row emits its subcell id at
             # EVERY active level (|levels| ≤ MAX_LEVEL−MIN_LEVEL+1 = 7,
             # typically 1-3), then ONE broadcast equi-join per tier against
-            # the level-tagged union of the candidate tables
+            # the level-tagged union of the candidate tables.  Internal
+            # columns carry a __pip_ prefix so a pages table that already
+            # has a `level`/`sc_x` column can't collide (code-review r4).
+            LV, SX, SY = "__pip_level", "__pip_scx", "__pip_scy"
             elems = []
             for level in sorted(self.levels):
                 scx, scy = self._subcell_cols(lon, lat, level)
                 elems.append(
-                    F.struct(
-                        F.lit(level).alias("level"), scx.alias("sc_x"), scy.alias("sc_y")
-                    )
+                    F.struct(F.lit(level).alias(LV), scx.alias(SX), scy.alias(SY))
                 )
             sub_all = (
                 pages_df.select(*base_cols, lon, lat)
-                .withColumn("_s", F.explode(F.array(*elems)))
-                .select(*base_cols, lon, lat, "_s.level", "_s.sc_x", "_s.sc_y")
+                .withColumn("__pip_s", F.explode(F.array(*elems)))
+                .select(*base_cols, lon, lat, f"__pip_s.{LV}", f"__pip_s.{SX}", f"__pip_s.{SY}")
             )
 
             def tagged_union(pick: int) -> Optional[DataFrame]:
                 tables = [
-                    t[pick].withColumn("level", F.lit(level))
+                    t[pick].withColumn(LV, F.lit(level))
                     for level, t in sorted(self.levels.items())
                     if t[pick] is not None
                 ]
@@ -379,18 +380,20 @@ class PipIndex:
                 out = tables[0]
                 for t in tables[1:]:
                     out = out.unionByName(t)
-                return out.select("level", "sc_x", "sc_y", "region_id")
+                return out.select(
+                    LV, F.col("sc_x").alias(SX), F.col("sc_y").alias(SY), "region_id"
+                )
 
             full_union = tagged_union(0)
             bnd_union = tagged_union(1)
             if full_union is not None:
                 parts.append(
-                    sub_all.join(F.broadcast(full_union), on=["level", "sc_x", "sc_y"], how="inner")
+                    sub_all.join(F.broadcast(full_union), on=[LV, SX, SY], how="inner")
                     .select(*out_cols)
                 )
             if bnd_union is not None:
                 cand = sub_all.join(
-                    F.broadcast(bnd_union), on=["level", "sc_x", "sc_y"], how="inner"
+                    F.broadcast(bnd_union), on=[LV, SX, SY], how="inner"
                 ).select(*out_cols)
                 parts.append(self._refine(cand, lon, lat))
         else:

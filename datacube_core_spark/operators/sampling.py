@@ -97,11 +97,18 @@ def token_budget_sample_threshold(
     pos = F.floor(frac * n_buckets).cast("int")
     pos = F.least(pos, F.lit(n_buckets - 1))
     bucket = (F.lit(n_buckets - 1) - pos) if priority_desc else pos
+    # NULL priority sorts LAST in both plans (desc/asc = nulls last in
+    # the window order) → worst bucket here; its tokens contribute what
+    # F.sum contributes (nulls skipped), matching the exact plan
+    bucket = F.when(F.col(priority_col).isNull(), F.lit(n_buckets - 1)).otherwise(bucket)
     withb = withb.withColumn("_bkt", bucket).drop("_pmin", "_pmax")
 
     # pass 1: token mass per (group, bucket) — tiny result, driver decides
+    # (coalesce: a bucket holding only NULL-token rows has NULL sum)
     grid = (
-        withb.groupBy(*group_cols, "_bkt").agg(F.sum(token_col).alias("_mass")).collect()
+        withb.groupBy(*group_cols, "_bkt")
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("_mass"))
+        .collect()
     )
     per_group: dict = {}
     for r in grid:
@@ -201,8 +208,11 @@ def sql_hash_stratified_pred(rates: dict, key_col: str = "doc_id",
                              group_col: str = "lang", default_rate: float = 0.0) -> str:
     """DuckDB twin of :func:`hash_stratified_sample`'s predicate — the
     same pre-rounded INTEGER thresholds (see the comment there)."""
+    def _q(v) -> str:
+        return "'" + str(v).replace("'", "''") + "'"  # SQL-standard quote doubling
+
     cases = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {int(round(r * 1_000_000))}"
+        f"WHEN {group_col} = {_q(g)} THEN {int(round(r * 1_000_000))}"
         for g, r in sorted(rates.items())
     )
     thr = f"(CASE {cases} ELSE {int(round(float(default_rate) * 1_000_000))} END)"

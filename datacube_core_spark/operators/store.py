@@ -97,14 +97,24 @@ class DatasetStore:
             df = df.withColumn("_tie", F.coalesce(F.col("_tie"), F.lit("")))
         return df
 
-    def _append(self, df: DataFrame, op: str, archived_ts=None) -> None:
+    def _append(self, df: DataFrame, op: str, archived_ts=None, archived_col: Optional[str] = None) -> None:
+        """Single log-write path.  ``archived_col``: per-row archived
+        timestamps carried from a prior state (column is consumed);
+        otherwise the constant ``archived_ts`` applies to the batch."""
         seq = self._next_seq()
+        arch = (
+            F.col(archived_col).cast("timestamp")
+            if archived_col is not None
+            else F.lit(archived_ts).cast("timestamp")
+        )
         out = (
             df.withColumn("_seq", F.lit(seq))
             .withColumn("_tie", F.lit(self._tie))
             .withColumn("_op", F.lit(op))
-            .withColumn("_archived", F.lit(archived_ts).cast("timestamp"))
+            .withColumn("_archived", arch)
         )
+        if archived_col is not None:
+            out = out.drop(archived_col)
         out.write.mode("append").parquet(self.log_path)
 
     def _ids_df(self, ids: Iterable) -> DataFrame:
@@ -180,7 +190,21 @@ class DatasetStore:
     def add(self, df: DataFrame, skip_existing: bool = False) -> int:
         """Insert new datasets; re-adding an existing id raises (the
         reference logs-and-skips with ``add``'s duplicate check) unless
-        ``skip_existing``.  Returns rows added."""
+        ``skip_existing``.  Returns rows added.
+
+        Intra-batch duplicate ids collapse to ONE row (first by a
+        deterministic all-column sort): rows of one append share
+        (_seq, _tie), so two payloads for one id in a batch would read
+        back nondeterministically."""
+        dup = (
+            df.groupBy(self.id_col).agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1).limit(1).collect()
+        )
+        if dup:
+            w = Window.partitionBy(self.id_col).orderBy(
+                *[F.col(c).asc_nulls_last() for c in df.columns]
+            )
+            df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
         st = self._state()
         if st is not None:
             existing = st.where(F.col("_op") != "purge").select(self.id_col)
@@ -203,7 +227,13 @@ class DatasetStore:
         Archived state is PRESERVED: an update replaces the payload only;
         a dataset archived before the update stays archived (the
         reference keeps ``archived`` beside the doc — ``dataset update``
-        never clears it).  Un-archiving is ``restore``'s job."""
+        never clears it).  Un-archiving is ``restore``'s job.
+
+        Intra-batch duplicate ids are an error: every row of one append
+        shares (_seq, _tie), so two updates of the same id in one batch
+        would make last-writer-wins nondeterministic (the same reason
+        ProductCatalog.add_documents dedupes within-batch) — callers must
+        pick ONE payload per id per batch."""
         st = self._state()
         missing = None
         if st is None:
@@ -213,21 +243,25 @@ class DatasetStore:
             missing = df.join(existing, on=self.id_col, how="left_anti").limit(1).collect()
         if missing:
             raise ValueError(f"cannot update missing dataset: {missing[0][self.id_col]}")
+        dup = (
+            df.groupBy(self.id_col).agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate id in one update batch: {dup[0][self.id_col]} "
+                "(rows of one append share (_seq, _tie) — pick one payload per id)"
+            )
         n = df.count()
         if n:
             prev = st.where(F.col("_op") != "purge").select(
                 self.id_col, F.col("_archived").alias("_prev_archived")
             )
-            seq = self._next_seq()
-            out = (
-                df.join(prev, on=self.id_col, how="left")
-                .withColumn("_seq", F.lit(seq))
-                .withColumn("_tie", F.lit(self._tie))
-                .withColumn("_op", F.lit("update"))
-                .withColumn("_archived", F.col("_prev_archived").cast("timestamp"))
-                .drop("_prev_archived")
+            self._append(
+                df.join(prev, on=self.id_col, how="left"),
+                "update",
+                archived_col="_prev_archived",
             )
-            out.write.mode("append").parquet(self.log_path)
         return n
 
     def _payload_for(self, ids_df: DataFrame) -> DataFrame:

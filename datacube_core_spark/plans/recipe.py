@@ -441,7 +441,11 @@ class Catalog(Mapping):
     entries construct on lookup; ``transforms`` entries return a callable
     that grafts the transform onto a supplied input recipe."""
 
-    def __init__(self, name_resolver: NameResolver, contents: Mapping[str, Any]):
+    def __init__(self, name_resolver: NameResolver, contents):
+        if not isinstance(contents, Mapping):
+            raise VirtualProductError(
+                f"catalog document must be a mapping of products/transforms, got {type(contents).__name__}"
+            )
         self.name_resolver = name_resolver
         self.contents = contents
         common = set(self._names("products")) & set(self._names("transforms"))

@@ -580,3 +580,33 @@ def test_add_documents_intra_batch_duplicate_name(spark, tmp_path):
     assert n == 1
     got = {r.name: r.signature for r in cat.rules()}
     assert got == {"p": {"v": 2}}
+
+
+def test_update_dedupes_intra_batch_duplicates(spark, tmp_path):
+    """Two documents for the SAME id in one update batch: one wins
+    deterministically (first by uri), the other surfaces as an error row
+    (review-pass-2: equal (_seq, _tie) rows read back nondeterministic)."""
+    from datacube_core_spark.operators.doc2dataset import Doc2Dataset
+
+    store = DatasetStore(spark, str(tmp_path / "cat"), id_type="STRING")
+    d2d = Doc2Dataset(store, RULES)
+    base = spark.createDataFrame(
+        [(json.dumps(_doc("dup-1")), "file:///a.json")], "doc STRING, uri STRING"
+    )
+    n, errs = d2d.ingest(base)
+    assert n == 1
+
+    upd_docs = spark.createDataFrame(
+        [
+            (json.dumps(_doc("dup-1", lon0=30.0)), "file:///b1.json"),
+            (json.dumps(_doc("dup-1", lon0=40.0)), "file:///b2.json"),
+        ],
+        "doc STRING, uri STRING",
+    )
+    n, errs = d2d.update(upd_docs)
+    assert n == 1
+    err_rows = errs.collect()
+    assert len(err_rows) == 1 and "duplicate document" in err_rows[0]["error"]
+    # winner is the first by uri (b1 -> lon0=30)
+    cur = store.current().collect()[0]
+    assert cur["lon_min"] == 30.0

@@ -394,3 +394,31 @@ def test_knn_zero_candidate_query_emits_marker(spark):
     assert len(far) == 1
     assert not bool(far.exact.iloc[0])
     assert far.doc_id.isna().all() and far.dist_sq.isna().all()
+
+
+def test_pip_single_scan_tolerates_reserved_column_names(spark):
+    """Review-pass-2 finding: a pages table that already carries a
+    `level`/`sc_x` column must not collide with the single-scan plan's
+    internal join keys (now __pip_-prefixed)."""
+    from datacube_core_spark.operators.pip import PipIndex
+    from datacube_core_spark.sources.regions import regions_complex
+
+    shapes = sorted(regions_complex().items())[:2]
+    rows = [
+        (i, name, 0.0, 0.0, 0.0, 0.0, bytearray(pack_multipolygon(mp)))
+        for i, (name, mp) in enumerate(shapes)
+    ]
+    regs = spark.createDataFrame(
+        rows, "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY"
+    )
+    idx = PipIndex(spark, regs, GRID_PAGES)
+    p = (
+        pages(spark, SF_TINY)
+        .select("doc_id", "lon", "lat")
+        .withColumn("level", F.lit(7))      # adversarial passenger columns
+        .withColumn("sc_x", F.lit(-1))
+    )
+    out = idx.join(p, keep_cols=["doc_id", "level", "sc_x"], single_scan=True)
+    rows_out = out.collect()
+    assert len(rows_out) > 0
+    assert all(r["level"] == 7 and r["sc_x"] == -1 for r in rows_out)

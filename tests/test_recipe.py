@@ -346,3 +346,11 @@ transforms:
 
     with pytest.raises(VirtualProductError, match="common names"):
         Catalog(DEFAULT_RESOLVER, {"products": {"x": {}}, "transforms": {"x": {}}})
+
+
+def test_catalog_rejects_non_mapping_documents():
+    """Review-pass-2: empty/scalar YAML must raise the documented
+    VirtualProductError, not AttributeError."""
+    for body in ("", "null", "- just\n- a\n- list", "42"):
+        with pytest.raises(VirtualProductError, match="must be a mapping"):
+            catalog_from_yaml(body)

@@ -85,3 +85,17 @@ def test_constant_priority_degenerates_safely(spark):
     fast = token_budget_sample_threshold(df, 55)
     assert _keyset(exact) == _keyset(fast)
     assert exact.count() == 5  # 5 * 10 <= 55 < 6 * 10
+
+
+def test_threshold_plan_handles_null_tokens(spark):
+    """Review-pass-2 finding: NULL token/priority rows crashed the
+    threshold plan's driver loop; both plans must agree on them (nulls
+    sort last, contribute nothing to sums)."""
+    rows = [(i, "en", (i * 37) % 500 + 1) for i in range(400)]
+    rows += [(1000 + i, "en", None) for i in range(5)]       # null tokens
+    rows += [(2000 + i, "de", (i * 11) % 90 + 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, tokens LONG")
+    for budget in (1_000, 30_000, 10_000_000):
+        exact = token_budget_sample(df, budget)
+        fast = token_budget_sample_threshold(df, budget)
+        assert _keyset(exact) == _keyset(fast), f"budget={budget}"

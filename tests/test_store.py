@@ -199,3 +199,16 @@ def test_update_preserves_archived_state(spark, tmp_path):
     # restore is the only way back
     st.restore([1])
     assert sorted(r["id"] for r in st.current().collect()) == [1, 2]
+
+
+def test_intra_batch_duplicate_ids(spark, tmp_path):
+    """Rows of one append share (_seq, _tie): add() collapses intra-batch
+    duplicate ids deterministically; update() rejects them (review-pass-2:
+    an arbitrary winner under row_number would differ between reads)."""
+    st = DatasetStore(spark, str(tmp_path / "cat"))
+    df = _rows(spark, [(1, "a", T0, "final"), (1, "z", T0, "final"), (2, "b", T0, "final")])
+    assert st.add(df) == 2
+    got = {r["id"]: r["key"] for r in st.current().collect()}
+    assert got[2] == "b" and got[1] == "a"  # deterministic: first by all-column sort
+    with pytest.raises(ValueError, match="duplicate id in one update batch"):
+        st.update(_rows(spark, [(1, "x", T0, "final"), (1, "y", T0, "final")]))

@@ -103,3 +103,28 @@ def test_sql_twins_match_spark_on_adversarial_urls(spark):
         ).fetchone()
         exp.append(tuple(row))
     assert got == exp
+
+
+def test_utm_stripping_is_param_anchored(spark):
+    """Review-pass-2 finding: 'utm_' inside a param VALUE or a non-utm
+    NAME must survive; consecutive utm params must all go (the old
+    substring regex failed both)."""
+    import duckdb
+
+    from datacube_core_spark.functions.url import sql_canonical_url
+
+    cases = {
+        "https://site.com/?q=utm_test&page=2": "https://site.com/?q=utm_test&page=2",
+        "https://site.com/?xutm_a=1&b=2": "https://site.com/?xutm_a=1&b=2",
+        "https://a.com/p?utm_a=1&utm_b=2&utm_c=3&k=v": "https://a.com/p?k=v",
+        "https://a.com/p?utm_a=1&k=v&utm_b=2": "https://a.com/p?k=v",
+        "https://a.com/p?": "https://a.com/p",
+        "https://a.com/p?k=v&": "https://a.com/p?k=v",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+    # DuckDB twin agrees on every case
+    con = duckdb.connect()
+    for u, want in cases.items():
+        row = con.execute(f"SELECT {sql_canonical_url('u')} FROM (SELECT ? AS u)", [u]).fetchone()
+        assert row[0] == want, (u, row[0])

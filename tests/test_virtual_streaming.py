@@ -309,9 +309,6 @@ def test_streaming_content_dedup_matches_batch_keep_set(spark, tmp_path):
 
     t0 = "2024-01-01 00:00:00"
 
-    def ev(doc_id, url, ts_off_h, text):
-        return (doc_id, url, F.lit(t0).cast("timestamp"), ts_off_h, text)
-
     # (doc_id, url, hours-after-t0, text): texts A/B repeat (same
     # fingerprint), pushers P/Q are unique and advance the watermark
     timeline = [
@@ -329,11 +326,8 @@ def test_streaming_content_dedup_matches_batch_keep_set(spark, tmp_path):
     ]
     src = tmp_path / "contract_src"
     src.mkdir()
-    rows = []
-    for doc_id, url, off_h, text in timeline:
-        rows.append((doc_id, url, off_h, text))
     schema = "doc_id LONG, url STRING, off_h INT, text STRING"
-    for i, row in enumerate(rows):
+    for row in timeline:
         one = (
             spark.createDataFrame([row], schema)
             .select(
