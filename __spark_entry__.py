@@ -947,6 +947,35 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the classic web-log operator): per-user
+    events in time order start a NEW session when the gap from the
+    previous event exceeds 30 minutes; session id = the user's running
+    count of session starts.  Output is per-session stats.  Two windows
+    keyed on user_id (lag + running sum) — per-user work stays parallel;
+    exactly the plan a 100-TB clickstream job runs before aggregation."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # parquet ts is NTZ  # noqa: E731
+    gap = ms(F.col("ts")) - ms(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    sessioned = e.withColumn(
+        "session_n",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_n")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -995,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "domain_stats": q_domain_stats,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1572,6 +1602,28 @@ SELECT {sql_domain('url')} AS domain,
        SUM(tokens) AS total_tokens,
        MIN(doc_id) AS first_doc
 FROM m GROUP BY 1
+"""
+
+    sqls["sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM g
+)
+SELECT user_id, session_n,
+       COUNT(*) AS n_events,
+       MIN(ts) AS start_ts,
+       MAX(ts) AS end_ts,
+       MIN(event_id) AS first_event
+FROM s GROUP BY 1, 2
 """
 
     return sqls
