@@ -42,6 +42,14 @@ Jobs:
                 event history per --ids id
   system-check  `datacube system check` analog: store health — dataset/
                 product/archived counts + orphan lineage edges
+  metadata-add / metadata-list / metadata-show
+                `datacube metadata add/list/show` analogs: register
+                MetadataType documents (search_fields validated at add
+                time) in the --store catalog
+  search-docs   search a RAW-JSON document table (--docs parquet with a
+                `doc` column) with a registered metadata type's search
+                fields (--metadata-type) and the CLI expression grammar
+                (--expr) — no re-ingest
 """
 
 from __future__ import annotations
@@ -63,6 +71,7 @@ def main(argv=None) -> int:
             "dataset-archive", "dataset-restore", "dataset-purge",
             "product-list", "product-show",
             "update-docs", "dataset-info", "system-check",
+            "metadata-add", "metadata-list", "metadata-show", "search-docs",
         ],
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -78,6 +87,7 @@ def main(argv=None) -> int:
     ap.add_argument("--limit", type=int, default=20, help="search: max rows printed")
     ap.add_argument("--ids", default="", help="dataset-archive/restore/purge: comma-separated dataset ids")
     ap.add_argument("--product", default=None, help="product-show: product name")
+    ap.add_argument("--metadata-type", default=None, help="metadata-show/search-docs: type name")
     ap.add_argument("--force", action="store_true",
                     help="dataset-purge: also purge non-archived datasets (reference --force)")
     args = ap.parse_args(argv)
@@ -321,6 +331,66 @@ def main(argv=None) -> int:
             report["lineage_edges"] = report["orphan_edges"] = 0
         print(json.dumps(report))
         n = report["datasets"]
+    elif args.job == "metadata-add":
+        # reference datacube/scripts/metadata.py add
+        import yaml as _yaml
+
+        from .operators.metadata import MetadataTypeCatalog
+
+        if not args.docs:
+            raise SystemExit("--docs is required for metadata-add")
+        raw_txt = open(args.docs).read()
+        if args.docs.endswith((".yaml", ".yml")):
+            defs = [d for d in _yaml.safe_load_all(raw_txt) if d]
+        else:
+            parsed = json.loads(raw_txt)
+            defs = parsed if isinstance(parsed, list) else [parsed]
+        n = MetadataTypeCatalog(spark, args.store).add_documents(defs)
+        print(json.dumps({"metadata_types_added": n, "store": args.store}))
+    elif args.job == "metadata-list":
+        from .operators.metadata import MetadataTypeCatalog
+
+        cat = MetadataTypeCatalog(spark, args.store)
+        names = cat.names()
+        for nm in names:
+            d = cat.get(nm) or {}
+            print(json.dumps({
+                "name": nm,
+                "description": d.get("description"),
+                "search_fields": sorted(((d.get("dataset") or {}).get("search_fields") or {})),
+            }))
+        n = len(names)
+    elif args.job == "metadata-show":
+        from .operators.metadata import MetadataTypeCatalog
+
+        if not args.metadata_type:
+            raise SystemExit("--metadata-type is required for metadata-show")
+        doc = MetadataTypeCatalog(spark, args.store).get(args.metadata_type)
+        if doc is None:
+            raise SystemExit(f'"{args.metadata_type}" is not a valid MetadataType name')
+        print(json.dumps(doc, indent=2, sort_keys=True))
+        n = 1
+    elif args.job == "search-docs":
+        # the no-reingest search loop: metadata type's search_fields +
+        # CLI expression grammar over a raw-JSON document table
+        from .operators.metadata import MetadataTypeCatalog
+        from .plans.expression import parse_expressions
+        from .plans.fields import search_raw_docs
+
+        if not args.docs:
+            raise SystemExit("--docs (raw-docs parquet with a `doc` column) is required")
+        if not args.metadata_type:
+            raise SystemExit("--metadata-type is required for search-docs")
+        specs = MetadataTypeCatalog(spark, args.store).search_fields(args.metadata_type)
+        query = parse_expressions(args.expr) if args.expr.strip() else {}
+        docs_df = spark.read.parquet(args.docs)
+        hits = search_raw_docs(docs_df, specs, **query)
+        rows = hits.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        n = len(rows)
+        print(json.dumps({"matched_shown": n, "expr": args.expr,
+                          "metadata_type": args.metadata_type}))
     elif args.job in ("dataset-archive", "dataset-restore", "dataset-purge"):
         # reference datacube/scripts/dataset.py archive/restore/purge
         from .operators.store import DatasetStore
