@@ -155,3 +155,65 @@ def streaming_cell_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stateful gap-based sessionization — the streaming twin of the
+    batch ``sessionize`` window plan (entry ``q_sessionize``): per user,
+    an event starts a NEW session when its gap from the user's previous
+    event exceeds ``gap_minutes``.  Emits one row per event
+    ``(user_id, event_id, ts, session_n)``.
+
+    State per user = (session_n, last_us) — two longs, O(|users|) total.
+    Batch-equivalence contract (tested): when events arrive in event-time
+    order (per-user batch-monotone), the streaming session assignment is
+    row-identical to the batch window plan.  Out-of-order arrivals beyond
+    the watermark are the usual streaming caveat — the watermark bounds
+    state only; true late data needs the batch backfill path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts")
+    )
+
+    out_schema = "user_id LONG, event_id LONG, ts TIMESTAMP, session_n LONG"
+    state_schema = "session_n LONG, last_us LONG"
+
+    def update(key, pdfs, state: GroupState):
+        session_n, last_us = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            out_sess = []
+            for t in ts_us:
+                if last_us is None or t - last_us > gap_us:
+                    session_n += 1
+                out_sess.append(session_n)
+                last_us = int(t)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "session_n": out_sess,
+                }
+            )
+        state.update((session_n, last_us))
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -391,3 +391,66 @@ def test_streaming_content_dedup(spark, tmp_path):
     assert got == exp, "one survivor per distinct content"
     # schema untouched (helper column dropped)
     assert spark.table("cdedup_t").columns == p.columns
+
+
+def test_streaming_sessionize_matches_batch_window(spark, tmp_path):
+    """Streaming twin of the batch sessionize window plan: fed in
+    event-time order (two files -> two micro-batches, sessions crossing
+    the batch boundary), the per-event session assignment must be
+    row-identical to the batch lag+running-sum windows."""
+    import datetime as _dt
+
+    from datacube_core_spark.streaming.jobs import streaming_sessionize
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes):
+        return (eid, uid, t0 + _dt.timedelta(minutes=minutes))
+
+    # user 1: session A (0, 10min), session B (60, 65) split across batches
+    # user 2: one long session crossing the batch boundary (20, 40)
+    batch1 = [ev(1, 1, 0), ev(2, 1, 10), ev(10, 2, 20)]
+    batch2 = [ev(3, 1, 60), ev(4, 1, 65), ev(11, 2, 40), ev(12, 2, 200)]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    import time as _time
+
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    for batch in (batch1, batch2):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(0.2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sess_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_n"]
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+
+    # batch oracle: the same lag + running-sum construction
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(str(src))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
+    gap = ms(F.col("ts")) - ms(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    batch = e.withColumn(
+        "session_n",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    exp = {(r["user_id"], r["event_id"]): r["session_n"] for r in batch.collect()}
+    assert got == exp
+    # the boundary-crossing session did NOT restart: user 2's events 10+11
+    # share a session, its later event 12 starts a new one
+    assert got[(2, 10)] == got[(2, 11)]
+    assert got[(2, 12)] == got[(2, 11)] + 1
