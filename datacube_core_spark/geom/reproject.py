@@ -127,14 +127,13 @@ def _apply_affine_pts(a: Affine, xy: np.ndarray) -> np.ndarray:
 
 
 def get_scale_from_linear_transform(a: Affine):
-    """(sx, sy) scale components via the R·W·S decomposition (reference
-    ``tools.py:244-335``): with M = R W S and RᵀR = I, MᵀM = (WS)ᵀ(WS)
-    and WS is upper-triangular — its diagonal (the Cholesky factor's) is
-    the scale."""
-    m = np.array([[a.a, a.b], [a.d, a.e]], dtype=np.float64)
-    mtm = m.T @ m
-    u = np.linalg.cholesky(mtm).T  # upper-triangular factor
-    return abs(float(u[0, 0])), abs(float(u[1, 1]))
+    """(sx, sy) scale components via the R·W·S decomposition — delegates
+    to :mod:`..geom.affinetools` (the full decomposition lives there;
+    the |Cholesky-diagonal| shortcut this module used is the same values,
+    kept as one implementation to avoid drift)."""
+    from .affinetools import get_scale_from_linear_transform as _impl
+
+    return _impl(a)
 
 
 def _pix_point_transforms(src: GeoBox, dst: GeoBox):

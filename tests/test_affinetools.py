@@ -117,3 +117,34 @@ def test_get_scale_at_point_mercator_analytic():
         exp_y = R * math.pi / 180.0 / math.cos(math.radians(lat))
         assert sx == pytest.approx(exp_x, rel=1e-4)
         assert sy == pytest.approx(exp_y, rel=1e-3)
+
+
+def test_local_back_scale_agrees_with_get_scale_at_point():
+    """reproject._local_back_scale (cheap 3-point finite difference used
+    inside compute_reproject_roi) must agree with the full five-point
+    LSQ linearization on a smooth cross-CRS pixel map."""
+    from datacube_core_spark.geom.grid import GeoBox
+    from datacube_core_spark.geom.reproject import (
+        _local_back_scale,
+        _pix_point_transforms,
+    )
+
+    src = GeoBox(
+        200, 200, Affine.translation(0.0, 20.0) * Affine.scale(0.1, -0.1), "EPSG:4326"
+    )
+    dst = GeoBox(
+        220, 230,
+        Affine.translation(0.0, 2_300_000.0) * Affine.scale(10_000.0, -10_000.0),
+        "EPSG:3857",
+    )
+    back, _fwd = _pix_point_transforms(src, dst)
+    center = np.array([dst.width / 2.0, dst.height / 2.0])
+    sx_fd, sy_fd = _local_back_scale(back, center)
+
+    def tr(pts):
+        out = back(np.asarray(pts, dtype=np.float64))
+        return [tuple(p) for p in out]
+
+    sx_ls, sy_ls = get_scale_at_point(tuple(center), tr, r=0.5)
+    assert sx_fd == pytest.approx(sx_ls, rel=1e-3)
+    assert sy_fd == pytest.approx(sy_ls, rel=1e-3)
