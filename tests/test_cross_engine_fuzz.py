@@ -1,0 +1,166 @@
+"""Seeded cross-engine fuzz: Spark expressions vs their DuckDB twins on
+RANDOM inputs — a wider net than the deterministic entry corpus (both
+r4 review passes found divergences only adversarial inputs expose; this
+locks the twin contract over a broad sample).  Seeded RNG → reproducible;
+one Spark job per operator family."""
+
+import random
+import string
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SEED = 0xDC5
+
+
+def _rng():
+    return random.Random(SEED)
+
+
+def _random_urls(n=250):
+    r = _rng()
+    schemes = ["http://", "https://"]
+    hosts = ["Site.COM", "www.ex-ample.org", "WWW.Sub.Host.net", "a.b.c.d.io", "plain.co"]
+    paths = ["", "/", "/P/Q", "/deep/Path/", "/p%20x", "/ünïcode"]
+    params = ["", "k=v", "utm_source=x", "q=utm_test", "xutm=1", "utm_a=1&utm_b=2",
+              "a=1&utm_m=2&b=3", "utm_x=1&utm_y=2&utm_z=3", "k=v&", "&k=v"]
+    frags = ["", "#f", "#utm_x=1", "#a&b"]
+    out = []
+    for _ in range(n):
+        q = r.choice(params)
+        url = (
+            r.choice(schemes) + r.choice(hosts) + r.choice(paths)
+            + ("?" + q if q or r.random() < 0.2 else "")
+            + r.choice(frags)
+        )
+        out.append(url)
+    return out
+
+
+def _random_texts(n=250):
+    r = _rng()
+    words = ["alpha", "beta", "x", "the", "öl", "naïve", "data", "42", "a-b", "c.d"]
+    piis = [
+        "user@ex.com", "a.b+c@d-e.co.uk", "+1 (555) 123-4567", "555.123.4567",
+        "192.168.0.1", "10.0.255.254", "no-pii-here", "999.999.999.999",
+        "call 12 34 56 78 90", "x@y", "@", "1.2.3", "utm_x@z.org",
+    ]
+    out = []
+    for _ in range(n):
+        k = r.randint(1, 12)
+        toks = [r.choice(words) for _ in range(k)]
+        if r.random() < 0.6:
+            toks.insert(r.randint(0, len(toks)), r.choice(piis))
+        out.append(" ".join(toks))
+    return out
+
+
+def _spark_vs_duck(spark, values, spark_cols, duck_exprs):
+    """Run both engines over the same single-column input; compare row-wise."""
+    df = spark.createDataFrame([(v,) for v in values], "v STRING")
+    got = [tuple(r) for r in df.select(*spark_cols).collect()]
+    con = duckdb.connect()
+    exp = []
+    for v in values:
+        row = con.execute(
+            "SELECT " + ", ".join(duck_exprs) + " FROM (SELECT ? AS v)", [v]
+        ).fetchone()
+        exp.append(tuple(row))
+    mism = [(v, g, e) for v, g, e in zip(values, got, exp) if g != e]
+    assert not mism, f"{len(mism)} cross-engine mismatches; first: {mism[0]}"
+
+
+def test_url_twins_fuzz(spark):
+    from datacube_core_spark.functions.url import (
+        canonical_url_col,
+        domain_col,
+        host_col,
+        sql_canonical_url,
+        sql_domain,
+        sql_host,
+    )
+
+    _spark_vs_duck(
+        spark,
+        _random_urls(),
+        [
+            canonical_url_col(F.col("v")).alias("c"),
+            host_col(F.col("v")).alias("h"),
+            domain_col(F.col("v")).alias("d"),
+        ],
+        [sql_canonical_url("v"), sql_host("v"), sql_domain("v")],
+    )
+
+
+def test_pii_twins_fuzz(spark):
+    from datacube_core_spark.functions.pii import (
+        email_count_col,
+        ip_count_col,
+        phone_count_col,
+        scrub_pii_col,
+        sql_email_count,
+        sql_ip_count,
+        sql_phone_count,
+        sql_scrub_pii,
+    )
+
+    _spark_vs_duck(
+        spark,
+        _random_texts(),
+        [
+            scrub_pii_col(F.col("v")).alias("s"),
+            email_count_col(F.col("v")).cast("long").alias("e"),
+            phone_count_col(F.col("v")).cast("long").alias("p"),
+            ip_count_col(F.col("v")).cast("long").alias("i"),
+        ],
+        [
+            sql_scrub_pii("v"),
+            f"CAST({sql_email_count('v')} AS BIGINT)",
+            f"CAST({sql_phone_count('v')} AS BIGINT)",
+            f"CAST({sql_ip_count('v')} AS BIGINT)",
+        ],
+    )
+
+
+def test_text_fingerprint_twins_fuzz(spark):
+    from datacube_core_spark.functions.text import (
+        bpe_token_count_col,
+        fingerprint_col,
+        rolling_fingerprint_col,
+        sql_bpe_token_count,
+        sql_fingerprint,
+        sql_rolling_fingerprint,
+        sql_token_count,
+        token_count_col,
+    )
+
+    _spark_vs_duck(
+        spark,
+        _random_texts(),
+        [
+            fingerprint_col(F.col("v")).alias("fp"),
+            token_count_col(F.col("v")).cast("long").alias("tc"),
+            bpe_token_count_col(F.col("v")).cast("long").alias("bc"),
+            rolling_fingerprint_col(F.col("v")).alias("rf"),
+        ],
+        [
+            sql_fingerprint("v"),
+            f"CAST({sql_token_count('v')} AS BIGINT)",
+            f"CAST({sql_bpe_token_count('v')} AS BIGINT)",
+            sql_rolling_fingerprint("v"),
+        ],
+    )
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    from datacube_core_spark.functions.url import canonical_url_col
+
+    urls = _random_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "v STRING")
+    out = df.select(
+        canonical_url_col(F.col("v")).alias("c1"),
+        canonical_url_col(canonical_url_col(F.col("v"))).alias("c2"),
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, f"canonicalization not idempotent: {bad[:3]}"
