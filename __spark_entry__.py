@@ -976,6 +976,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl dedup (the core Common-Crawl url-collapse): multiple
+    crawls of the same page under messy url variants collapse onto the
+    CANONICAL url; the LATEST crawl wins (warc_ts desc, crawl_id asc
+    tie).  Window keyed on the canonical url — per-url work stays
+    parallel; the canonicalization itself is the url_canon Catalyst
+    chain, so dedup correctness inherits its twin contract."""
+    from datacube_core_spark.functions.url import canonical_url_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base_ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    # crawl 0: canonical-ish; crawl 1 (every 3rd doc): www + http + utm
+    # variant of the SAME page, 7 days later; crawl 2 (every 9th): utm-only
+    # variant, 3 days later
+    def crawl(src, rep, url_prefix, url_suffix, days):
+        nn = (F.col("doc_id") % 97).cast("string")
+        return src.select(
+            (F.col("doc_id") * 10 + rep).alias("crawl_id"),
+            F.concat(
+                F.lit(url_prefix), F.lit("site"), nn, F.lit(".example/p"),
+                F.col("doc_id").cast("string"), F.lit(url_suffix),
+            ).alias("url"),
+            (base_ts + F.make_interval(days=F.lit(days))).alias("warc_ts"),
+        )
+
+    crawls = (
+        crawl(d, 0, "https://", "", 0)
+        .unionByName(crawl(d.where(F.col("doc_id") % 3 == 0), 1, "http://www.", "?utm_source=x", 7))
+        .unionByName(crawl(d.where(F.col("doc_id") % 9 == 0), 2, "https://", "?utm_m=2", 3))
+    )
+    from pyspark.sql import Window
+
+    canon = crawls.withColumn("canon_url", canonical_url_col(F.col("url")))
+    w = Window.partitionBy("canon_url").orderBy(F.col("warc_ts").desc(), F.col("crawl_id").asc())
+    kept = canon.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return kept.select("canon_url", "crawl_id", "warc_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_count": q_tile_count,
@@ -1025,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
+        "recrawl_dedup": q_recrawl_dedup,
     }
 
 
@@ -1602,6 +1641,17 @@ SELECT {sql_domain('url')} AS domain,
        SUM(tokens) AS total_tokens,
        MIN(doc_id) AS first_doc
 FROM m GROUP BY 1
+"""
+
+    # recrawl_dedup: every doc's canonical url group resolves to the
+    # LATEST crawl — the day-7 utm/www variant for doc_id%3=0 (the day-3
+    # variant for %9 never wins because 9|id implies 3|id), else crawl 0
+    sqls["recrawl_dedup"] = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS canon_url,
+       CASE WHEN doc_id % 3 = 0 THEN doc_id * 10 + 1 ELSE doc_id * 10 END AS crawl_id,
+       TIMESTAMP '2024-01-01 00:00:00'
+         + (CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 0 END) * INTERVAL 1 DAY AS warc_ts
+FROM documents
 """
 
     sqls["sessionize"] = """
