@@ -351,15 +351,15 @@ def main(argv=None) -> int:
         from .operators.metadata import MetadataTypeCatalog
 
         cat = MetadataTypeCatalog(spark, args.store)
-        names = cat.names()
-        for nm in names:
-            d = cat.get(nm) or {}
+        docs_by_name = cat.documents()  # ONE event-log resolve for the listing
+        for nm in sorted(docs_by_name):
+            d = docs_by_name[nm]
             print(json.dumps({
                 "name": nm,
                 "description": d.get("description"),
                 "search_fields": sorted(((d.get("dataset") or {}).get("search_fields") or {})),
             }))
-        n = len(names)
+        n = len(docs_by_name)
     elif args.job == "metadata-show":
         from .operators.metadata import MetadataTypeCatalog
 

@@ -279,23 +279,13 @@ class ProductCatalog:
         # dedupe WITHIN the batch (last definition wins): duplicate names
         # in one append would share (_seq, _tie) and make last-writer-wins
         # resolution nondeterministic
+        from .store import add_named_documents
+
         by_name: Dict[str, str] = {}
         for d in docs:
             rule = product_from_doc(d)  # validates
             by_name[rule.name] = json.dumps(dict(d), sort_keys=True)
-        rows = sorted(by_name.items())
-        df = self.spark.createDataFrame(rows, "name STRING, definition STRING")
-        if update_existing:
-            try:
-                known = {r["name"] for r in self.store.current(include_archived=True).select("name").collect()}
-            except ValueError:
-                known = set()
-            to_update = df.where(F.col("name").isin(list(known))) if known else None
-            n = self.store.add(df, skip_existing=True)
-            if to_update is not None and known:
-                n += self.store.update(to_update)
-            return n
-        return self.store.add(df, skip_existing=True)
+        return add_named_documents(self.spark, self.store, by_name, update_existing)
 
     def rules(
         self,

@@ -28,6 +28,10 @@ from ..plans.fields import parse_fields
 
 
 def _validate_metadata_doc(doc: Mapping[str, Any]) -> str:
+    if not isinstance(doc, Mapping):
+        raise ValueError(
+            f"metadata type document must be a mapping, got {type(doc).__name__}"
+        )
     name = doc.get("name")
     if not name:
         raise ValueError("metadata type definition must have a name")
@@ -50,32 +54,25 @@ class MetadataTypeCatalog:
         )
 
     def add_documents(self, docs: Sequence[Mapping[str, Any]], update_existing: bool = False) -> int:
+        from .store import add_named_documents
+
         by_name: Dict[str, str] = {}
         for d in docs:
             name = _validate_metadata_doc(d)
             by_name[name] = json.dumps(dict(d), sort_keys=True)
-        rows = sorted(by_name.items())
-        df = self.spark.createDataFrame(rows, "name STRING, definition STRING")
-        if update_existing:
-            try:
-                known = {
-                    r["name"]
-                    for r in self.store.current(include_archived=True).select("name").collect()
-                }
-            except ValueError:
-                known = set()
-            to_update = df.where(F.col("name").isin(list(known))) if known else None
-            n = self.store.add(df, skip_existing=True)
-            if to_update is not None and known:
-                n += self.store.update(to_update)
-            return n
-        return self.store.add(df, skip_existing=True)
+        return add_named_documents(self.spark, self.store, by_name, update_existing)
 
     def names(self) -> List[str]:
+        return sorted(self.documents())
+
+    def documents(self) -> Dict[str, Dict[str, Any]]:
+        """All registered type documents in ONE state resolve (listing N
+        types must not pay N+1 event-log scans)."""
         try:
-            return sorted(r["name"] for r in self.store.current().collect())
+            rows = self.store.current().select("name", "definition").collect()
         except ValueError:
-            return []
+            return {}
+        return {r["name"]: json.loads(r["definition"]) for r in rows}
 
     def get(self, name: str) -> Optional[Dict[str, Any]]:
         try:

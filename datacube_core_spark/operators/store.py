@@ -370,3 +370,26 @@ class DatasetStore:
         if not ids:
             return 0
         return self.archive(ids)
+
+
+def add_named_documents(spark, store: "DatasetStore", docs_by_name, update_existing: bool = False) -> int:
+    """Shared registry-append helper for the name-keyed catalogs
+    (ProductCatalog / MetadataTypeCatalog): one implementation of the
+    within-batch last-definition-wins dedupe + optional update-existing
+    path (the ``datacube product update`` analog).  ``docs_by_name``:
+    {name: serialized definition} — validation happens in the caller."""
+    rows = sorted(docs_by_name.items())
+    df = spark.createDataFrame(rows, f"{store.id_col} STRING, definition STRING")
+    if not update_existing:
+        return store.add(df, skip_existing=True)
+    try:
+        known = {
+            r[store.id_col]
+            for r in store.current(include_archived=True).select(store.id_col).collect()
+        }
+    except ValueError:
+        known = set()
+    n = store.add(df, skip_existing=True)
+    if known:
+        n += store.update(df.where(F.col(store.id_col).isin(list(known))))
+    return n

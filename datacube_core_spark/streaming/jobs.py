@@ -166,15 +166,24 @@ def streaming_sessionize(
     batch ``sessionize`` window plan (entry ``q_sessionize``): per user,
     an event starts a NEW session when its gap from the user's previous
     event exceeds ``gap_minutes``.  Emits one row per event
-    ``(user_id, event_id, ts, session_n)``.
+    ``(user_id, event_id, ts, session_start)``.
 
-    State per user = (session_n, last_us) — two longs, O(|users|) total.
+    The session id is the session's START TIMESTAMP, not a per-user
+    counter: a counter would have to live forever (evicting it renumbers
+    later sessions), while the start-time id lets idle-user state expire
+    LOSSLESSLY — once a user has been idle longer than the gap, any
+    future event starts a fresh session whose id is its own timestamp,
+    identical with or without the old state.  State per user =
+    (sess_start_us, last_us), expired via EventTimeTimeout at
+    last event + gap, so state size tracks ACTIVE users only (review
+    pass 3: NoTimeout grew state without bound and the docstring
+    mis-credited the watermark for bounding it — the watermark's actual
+    job here is dropping late events).
+
     Batch-equivalence contract (tested): when events arrive in event-time
-    order (per-user batch-monotone), the streaming session assignment is
-    row-identical to the batch window plan.  Out-of-order arrivals beyond
-    the watermark are the usual streaming caveat — the watermark bounds
-    state only; true late data needs the batch backfill path.
-    """
+    order (per-user batch-monotone), the streaming assignment is
+    row-identical to the batch window plan.  True late data (older than
+    the watermark) needs the batch backfill path."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -184,36 +193,47 @@ def streaming_sessionize(
         .select("user_id", "event_id", "ts")
     )
 
-    out_schema = "user_id LONG, event_id LONG, ts TIMESTAMP, session_n LONG"
-    state_schema = "session_n LONG, last_us LONG"
+    out_schema = "user_id LONG, event_id LONG, ts TIMESTAMP, session_start TIMESTAMP"
+    state_schema = "sess_start_us LONG, last_us LONG"
 
     def update(key, pdfs, state: GroupState):
-        session_n, last_us = state.get if state.exists else (0, None)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        if state.hasTimedOut:
+            # idle past the gap: any future event starts a new session
+            # regardless — dropping the state cannot change assignments
+            state.remove()
+            return
+        sess_start_us, last_us = state.get if state.exists else (None, None)
+        # ONE sort over the whole micro-batch group: a group larger than
+        # the Arrow batch size arrives as multiple chunks whose relative
+        # order is not guaranteed (review pass 3) — sorting per chunk
+        # while carrying last_us across chunks could mis-sessionize
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            out_sess = []
+            starts = []
             for t in ts_us:
+                t = int(t)
                 if last_us is None or t - last_us > gap_us:
-                    session_n += 1
-                out_sess.append(session_n)
-                last_us = int(t)
+                    sess_start_us = t
+                starts.append(sess_start_us)
+                last_us = t
             yield pd.DataFrame(
                 {
                     "user_id": pdf["user_id"].to_numpy(),
                     "event_id": pdf["event_id"].to_numpy(),
                     "ts": pdf["ts"].to_numpy(),
-                    "session_n": out_sess,
+                    "session_start": pd.to_datetime(pd.Series(starts), unit="us"),
                 }
             )
-        state.update((session_n, last_us))
+        if last_us is not None:
+            state.update((sess_start_us, last_us))
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms
 
     return keyed.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -5,10 +5,8 @@ locks the twin contract over a broad sample).  Seeded RNG → reproducible;
 one Spark job per operator family."""
 
 import random
-import string
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 SEED = 0xDC5

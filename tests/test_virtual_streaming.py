@@ -432,11 +432,12 @@ def test_streaming_sessionize_matches_batch_window(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r["user_id"], r["event_id"]): r["session_n"]
+        (r["user_id"], r["event_id"]): r["session_start"]
         for r in spark.sql("SELECT * FROM sess_t").collect()
     }
 
-    # batch oracle: the same lag + running-sum construction
+    # batch oracle: session id = MIN ts of the session (the eviction-safe
+    # id the streaming op emits), derived from the lag+running-sum windows
     from pyspark.sql import Window
 
     e = spark.read.parquet(str(src))
@@ -447,10 +448,13 @@ def test_streaming_sessionize_matches_batch_window(spark, tmp_path):
     batch = e.withColumn(
         "session_n",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn(
+        "session_start",
+        F.min("ts").over(Window.partitionBy("user_id", "session_n")),
     )
-    exp = {(r["user_id"], r["event_id"]): r["session_n"] for r in batch.collect()}
+    exp = {(r["user_id"], r["event_id"]): r["session_start"] for r in batch.collect()}
     assert got == exp
     # the boundary-crossing session did NOT restart: user 2's events 10+11
-    # share a session, its later event 12 starts a new one
+    # share a session id, its later event 12 starts a new one
     assert got[(2, 10)] == got[(2, 11)]
-    assert got[(2, 12)] == got[(2, 11)] + 1
+    assert got[(2, 12)] > got[(2, 11)]
