@@ -143,9 +143,17 @@ def knn_join(
         batch = topk.join(resolved_side, on="qid", how="inner")
         if empty_marks is not None:
             batch = batch.unionByName(empty_marks)
+        # CHECKPOINT each round's outputs (measured, PERF.md §15): without
+        # it, round k's pending is an anti-join CHAIN of depth k over the
+        # ring-join, and the per-round emptiness probe + the final action
+        # recompute every prior round's join — O(R²) heavy joins; a 100k-
+        # query bulk run took 505 s where the checkpointed loop takes ~9 s.
+        # Eager checkpoint = one materialization per round, after which the
+        # probe reads cached rows and the final union is recompute-free.
+        batch = batch.localCheckpoint(eager=True)
         results = batch if results is None else results.unionByName(batch)
 
-        pending = pending.join(resolved_side, on="qid", how="left_anti")
+        pending = pending.join(resolved_side, on="qid", how="left_anti").localCheckpoint(eager=True)
         if exhausted or len(pending.take(1)) == 0:
             break
         r *= 2

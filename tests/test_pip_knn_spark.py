@@ -91,22 +91,12 @@ def test_knn_bulk_shuffle_mode_matches_broadcast(spark, pages_pdf):
     sb = {(r["qid"], r["rank"]): (r["doc_id"], r["dist_sq"]) for r in b.collect()}
     assert sa == sb
 
-    # plan shape: shuffle mode must carry NO explicit broadcast hint on
-    # the candidate side — at test scale AQE legitimately re-picks a
-    # broadcast join for the tiny inputs (that is the point of AQE), but
-    # at 100-TB bulk scale the un-hinted join degrades gracefully to
-    # shuffle; a hard-coded hint would force an OOM-sized broadcast.
-    logical_b = b._jdf.queryExecution().optimizedPlan().toString()
-    logical_a = a._jdf.queryExecution().optimizedPlan().toString()
-    # broadcast hints render as left/rightHint=(strategy=broadcast) in the
-    # optimized plan; broadcast mode carries hints on BOTH the ring cross
-    # and the candidate join, shuffle mode ONLY on the constant ring table
-    assert logical_a.count("strategy=broadcast") > logical_b.count("strategy=broadcast"), (
-        f"a={logical_a.count('strategy=broadcast')} b={logical_b.count('strategy=broadcast')}"
-    )
-    assert logical_b.count("strategy=broadcast") >= 1  # the bounded ring table
-    plan_a = a._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan_a  # broadcast mode keeps the hint
+    # Plan-shape note: the per-round localCheckpoint (PERF.md §15 —
+    # kills the O(R²) anti-join-chain recompute) truncates the returned
+    # lineage to LogicalRDDs, so hint placement can no longer be read
+    # from the final plan string.  The broadcast-hint contract (ring
+    # table only in shuffle mode) is asserted at the CALL SITE by
+    # test_knn_shuffle_mode_hints_only_ring_table below.
 
 
 def test_knn_shuffle_mode_hints_only_ring_table(spark, monkeypatch):
