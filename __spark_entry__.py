@@ -1536,8 +1536,8 @@ WITH t AS (
   SELECT doc_id, lang, CAST({sql_token_count('text')} AS BIGINT) AS tokens FROM documents
 ), c AS (
   SELECT doc_id, lang, tokens,
-         SUM(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id ASC
-                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, lang, tokens, cum_tokens FROM c WHERE cum_tokens <= 2500
@@ -1638,7 +1638,7 @@ WITH m AS (
 SELECT {sql_domain('url')} AS domain,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT {sql_host('url')}) AS n_hosts,
-       SUM(tokens) AS total_tokens,
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc
 FROM m GROUP BY 1
 """
@@ -1664,8 +1664,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), s AS (
   SELECT user_id, event_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                             ROWS UNBOUNDED PRECEDING) AS session_n
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
   FROM g
 )
 SELECT user_id, session_n,

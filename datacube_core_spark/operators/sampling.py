@@ -38,7 +38,12 @@ def _order_cols(priority: Sequence[Tuple[str, str]]) -> List[Column]:
     out = []
     for name, direction in priority:
         c = F.col(name)
-        out.append(c.desc() if direction.lower() == "desc" else c.asc())
+        # nulls LAST in BOTH directions (Spark's bare .asc() is nulls
+        # FIRST) — NULL priority must always be "worst", matching the
+        # threshold plan's routing of NULLs to the worst bucket
+        out.append(
+            c.desc_nulls_last() if direction.lower() == "desc" else c.asc_nulls_last()
+        )
     return out
 
 
@@ -97,9 +102,9 @@ def token_budget_sample_threshold(
     pos = F.floor(frac * n_buckets).cast("int")
     pos = F.least(pos, F.lit(n_buckets - 1))
     bucket = (F.lit(n_buckets - 1) - pos) if priority_desc else pos
-    # NULL priority sorts LAST in both plans (desc/asc = nulls last in
-    # the window order) → worst bucket here; its tokens contribute what
-    # F.sum contributes (nulls skipped), matching the exact plan
+    # NULL priority sorts LAST in both plans (the window order uses
+    # explicit *_nulls_last) → worst bucket here; its tokens contribute
+    # what F.sum contributes (nulls skipped), matching the exact plan
     bucket = F.when(F.col(priority_col).isNull(), F.lit(n_buckets - 1)).otherwise(bucket)
     withb = withb.withColumn("_bkt", bucket).drop("_pmin", "_pmax")
 
@@ -141,8 +146,10 @@ def token_budget_sample_threshold(
     # the kept prefix (≤ budget tokens per group by construction)
     kept_prefix = routed.where(F.col("_bkt") < F.col("_boundary"))
     order = [
-        F.col(priority_col).desc() if priority_desc else F.col(priority_col).asc(),
-        F.col(tie_col).asc(),
+        F.col(priority_col).desc_nulls_last()
+        if priority_desc
+        else F.col(priority_col).asc_nulls_last(),
+        F.col(tie_col).asc_nulls_last(),
     ]
     wp = (
         Window.partitionBy(*group_cols)

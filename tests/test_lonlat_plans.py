@@ -99,15 +99,10 @@ def test_cos_neardup_has_no_cartesian_product(spark):
     assert "EvalPython" not in plan
 
 
-def test_knn_join_is_broadcast(spark):
-    from datacube_core_spark.operators.knn import knn_join
-    from datacube_core_spark.sources.pages import pages
-
-    p = pages(spark, SF_TINY)
-    q = p.where(F.col("doc_id") % 250 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
-    out = knn_join(p, q, GRID_PAGES, k=3)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+# (test_knn_join_is_broadcast removed: knn_join now localCheckpoints each
+# escalation round, truncating the lineage the plan-grep inspected.  The
+# broadcast-hint contract is asserted at the call site instead — see the
+# F.broadcast spy tests in test_pip_knn_spark.py.)
 
 
 def test_all_entry_plans_are_scale_shaped(spark):

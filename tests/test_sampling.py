@@ -99,3 +99,24 @@ def test_threshold_plan_handles_null_tokens(spark):
         exact = token_budget_sample(df, budget)
         fast = token_budget_sample_threshold(df, budget)
         assert _keyset(exact) == _keyset(fast), f"budget={budget}"
+
+
+def test_null_priority_ascending_mode(spark):
+    """r4-advice finding (sampling.py:100): Spark's bare .asc() is nulls
+    FIRST, so with priority_desc=False the exact window put NULL-priority
+    rows at the TOP while the threshold plan routed them to the worst
+    bucket — divergent keep-sets.  Both orders are now *_nulls_last; the
+    two plans must agree in BOTH directions with NULLs present."""
+    rows = [(i, "en", (i * 37) % 500 + 1) for i in range(400)]
+    rows += [(1000 + i, "en", None) for i in range(5)]
+    rows += [(2000 + i, "de", (i * 11) % 90 + 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, tokens LONG")
+    for budget in (1_000, 30_000):
+        exact = token_budget_sample(
+            df, budget, priority=(("tokens", "asc"), ("doc_id", "asc"))
+        )
+        fast = token_budget_sample_threshold(df, budget, priority_desc=False)
+        assert _keyset(exact) == _keyset(fast), f"budget={budget} (asc)"
+        # NULL rows are worst-priority: with a finite budget they are
+        # never admitted ahead of any non-NULL row
+        assert not any(k[0] >= 1000 and k[0] < 2000 for k in _keyset(exact))
