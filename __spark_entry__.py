@@ -116,6 +116,21 @@ def q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk kNN through the DENSE-CELL LOCAL-INDEX path (PERF.md §15):
+    queries are the hot-cluster pages themselves (doc_id % 5 == 0 is the
+    synthetic skew injection — §2.3 PostGIS-join row, dense-cell tier),
+    and ``local_index_pairs`` is forced low so every hot cell runs the
+    per-cell numpy fine-grid kernel at oracle scale.  Must be
+    row-identical to the plain ring-join plan (tested) and to the DuckDB
+    brute-force window oracle here."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    q = p.where(F.col("doc_id") % 5 == 0).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    return knn_join(
+        p, q, _G, k=KNN_K, broadcast_queries=False, local_index_pairs=10
+    ).select("qid", "doc_id", "dist_sq", "rank")
+
+
 def q_pip_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join against a region CROSSING THE ANTIMERIDIAN: the raw
     footprint arrives in extended longitudes (170..190, the reference's
@@ -1022,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_region_count": q_pip_region_count,
         "knn": q_knn,
         "knn_bulk": q_knn_bulk,
+        "knn_dense": q_knn_dense,
         "pip_dateline": q_pip_dateline,
         "doc2dataset": q_doc2dataset,
         "solar_day": q_solar_day,
@@ -1133,6 +1149,23 @@ SELECT qid, doc_id, dist_sq, rank FROM (
 
     sqls["knn_bulk"] = f"""{_P},
 q AS (SELECT doc_id AS qid, lon AS q_lon, lat AS q_lat FROM pages WHERE doc_id % 101 = 0)
+SELECT qid, doc_id, dist_sq, rank FROM (
+  SELECT q.qid, p.doc_id,
+         (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) AS dist_sq,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat), p.doc_id
+         ) AS INT) AS rank
+  FROM pages p CROSS JOIN q
+) WHERE rank <= {KNN_K}
+"""
+
+    # knn_dense: hot-cluster queries (doc_id % 5 = 0, the skew injection)
+    # through the forced dense-cell local-index path — same brute-force
+    # window oracle, so the numpy kernel's (dist_sq, id) top-k is checked
+    # value-for-value against SQL window semantics
+    sqls["knn_dense"] = f"""{_P},
+q AS (SELECT doc_id AS qid, lon AS q_lon, lat AS q_lat FROM pages WHERE doc_id % 5 = 0)
 SELECT qid, doc_id, dist_sq, rank FROM (
   SELECT q.qid, p.doc_id,
          (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) AS dist_sq,

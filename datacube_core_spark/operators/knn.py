@@ -35,6 +35,226 @@ def _ring_offsets(spark, r: int) -> DataFrame:
     return spark.createDataFrame(offs, "dx INT, dy INT")
 
 
+# ---------------------------------------------------------------------------
+# Dense-cell local-index pass (PERF.md §15): a tile whose query count ×
+# ring-page count explodes (hot URL clusters put ~n×n co-located pairs in
+# one cell, grid-size-invariant) is answered by a PER-CELL numpy fine-grid
+# index inside one applyInPandas group instead of the n_q×n_p equi-join.
+# ---------------------------------------------------------------------------
+
+
+def _make_local_knn_kernel(k: int, guard_sq: float):
+    """Build the applyInPandas kernel answering exact kNN inside one dense
+    cell + page halo.
+
+    Input group rows carry ``role`` (0=page, 1=query), ``qid``/``doc_id``,
+    ``x``/``y``.  For each query the kernel computes the TRUE top-k over
+    the halo page set (a numpy uniform fine grid with per-query block
+    escalation — O(n log n) build, ~O(k) probe) and resolves it iff the
+    distributed round-1 test would: ≥k candidates and k-th dist_sq
+    strictly < ``guard_sq`` = (r0·tile_size)².  Resolved rows are
+    row-identical to the equi-join plan's output (same IEEE-754 op order
+    ``(px-qx)²+(py-qy)²``, same strict guarantee, same (dist_sq, id)
+    tie-break); unresolved queries come back as ``resolved=false`` marker
+    rows and re-enter the distributed ring escalation.
+    """
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        role = pdf["role"].to_numpy()
+        q = pdf[role == 1]
+        p = pdf[role == 0]
+        qid = q["qid"].to_numpy()
+        qx = q["x"].to_numpy(dtype=np.float64)
+        qy = q["y"].to_numpy(dtype=np.float64)
+        pid = p["doc_id"].to_numpy()
+        px = p["x"].to_numpy(dtype=np.float64)
+        py = p["y"].to_numpy(dtype=np.float64)
+        n_q, n_p = qid.size, pid.size
+
+        rows_qid, rows_doc, rows_dist, rows_rank = [], [], [], []
+        pend = np.zeros(n_q, dtype=bool)
+
+        def finalize(q_idx, ids_2d, dists_2d, counts):
+            """ids/dists: per-query halo-exact top-k (padded rows allowed —
+            ``counts`` gives the true candidate count per query)."""
+            for row, qi in enumerate(q_idx):
+                m = counts[row]
+                if m >= k and dists_2d[row, k - 1] < guard_sq:
+                    rows_qid.extend([qid[qi]] * k)
+                    rows_doc.extend(ids_2d[row, :k].tolist())
+                    rows_dist.extend(dists_2d[row, :k].tolist())
+                    rows_rank.extend(range(1, k + 1))
+                else:
+                    pend[qi] = True
+
+        def topk_block(q_idx, cand):
+            """Exact (dist_sq, id)-ordered top-k of queries ``q_idx`` over
+            candidate page indices ``cand`` (chunked for memory)."""
+            # pre-sort candidates by id: a STABLE argsort on dist alone
+            # then yields (dist, id) order — vectorized tie-break
+            cand = cand[np.argsort(pid[cand], kind="stable")]
+            cpx, cpy, cid = px[cand], py[cand], pid[cand]
+            m = min(k, cand.size)
+            ids_out = np.empty((q_idx.size, m), dtype=cid.dtype)
+            dist_out = np.empty((q_idx.size, m), dtype=np.float64)
+            chunk = max(1, int(4_000_000 // max(1, cand.size)))
+            for s in range(0, q_idx.size, chunk):
+                sel = q_idx[s : s + chunk]
+                dx = cpx[None, :] - qx[sel][:, None]
+                dy = cpy[None, :] - qy[sel][:, None]
+                dist = dx * dx + dy * dy
+                if cand.size > 4 * k:
+                    part = np.argpartition(dist, m - 1, axis=1)[:, :m]
+                    pdist = np.take_along_axis(dist, part, axis=1)
+                    # re-sort the partitioned slice by (dist, id): order
+                    # column positions by id first, then stable-sort dist
+                    id_order = np.argsort(
+                        np.take(cid, part), axis=1, kind="stable"
+                    )
+                    part = np.take_along_axis(part, id_order, axis=1)
+                    pdist = np.take_along_axis(pdist, id_order, axis=1)
+                    o = np.argsort(pdist, axis=1, kind="stable")
+                    # ties BEYOND the partition boundary: argpartition only
+                    # guarantees the m smallest VALUES — an equal-dist,
+                    # lower-id page can sit outside the slice.  Detect and
+                    # fall back to the full sort for affected rows.
+                    sorted_d = np.take_along_axis(pdist, o, axis=1)
+                    kth = sorted_d[:, m - 1]
+                    n_at_kth = (dist == kth[:, None]).sum(axis=1)
+                    in_slice = (pdist == kth[:, None]).sum(axis=1)
+                    risky = n_at_kth > in_slice
+                    ids_c = np.take(cid, np.take_along_axis(part, o, axis=1))
+                    dists_c = sorted_d
+                    if risky.any():
+                        full = np.argsort(dist[risky], axis=1, kind="stable")[:, :m]
+                        ids_c[risky] = np.take(cid, full)
+                        dists_c[risky] = np.take_along_axis(
+                            dist[risky], full, axis=1
+                        )
+                else:
+                    o = np.argsort(dist, axis=1, kind="stable")[:, :m]
+                    ids_c = np.take(cid, o)
+                    dists_c = np.take_along_axis(dist, o, axis=1)
+                ids_out[s : s + chunk] = ids_c
+                dist_out[s : s + chunk] = dists_c
+            return ids_out, dist_out, np.full(q_idx.size, cand.size)
+
+        if n_q and n_p:
+            minx, maxx = float(px.min()), float(px.max())
+            miny, maxy = float(py.min()), float(py.max())
+            width, height = maxx - minx, maxy - miny
+            if n_p <= 2048 or width <= 0 or height <= 0:
+                all_q = np.arange(n_q)
+                ids, dists, counts = topk_block(all_q, np.arange(n_p))
+                finalize(all_q, ids, dists, counts)
+            else:
+                target = max(1, n_p // 8)
+                import math as _m
+
+                fine = _m.sqrt(width * height / target)
+                nx = max(1, min(int(_m.ceil(width / fine)), 2 * n_p))
+                ny = max(1, min(int(_m.ceil(height / fine)), 2 * n_p))
+                fx, fy = width / nx, height / ny
+                pcx = np.clip(((px - minx) / fx).astype(np.int64), 0, nx - 1)
+                pcy = np.clip(((py - miny) / fy).astype(np.int64), 0, ny - 1)
+                pcell = pcx * ny + pcy
+                porder = np.argsort(pcell, kind="stable")
+                pcell_s = pcell[porder]
+                qcx = np.clip(((qx - minx) / fx).astype(np.int64), 0, nx - 1)
+                qcy = np.clip(((qy - miny) / fy).astype(np.int64), 0, ny - 1)
+                qcell = qcx * ny + qcy
+                uniq, inv = np.unique(qcell, return_inverse=True)
+                for u_i, cell in enumerate(uniq):
+                    cell_q = np.nonzero(inv == u_i)[0]
+                    cx, cy = int(cell // ny), int(cell % ny)
+                    active = cell_q
+                    r_f = 1
+                    while active.size:
+                        cx0, cx1 = cx - r_f, cx + r_f
+                        cy0, cy1 = cy - r_f, cy + r_f
+                        full_cover = (
+                            cx0 <= 0 and cx1 >= nx - 1 and cy0 <= 0 and cy1 >= ny - 1
+                        )
+                        parts = []
+                        lo_y = max(0, cy0)
+                        hi_y = min(ny - 1, cy1)
+                        for bx in range(max(0, cx0), min(nx - 1, cx1) + 1):
+                            lo = np.searchsorted(pcell_s, bx * ny + lo_y, side="left")
+                            hi = np.searchsorted(pcell_s, bx * ny + hi_y, side="right")
+                            if hi > lo:
+                                parts.append(porder[lo:hi])
+                        cand = (
+                            np.concatenate(parts)
+                            if parts
+                            else np.empty(0, dtype=np.int64)
+                        )
+                        if cand.size < k and not full_cover:
+                            r_f *= 2
+                            continue
+                        if cand.size == 0:
+                            pend[active] = True
+                            break
+                        ids, dists, counts = topk_block(active, cand)
+                        if full_cover:
+                            finalize(active, ids, dists, counts)
+                            break
+                        # local exactness: unscanned pages are ≥ g away
+                        # (distance from query to nearest unscanned block
+                        # edge; sides where the block reaches the page
+                        # bounding box have no pages beyond → exempt)
+                        g = np.full(active.size, np.inf)
+                        if cx0 > 0:
+                            g = np.minimum(g, qx[active] - (minx + cx0 * fx))
+                        if cx1 < nx - 1:
+                            g = np.minimum(g, (minx + (cx1 + 1) * fx) - qx[active])
+                        if cy0 > 0:
+                            g = np.minimum(g, qy[active] - (miny + cy0 * fy))
+                        if cy1 < ny - 1:
+                            g = np.minimum(g, (miny + (cy1 + 1) * fy) - qy[active])
+                        g = np.maximum(g, 0.0)
+                        m = ids.shape[1]
+                        ok = (counts >= k) & (m >= k)
+                        if m >= k:
+                            # strict <: boundary ties escalate, same rule
+                            # as the distributed ring guarantee
+                            ok &= dists[:, k - 1] < g * g
+                        if ok.any():
+                            finalize(active[ok], ids[ok], dists[ok], counts[ok])
+                        active = active[~ok]
+                        r_f *= 2
+        else:
+            pend[:] = True
+
+        n_res = len(rows_qid)
+        n_pend = int(pend.sum())
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(
+                    list(rows_qid) + qid[pend].tolist(), dtype=object
+                ),
+                "doc_id": pd.Series(
+                    list(rows_doc) + [None] * n_pend, dtype=object
+                ),
+                "dist_sq": pd.Series(
+                    list(rows_dist) + [None] * n_pend, dtype=object
+                ),
+                "rank": pd.Series(list(rows_rank) + [None] * n_pend, dtype=object),
+                "resolved": [True] * n_res + [False] * n_pend,
+                "q_lon": pd.Series(
+                    [None] * n_res + qx[pend].tolist(), dtype=object
+                ),
+                "q_lat": pd.Series(
+                    [None] * n_res + qy[pend].tolist(), dtype=object
+                ),
+            }
+        )
+
+    return kernel
+
+
 def knn_join(
     pages_df: DataFrame,
     queries_df: DataFrame,
@@ -45,6 +265,8 @@ def knn_join(
     query_id_col: str = "qid",
     max_r: int = 64,
     broadcast_queries: bool = True,
+    local_index_pairs: int | None = 4_000_000,
+    local_max_group_queries: int = 250_000,
 ) -> DataFrame:
     """k nearest pages for each query point, with per-query exactness.
 
@@ -63,6 +285,22 @@ def knn_join(
     equi-join on the tile id (both sides repartition on (ptx, pty)) — the
     bulk-kNN / kNN-self-join path where queries are as numerous as pages;
     AQE handles skewed tiles.
+
+    ``local_index_pairs``: DENSE-CELL cutoff (PERF.md §15).  A hot cell
+    holding n queries × n pages creates n² ring-join candidates no grid
+    granularity can fix (finer tiles re-merge through the r=1 ring).
+    Before the ring loop, two tiny per-tile count aggs estimate candidate
+    pairs per query tile (the count maps are bounded by the grid's
+    occupied-tile count — geometry-bounded, driver-safe to collect, NOT
+    data-sized); tiles above the cutoff are answered by a per-cell numpy
+    fine-grid index (one applyInPandas group per dense cell over its r0
+    page halo — the EXACT round-1 candidate set), emitting row-identical
+    results for queries the round-1 guarantee resolves and returning the
+    rest (halo-escaping queries) to the distributed escalation loop.
+    ``None`` disables the probe.  ``local_max_group_queries`` salts the
+    query side of a dense cell into hash buckets (halo pages replicated
+    per bucket) so one pandas group never holds more than ~that many
+    queries — memory stays bounded by the page halo.
     """
     spark = pages_df.sparkSession
     size = min(abs(grid.tile_size[0]), abs(grid.tile_size[1]))
@@ -82,6 +320,112 @@ def knn_join(
     )
 
     results = None
+
+    # ---- dense-cell local-index pass (PERF.md §15) --------------------
+    if local_index_pairs is not None:
+        pc = {
+            (row["ptx"], row["pty"]): row["n"]
+            for row in pages_t.groupBy("ptx", "pty").agg(F.count("*").alias("n")).collect()
+        }
+        qc = {
+            (row["qtx"], row["qty"]): row["n"]
+            for row in pending.groupBy("qtx", "qty").agg(F.count("*").alias("n")).collect()
+        }
+        ring0 = [(dx, dy) for dx in range(-r0, r0 + 1) for dy in range(-r0, r0 + 1)]
+        dense = [
+            t
+            for t, nq in qc.items()
+            if nq * sum(pc.get((t[0] + dx, t[1] + dy), 0) for dx, dy in ring0)
+            > local_index_pairs
+        ]
+        if dense:
+            id_type = dict(pages_t.dtypes)[id_col]
+            qid_type = dict(pending.dtypes)["qid"]
+            # salt serves TWO masters: (a) memory — cap queries per pandas
+            # group; (b) parallelism — a few dense cells must still fan out
+            # across the cluster (3 unsalted hot cells = 3 tasks; measured
+            # 52s → 10.6s at 100k×500k just from salting to ~2×cores).
+            # Page halos are replicated per bucket, so cap the parallelism
+            # salt at ~1k queries/bucket to bound the duplication.
+            max_nq = max(qc[t] for t in dense)
+            par = spark.sparkContext.defaultParallelism
+            salt_mem = -(-max_nq // local_max_group_queries)
+            salt_par = min(-(-2 * par // len(dense)), max(1, max_nq // 1000))
+            salt = max(1, salt_mem, salt_par)
+            halo_rows = sorted(
+                {(dtx, dty, dtx + dx, dty + dy) for dtx, dty in dense for dx, dy in ring0}
+            )
+            halo_map = spark.createDataFrame(
+                halo_rows, "dtx INT, dty INT, ptx INT, pty INT"
+            )
+            dense_df = spark.createDataFrame(sorted(dense), "dtx INT, dty INT")
+
+            q_part = (
+                pending.join(
+                    F.broadcast(dense_df),
+                    on=[
+                        pending["qtx"] == dense_df["dtx"],
+                        pending["qty"] == dense_df["dty"],
+                    ],
+                    how="inner",
+                )
+                .select(
+                    "dtx",
+                    "dty",
+                    F.pmod(F.xxhash64("qid"), F.lit(salt)).cast("int").alias("sb"),
+                    F.lit(1).cast("tinyint").alias("role"),
+                    F.col("qid"),
+                    F.lit(None).cast(id_type).alias("doc_id"),
+                    F.col("q_lon").alias("x"),
+                    F.col("q_lat").alias("y"),
+                )
+            )
+            p_part = (
+                pages_t.join(F.broadcast(halo_map), on=["ptx", "pty"], how="inner")
+                .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+                .select(
+                    "dtx",
+                    "dty",
+                    F.col("sb").cast("int"),
+                    F.lit(0).cast("tinyint").alias("role"),
+                    F.lit(None).cast(qid_type).alias("qid"),
+                    F.col(id_col).alias("doc_id"),
+                    F.col("lon").alias("x"),
+                    F.col("lat").alias("y"),
+                )
+            )
+            kernel = _make_local_knn_kernel(k, float(r0 * size) ** 2)
+            loc = (
+                q_part.unionByName(p_part)
+                .groupBy("dtx", "dty", "sb")
+                .applyInPandas(
+                    kernel,
+                    schema=(
+                        f"qid {qid_type}, doc_id {id_type}, dist_sq DOUBLE, "
+                        "rank INT, resolved BOOLEAN, q_lon DOUBLE, q_lat DOUBLE"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            results = (
+                loc.where(F.col("resolved"))
+                .select("qid", id_col, "dist_sq", "rank")
+                .withColumn("exact", F.lit(True))
+            )
+            still = loc.where(~F.col("resolved")).select("qid", "q_lon", "q_lat")
+            sqtx, sqty = point_tile_cols(grid, F.col("q_lon"), F.col("q_lat"))
+            still = still.withColumn("qtx", sqtx).withColumn("qty", sqty)
+            pending = (
+                pending.join(F.broadcast(dense_df), on=[
+                    pending["qtx"] == dense_df["dtx"],
+                    pending["qty"] == dense_df["dty"],
+                ], how="left_anti")
+                .unionByName(still)
+                .localCheckpoint(eager=True)
+            )
+            if len(pending.take(1)) == 0:
+                return results
+
     r = r0
     while True:
         ring = _ring_offsets(spark, r)

@@ -1,0 +1,145 @@
+"""Dense-cell local-index kNN (PERF.md §15): the per-cell numpy fine-grid
+pass must be row-identical to the pure ring-join plan, in unsalted and
+salted forms, including the halo-escape path back into ring escalation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.geom.grid import GridSpec
+from datacube_core_spark.operators.knn import _make_local_knn_kernel, knn_join
+from datacube_core_spark.sources.pages import pages
+
+from .conftest import SF_TINY
+
+GRID = GridSpec("EPSG:4326", tile_size=(1.0, 1.0), resolution=(-0.01, 0.01))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return (
+        pages(spark, SF_TINY, repl=16)
+        .select("doc_id", "lon", "lat")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_local_index_rows_identical(spark, pages_df):
+    """Forcing EVERY occupied query tile through the local pass (cutoff 0)
+    must reproduce the ring-join plan row-for-row — same ids, same
+    dist_sq doubles, same ranks, same exact flags."""
+    q = pages_df.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "lon", "lat"
+    )
+    base = knn_join(pages_df, q, GRID, k=5, broadcast_queries=False, local_index_pairs=None)
+    loc = knn_join(pages_df, q, GRID, k=5, broadcast_queries=False, local_index_pairs=0)
+    assert _rows(base) == _rows(loc)
+
+
+def test_local_index_salted_rows_identical(spark, pages_df):
+    """Query-salted dense groups (memory/parallelism bound) change the
+    grouping only — never the answer."""
+    q = pages_df.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "lon", "lat"
+    )
+    base = knn_join(pages_df, q, GRID, k=5, broadcast_queries=False, local_index_pairs=None)
+    salted = knn_join(
+        pages_df, q, GRID, k=5, broadcast_queries=False,
+        local_index_pairs=0, local_max_group_queries=3,
+    )
+    assert _rows(base) == _rows(salted)
+
+
+def test_local_index_broadcast_mode_identical(spark, pages_df):
+    q = pages_df.where(F.col("doc_id") % 251 == 0).select(
+        F.col("doc_id").alias("qid"), "lon", "lat"
+    )
+    base = knn_join(pages_df, q, GRID, k=3, local_index_pairs=None)
+    loc = knn_join(pages_df, q, GRID, k=3, local_index_pairs=0)
+    assert _rows(base) == _rows(loc)
+
+
+def test_halo_escape_reenters_ring_escalation(spark):
+    """A dense cell NEXT TO an empty neighborhood: queries whose k-th
+    neighbour lies beyond the r0 halo must come back from the local pass
+    unresolved and get exact answers from the distributed escalation —
+    identical to the ring-only plan."""
+    # 200 pages packed into cell (0,0); k=5 nearest for the corner query
+    # set includes pages only after ring escalation past r0 for the far
+    # queries planted 3 cells away (their own cell + halo are EMPTY)
+    rows = [(i, 0.1 + (i % 20) * 0.04, 0.1 + (i // 20) * 0.08) for i in range(200)]
+    p = spark.createDataFrame(rows, "doc_id LONG, lon DOUBLE, lat DOUBLE")
+    q_rows = [(1000 + j, 0.3 + j * 0.001, 0.5) for j in range(40)]  # inside dense cell
+    q_rows += [(2000 + j, 3.5 + j * 0.01, 3.5) for j in range(5)]  # far: empty halo
+    q = spark.createDataFrame(q_rows, "qid LONG, lon DOUBLE, lat DOUBLE")
+    base = knn_join(p, q, GRID, k=5, broadcast_queries=False, local_index_pairs=None)
+    loc = knn_join(p, q, GRID, k=5, broadcast_queries=False, local_index_pairs=10)
+    assert _rows(base) == _rows(loc)
+    # sanity: far queries resolved (non-exact impossible here — pages exist
+    # within max_r) and each query has exactly k rows
+    out = loc.groupBy("qid").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == 5 for r in out)
+
+
+def test_kernel_tie_break_matches_window_semantics():
+    """Equal-distance candidates order by id — including ties that
+    straddle the argpartition boundary (the risky-row fallback)."""
+    k = 3
+    kernel = _make_local_knn_kernel(k, guard_sq=1e18)
+    # 30 pages at distance EXACTLY 1.0 from the query, ids shuffled, plus
+    # 10 farther pages — top-3 must be the three LOWEST ids at dist 1.0
+    ids = list(range(100, 130))
+    rng = np.random.RandomState(7)
+    rng.shuffle(ids)
+    px, py = [], []
+    for i in range(30):
+        ang = 2 * np.pi * i / 30
+        px.append(float(np.cos(ang)))
+        py.append(float(np.sin(ang)))
+    pages_rows = [
+        {"role": 0, "qid": None, "doc_id": ids[i], "x": px[i], "y": py[i]}
+        for i in range(30)
+    ] + [
+        {"role": 0, "qid": None, "doc_id": 500 + i, "x": 10.0 + i, "y": 0.0}
+        for i in range(10)
+    ]
+    q_row = [{"role": 1, "qid": 1, "doc_id": None, "x": 0.0, "y": 0.0}]
+    pdf = pd.DataFrame(pages_rows + q_row)
+    out = kernel(pdf)
+    got = out[out["resolved"]].sort_values("rank")
+    # dist computed as cos²+sin² is not exactly 1.0 for every angle; the
+    # contract under test is (dist, id) ordering — recompute expected
+    dists = [(px[i] * px[i] + py[i] * py[i], ids[i]) for i in range(30)]
+    expected = [d[1] for d in sorted(dists)[:k]]
+    assert got["doc_id"].tolist() == expected
+
+
+def test_kernel_fewer_than_k_pages_pends():
+    kernel = _make_local_knn_kernel(5, guard_sq=1e18)
+    pdf = pd.DataFrame(
+        [{"role": 0, "qid": None, "doc_id": 1, "x": 0.0, "y": 0.0}]
+        + [{"role": 1, "qid": 9, "doc_id": None, "x": 0.1, "y": 0.1}]
+    )
+    out = kernel(pdf)
+    assert not out["resolved"].any()
+    assert out["qid"].tolist() == [9]
+    assert out["q_lon"].tolist() == [0.1]
+
+
+def test_kernel_guard_rejection_pends():
+    """k-th dist at/over the r0 guard → unresolved (strict <)."""
+    kernel = _make_local_knn_kernel(2, guard_sq=1.0)
+    pdf = pd.DataFrame(
+        [
+            {"role": 0, "qid": None, "doc_id": 1, "x": 0.1, "y": 0.0},
+            {"role": 0, "qid": None, "doc_id": 2, "x": 2.0, "y": 0.0},  # dist_sq 4 > guard
+            {"role": 1, "qid": 9, "doc_id": None, "x": 0.0, "y": 0.0},
+        ]
+    )
+    out = kernel(pdf)
+    assert not out["resolved"].any()

@@ -115,7 +115,7 @@ def test_all_entry_plans_are_scale_shaped(spark):
 
     # documented brute-force/ring shapes (knn/knn_bulk cross a CONSTANT
     # (2r+1)^2 ring-offset table against queries — bounded, not data-sized)
-    CARTESIAN_OK = {"ann_topk", "knn", "knn_bulk"}
+    CARTESIAN_OK = {"ann_topk", "knn", "knn_bulk", "knn_dense"}
     failures = []
     for name, fn in sorted(entry_mod.queries().items()):
         df = fn(spark, SF_TINY)
