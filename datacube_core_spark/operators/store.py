@@ -38,18 +38,36 @@ OPS = ("add", "update", "archive", "restore", "purge")
 class DatasetStore:
     """Event-sourced dataset catalog over a parquet log.
 
-    Concurrency contract (single-writer snapshots): ``as_of`` /
-    ``latest_seq`` snapshot isolation holds for a SINGLE writer per log
-    path.  Two writers opened concurrently against the same path continue
-    from the same max seq and emit EQUAL ``_seq`` values; reads stay
-    deterministic (last-writer-wins is resolved by the per-process
-    ``_tie`` nonce, stable across every read), but
-    ``current(as_of=latest_seq())`` may then include the other writer's
-    later events that share the captured seq, and which writer "wins" a
-    conflicting id is the arbitrary-but-stable nonce comparison.  Fence
-    writers externally (one ingest job per catalog path at a time) when
-    snapshot semantics matter — the same discipline an Iceberg
-    single-table committer enforces with optimistic retries."""
+    Concurrency contract (multi-writer, optimistic commit markers): every
+    mutation claims its ``_seq`` through a compare-and-swap on the marker
+    directory ``<base>/dataset_log_commits`` — ``O_CREAT|O_EXCL`` on
+    ``<seq>.claim`` before writing data, ``<seq>.done`` after the parquet
+    append lands.  Claims are therefore UNIQUE (two writers never share a
+    seq — the loser retries at seq+1, exactly an Iceberg optimistic
+    commit), and reads clamp to the COMMITTED FRONTIER: the highest seq
+    below which every claim is finalized.  Consequences:
+
+    * ``current(as_of=latest_seq())`` is stable — a slow concurrent
+      writer's rows can never land "under" a captured snapshot, because
+      its claim (created before its data) holds the frontier back until
+      it finalizes.
+    * last-writer-wins between writers is seq order (claim order), not a
+      nonce comparison; the ``_tie`` column remains only to disambiguate
+      legacy pre-marker logs where equal seqs exist.
+    * a writer that crashes between claim and finalize parks the frontier
+      — :meth:`abort_stale_claims` is the orphaned-commit cleanup
+      (Iceberg's expire-orphans analog).
+    * read-your-own-writes holds except while ANOTHER writer's earlier
+      claim is still in flight (your committed rows surface the moment it
+      finalizes or is aborted) — the prefix-consistency price; a real
+      Iceberg catalog serializes commits at the catalog swap instead.
+    * ``compact()`` remains an exclusive maintenance operation: it
+      rewrites the whole log directory and must not race other writers
+      (same as Iceberg rewrite_data_files under a maintenance lock).
+
+    The marker CAS relies on atomic exclusive-create in the log's
+    filesystem (true for POSIX local/NFSv4/HDFS; on S3 you would swap
+    this seam for a real Iceberg/Glue catalog commit)."""
 
     def __init__(self, spark: SparkSession, base_path: str, id_col: str = "id", id_type: str = "LONG"):
         self.spark = spark
@@ -57,12 +75,11 @@ class DatasetStore:
         self.id_col = id_col
         self.id_type = id_type  # SQL type of the id column (LONG, STRING/uuid, ...)
         self.log_path = f"{self.base}/dataset_log"
-        # seq continues from the log's max — NOT the wall clock: two store
-        # instances opened against the same path (or one opened after a
-        # clock regression) must never emit out-of-order seqs relative to
-        # events already persisted.  Computed LAZILY on first write: a
-        # read-only store (ProductCatalog.rules, CLI product-list, ...)
-        # must not pay a cluster aggregation job just to construct.
+        self.commits_path = f"{self.base}/dataset_log_commits"
+        # legacy max seq (pre-marker logs) — computed LAZILY on first
+        # write: a read-only store (ProductCatalog.rules, CLI
+        # product-list, ...) must not pay a cluster aggregation job just
+        # to construct.
         self._seq: Optional[int] = None
         self._tie = uuid.uuid4().hex[:12]
 
@@ -75,11 +92,100 @@ class DatasetStore:
         mx = log.agg(F.max("_seq")).collect()[0][0]
         return int(mx) if mx is not None else 0
 
+    def _scan_markers(self) -> tuple:
+        """(claimed_seqs, finalized_seqs) from the commit-marker dir."""
+        try:
+            names = os.listdir(self.commits_path)
+        except FileNotFoundError:
+            return set(), set()
+        claims, done = set(), set()
+        for n in names:
+            if n.endswith(".claim"):
+                claims.add(int(n[: -len(".claim")]))
+            elif n.endswith(".done"):
+                done.add(int(n[: -len(".done")]))
+        return claims, done
+
+    def _committed_frontier(self) -> Optional[int]:
+        """Highest seq with every claim at-or-below finalized; ``None`` if
+        the log predates commit markers (legacy single-writer layout)."""
+        claims, done = self._scan_markers()
+        if not claims and not done:
+            return None
+        pending = sorted(claims - done)
+        if pending:
+            return pending[0] - 1
+        return max(done)
+
     def _next_seq(self) -> int:
+        """Claim the next seq via CAS on the marker dir: exclusive-create
+        of ``<seq>.claim`` — on collision, retry one higher.  Unique
+        across concurrent writers by construction."""
+        os.makedirs(self.commits_path, exist_ok=True)
         if self._seq is None:
-            self._seq = self._max_logged_seq()
-        self._seq += 1
-        return self._seq
+            claims, done = self._scan_markers()
+            marker_hi = max(claims | done) if (claims or done) else 0
+            # the log max matters too: a MIXED dir (legacy pre-marker
+            # writer appended raw rows above the last marked seq) must
+            # not get its seqs reused
+            self._seq = max(marker_hi, self._max_logged_seq())
+        n = self._seq + 1
+        while True:
+            try:
+                fd = os.open(
+                    f"{self.commits_path}/{n:020d}.claim",
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.write(fd, self._tie.encode())
+                os.close(fd)
+                self._seq = n
+                return n
+            except FileExistsError:
+                n += 1
+
+    def _finalize(self, seq: int) -> None:
+        with open(f"{self.commits_path}/{seq:020d}.done", "w") as fh:
+            fh.write(self._tie)
+
+    def _write_commit(self, out: DataFrame, seq: int) -> None:
+        """Land one commit's rows in its OWN subdirectory, then finalize.
+        Concurrent appends into a single parquet dir race on the shared
+        Hadoop committer ``_temporary`` staging dir (one job's cleanup
+        deletes the other's attempts — observed); per-commit dirs give
+        each job a private committer workspace, the Iceberg
+        unique-data-file discipline."""
+        out.write.mode("error").parquet(f"{self.log_path}/c{seq:020d}")
+        self._finalize(seq)
+
+    def abort_stale_claims(self, ttl_s: float = 3600.0) -> list:
+        """Resolve claims older than ``ttl_s`` with no finalize — a
+        crashed writer's parked commit holding the frontier back.  The
+        stale claim is force-finalized: whatever rows the dead writer DID
+        land at that seq become visible (the "commit landed, writer died
+        before acking" case); if none landed it is an empty commit and the
+        frontier simply advances past it.  Returns resolved seqs.  This is
+        the orphaned-commit cleanup an Iceberg catalog runs as
+        maintenance; only invoke when the claim's writer is known dead —
+        force-finalizing a LIVE writer mid-append can expose a partial
+        batch."""
+        import time as _time
+
+        claims, done = self._scan_markers()
+        aborted = []
+        now = _time.time()
+        for n in sorted(claims - done):
+            p = f"{self.commits_path}/{n:020d}.claim"
+            try:
+                if now - os.path.getmtime(p) >= ttl_s:
+                    # finalize-as-empty rather than delete: the frontier
+                    # may then advance past it; any rows the dead writer
+                    # DID land at this seq become visible, which matches
+                    # "commit landed, writer died before acking"
+                    self._finalize(n)
+                    aborted.append(n)
+            except FileNotFoundError:
+                pass
+        return aborted
 
     def _log(self) -> Optional[DataFrame]:
         if not os.path.isdir(self.log_path):
@@ -87,8 +193,15 @@ class DatasetStore:
         try:
             # mergeSchema: a log written by a pre-`_tie` version (or a
             # mixed old+new dir) must still read with the column present
-            # rather than depending on which file's schema parquet picks
-            df = self.spark.read.option("mergeSchema", "true").parquet(self.log_path)
+            # rather than depending on which file's schema parquet picks.
+            # recursiveFileLookup: commits live in per-seq subdirectories
+            # (see _append — concurrent writers must not share a Hadoop
+            # committer _temporary dir); legacy flat files still match.
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("recursiveFileLookup", "true")
+                .parquet(self.log_path)
+            )
         except Exception:
             return None
         if "_tie" not in df.columns:
@@ -115,7 +228,7 @@ class DatasetStore:
         )
         if archived_col is not None:
             out = out.drop(archived_col)
-        out.write.mode("append").parquet(self.log_path)
+        self._write_commit(out, seq)
 
     def _ids_df(self, ids: Iterable) -> DataFrame:
         rows = [(i,) for i in ids]
@@ -129,6 +242,20 @@ class DatasetStore:
         log = self._log()
         if log is None:
             return None
+        # clamp to the committed frontier: MARKER-PROTOCOL seqs above the
+        # frontier (claimed-in-flight, or committed past a parked claim)
+        # are invisible, so every read and every captured as_of is a
+        # stable committed prefix.  Seqs with no marker at all are legacy
+        # pre-protocol rows and stay visible (no stability promise for
+        # out-of-protocol writers).  The hidden list is tiny: in-flight
+        # writers + commits parked behind a stale claim (bounded by the
+        # abort TTL).
+        frontier = self._committed_frontier()
+        if frontier is not None:
+            claims, done = self._scan_markers()
+            hidden = sorted(s for s in (claims | done) if s > frontier)
+            if hidden:
+                log = log.where(~F.col("_seq").isin(hidden))
         if as_of is not None:
             log = log.where(F.col("_seq") <= F.lit(int(as_of)))
         w = Window.partitionBy(self.id_col).orderBy(F.col("_seq").desc(), F.col("_tie").desc())
@@ -137,7 +264,12 @@ class DatasetStore:
     def latest_seq(self) -> int:
         """Highest committed seq — a snapshot id for :meth:`current`'s
         ``as_of`` (capture before a mutation batch, read consistently
-        after)."""
+        after).  With commit markers present this is the committed
+        frontier (no cluster job); legacy marker-less logs fall back to
+        a max-seq aggregation."""
+        frontier = self._committed_frontier()
+        if frontier is not None:
+            return frontier
         return self._max_logged_seq()
 
     def history(self, dataset_id) -> DataFrame:
@@ -287,7 +419,7 @@ class DatasetStore:
                 .withColumn("_op", F.lit("archive"))
                 .withColumn("_archived", F.current_timestamp())
             )
-            out.write.mode("append").parquet(self.log_path)
+            self._write_commit(out, seq)
         return n
 
     def restore(self, ids: Iterable) -> int:

@@ -84,11 +84,11 @@ def test_archive_less_mature_after_add(spark, tmp_path):
     assert gone["_archived"] is not None
 
 
-def test_two_writers_same_path_deterministic(spark, tmp_path):
-    """Seq derives from the log's max at open (not the wall clock): a
-    second store opened on the same path continues the sequence, and
-    equal seqs from interleaved writers resolve deterministically via
-    the per-process tiebreaker — every read returns the same winner."""
+def test_two_writers_same_path_unique_seqs(spark, tmp_path):
+    """Commit-marker CAS: two writers on the same path NEVER share a seq
+    — the claim-file exclusive-create serializes them (b claims 2, a's
+    cached seq collides and retries to 3), so last-writer-wins is pure
+    seq order and every read returns the same winner."""
     path = str(tmp_path / "cat3")
     a = DatasetStore(spark, path)
     a.add(_rows(spark, [(1, "a1", T0, "final")]))
@@ -96,17 +96,92 @@ def test_two_writers_same_path_deterministic(spark, tmp_path):
     b = DatasetStore(spark, path)   # opens AFTER a's add; seq resolves
     assert b._seq is None           # ...lazily, at the first WRITE
 
-    # true concurrent case: b's first write snapshots the log max (1) and
-    # writes seq 2; a's cached seq also advances 1 -> 2 — a genuine seq
-    # tie between the two writers on the same id
     b.update(_rows(spark, [(1, "b2", T0, "final")]))
     a.update(_rows(spark, [(1, "a2", T0, "final")]))
-    assert a._seq == b._seq == 2
+    assert b._seq == 2
+    assert a._seq == 3, "CAS must push the colliding writer past b's claim"
     winners = {a.current().where(F.col("id") == 1).collect()[0]["key"] for _ in range(3)}
     winners |= {b.current().where(F.col("id") == 1).collect()[0]["key"] for _ in range(3)}
-    assert len(winners) == 1 and winners <= {"a2", "b2"}, (
-        f"tied-seq resolution must be stable across reads, got {winners}"
+    assert winners == {"a2"}, (
+        f"seq order decides the winner (a committed last), got {winners}"
     )
+
+
+def test_snapshot_stable_under_concurrent_writer(spark, tmp_path):
+    """The r3-advice gap, closed: a snapshot captured with latest_seq()
+    must never grow rows from a concurrent writer that commits after the
+    capture — claims created before data make this structural."""
+    path = str(tmp_path / "cat6")
+    a = DatasetStore(spark, path)
+    b = DatasetStore(spark, path)
+    a.add(_rows(spark, [(1, "a1", T0, "final")]))
+    snap = a.latest_seq()
+    before = {(r["id"], r["key"]) for r in a.current(as_of=snap).collect()}
+
+    b.add(_rows(spark, [(2, "b1", T0, "final")]))
+    b.update(_rows(spark, [(1, "b-overwrite", T0, "final")]))
+
+    after = {(r["id"], r["key"]) for r in a.current(as_of=snap).collect()}
+    assert after == before == {(1, "a1")}
+    # and the live view sees b's commits
+    live = {(r["id"], r["key"]) for r in a.current().collect()}
+    assert live == {(1, "b-overwrite"), (2, "b1")}
+
+
+def test_pending_claim_fences_reads_until_aborted(spark, tmp_path):
+    """A claim without a finalize (crashed writer) parks the committed
+    frontier: later commits stay invisible until the stale claim is
+    resolved by abort_stale_claims()."""
+    import os as _os
+
+    path = str(tmp_path / "cat7")
+    a = DatasetStore(spark, path)
+    a.add(_rows(spark, [(1, "a1", T0, "final")]))
+
+    # simulate a writer that claimed seq 2 and died before writing
+    with open(f"{a.commits_path}/{2:020d}.claim", "w") as fh:
+        fh.write("deadbeef")
+    # a's next write claims 3 and finalizes it — but the frontier is
+    # parked at 1, so the committed view must not include seq 3 yet
+    a.add(_rows(spark, [(2, "a2", T0, "final")]))
+    assert a._seq == 3
+    assert a.latest_seq() == 1
+    assert sorted(r["id"] for r in a.current().collect()) == [1]
+
+    # resolving the orphan advances the frontier; seq-3 rows surface
+    _os.utime(f"{a.commits_path}/{2:020d}.claim", (0, 0))  # make it stale
+    assert a.abort_stale_claims(ttl_s=60) == [2]
+    assert a.latest_seq() == 3
+    assert sorted(r["id"] for r in a.current().collect()) == [1, 2]
+
+
+def test_concurrent_thread_writers_all_commit(spark, tmp_path):
+    """Two threads interleaving adds on disjoint ids: every batch gets a
+    unique seq and no commit is lost."""
+    import threading
+
+    path = str(tmp_path / "cat8")
+    DatasetStore(spark, path).add(_rows(spark, [(0, "seed", T0, "final")]))
+    errs = []
+
+    def writer(base_id):
+        try:
+            st = DatasetStore(spark, path)
+            for i in range(3):
+                st.add(_rows(spark, [(base_id + i, f"w{base_id}-{i}", T0, "final")]))
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    st = DatasetStore(spark, path)
+    ids = sorted(r["id"] for r in st.current().collect())
+    assert ids == [0, 100, 101, 102, 200, 201, 202]
+    # unique seq per committed batch
+    log = st._log().select("_seq").distinct().count()
+    assert log == 7
 
 
 def test_time_travel_and_history(spark, tmp_path):
