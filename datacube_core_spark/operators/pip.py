@@ -277,7 +277,15 @@ class PipIndex:
 
     def _refine(self, cand: DataFrame, lon: str, lat: str) -> DataFrame:
         """Exact numpy PIP refine of tier-3 candidate rows (thin boundary
-        band only) — shared by both join plans."""
+        band only) — shared by both join plans.
+
+        Skew note (PERF.md §17, measured): ``cand`` comes from a BROADCAST
+        equi-join, so these rows inherit the big side's partitioning — a
+        region boundary crossing a hot cell costs ≈1.0× the quiet-band
+        wall because the dense band stays spread across input partitions.
+        That holds as long as the upstream layout isn't location-sorted;
+        a table clustered by (lon, lat) would funnel a hot band into few
+        partitions and should be repartitioned before this join."""
         bc_geoms = self._bc_geoms
         lon_name, lat_name = lon, lat
         out_schema = cand.schema
