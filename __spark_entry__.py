@@ -53,6 +53,38 @@ def _pip_index(spark: SparkSession):
 # queries
 # ---------------------------------------------------------------------------
 
+def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page UTM zone + projected coordinates (SURVEY §2.8 CRS
+    transform row, now NATIVE for the 120 WGS84 UTM zones via the Krüger
+    series in geom/tmerc.py — reference delegates to pyproj,
+    ``utils/geometry/_base.py:305-346``).  Pure Catalyst whole-stage
+    codegen (hyperbolics via exp/log); coordinates floored to whole
+    metres for the cross-engine compare (libm transcendentals differ ≤ a
+    few ulp — sub-micrometre here; series precision itself is proven in
+    tests/test_tmerc.py against independent math).
+
+    Scale note: this Catalyst tree duplicates subexpressions, overflows
+    janino codegen and evaluates interpreted (~27k rows/s/core measured)
+    — it exists because the oracle needs a SQL-twin-able form.  Bulk
+    100-TB callers use ``geom.tmerc.utm_project_df`` (vectorized Arrow
+    kernel, ~35× — parity-tested) or the registry numpy transforms the
+    warp operators already consume."""
+    from datacube_core_spark.geom.tmerc import utm_cols
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    zone = F.least(
+        (F.floor((F.col("lon") + F.lit(180.0)) / F.lit(6.0)) + F.lit(1)).cast("int"),
+        F.lit(60),
+    )
+    e, n = utm_cols(F.col("lon"), F.col("lat"), zone)
+    return p.select(
+        "doc_id",
+        zone.alias("zone"),
+        F.floor(e).cast("long").alias("easting_m"),
+        F.floor(n).cast("long").alias("northing_m"),
+    )
+
+
 def q_tile_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages per GridSpec tile (point→tile assignment + hash agg)."""
     p = pages(spark, sf_dir, repl=Q_REPL)
@@ -1038,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_bulk": q_knn_bulk,
         "knn_dense": q_knn_dense,
+        "utm_project": q_utm_project,
         "pip_dateline": q_pip_dateline,
         "doc2dataset": q_doc2dataset,
         "solar_day": q_solar_day,
@@ -1158,6 +1191,21 @@ SELECT qid, doc_id, dist_sq, rank FROM (
          ) AS INT) AS rank
   FROM pages p CROSS JOIN q
 ) WHERE rank <= {KNN_K}
+"""
+
+    # utm_project: the Krüger-series SQL twin mirrors utm_cols term by
+    # term; FLOOR to whole metres bounds out libm ulp differences
+    from datacube_core_spark.geom.tmerc import sql_utm_exprs
+
+    _e_sql, _n_sql = sql_utm_exprs("lon", "lat", "zone")
+    sqls["utm_project"] = f"""{_P},
+z AS (SELECT doc_id, lon, lat,
+             LEAST(CAST(FLOOR((lon + 180.0) / 6.0) AS INT) + 1, 60) AS zone
+      FROM pages)
+SELECT doc_id, zone,
+       CAST(FLOOR({_e_sql}) AS BIGINT) AS easting_m,
+       CAST(FLOOR({_n_sql}) AS BIGINT) AS northing_m
+FROM z
 """
 
     # knn_dense: hot-cluster queries (doc_id % 5 = 0, the skew injection)

@@ -124,6 +124,21 @@ register_transform(EPSG_4326, EPSG_3857, lonlat_to_merc, merc_to_lonlat)
 register_transform(EPSG_4326, ESRI_54008, lonlat_to_sinu, sinu_to_lonlat)
 
 
+def _resolve_lazy(crs: str) -> None:
+    """Auto-register natively-computable CRS families on first use —
+    currently the 120 WGS84 UTM zones (EPSG:326xx/327xx, Krüger series in
+    geom.tmerc).  Keeps the registry small instead of pre-registering
+    every zone."""
+    if (crs, EPSG_4326) in _TRANSFORMS:
+        return
+    from .tmerc import utm_transforms
+
+    pair = utm_transforms(crs)
+    if pair is not None:
+        fwd, inv = pair
+        register_transform(EPSG_4326, crs, fwd, inv)
+
+
 def get_transformer(src_crs: str, dst_crs: str) -> PointTransform:
     """Point transform src→dst from the registry (identity, direct pair,
     or composed through the EPSG:4326 pivot); raises NotImplementedError
@@ -132,6 +147,8 @@ def get_transformer(src_crs: str, dst_crs: str) -> PointTransform:
     s, d = _norm_crs(src_crs), _norm_crs(dst_crs)
     if s == d:
         return lambda xs, ys: (np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
+    _resolve_lazy(s)
+    _resolve_lazy(d)
     direct = _TRANSFORMS.get((s, d))
     if direct is not None:
         return direct

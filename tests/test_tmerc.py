@@ -1,0 +1,179 @@
+"""Ellipsoidal Transverse Mercator (geom/tmerc.py): the Krüger series is
+validated by INDEPENDENT math, not by itself — spherical closed form in
+the f→0 limit, Simpson-integrated meridian arc on the central meridian,
+the published WGS84 quarter-meridian constant, and exact round-trips."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.geom.mercator import get_transformer, have_transform
+from datacube_core_spark.geom.tmerc import (
+    A_WGS84,
+    F_WGS84,
+    K0_UTM,
+    parse_utm_epsg,
+    sql_utm_exprs,
+    tmerc_forward,
+    tmerc_inverse,
+    utm_cols,
+    utm_lon0,
+    utm_zone_of,
+)
+
+
+def _grid(lon0=3.0):
+    lon = np.linspace(lon0 - 3.5, lon0 + 3.5, 29)
+    lat = np.linspace(-84.0, 84.0, 41)
+    LO, LA = np.meshgrid(lon, lat)
+    return LO.ravel(), LA.ravel()
+
+
+def test_round_trip_nanometer():
+    lon, lat = _grid()
+    x, y = tmerc_forward(lon, lat, 3.0)
+    lon2, lat2 = tmerc_inverse(x, y, 3.0)
+    # 1e-11 deg ≈ 1 µm on the ground
+    assert np.max(np.abs(lon2 - lon)) < 1e-10
+    assert np.max(np.abs(lat2 - lat)) < 1e-10
+
+
+def test_sphere_limit_matches_closed_form():
+    """f → 0 collapses the series to the EXACT spherical TM:
+    x = R·atanh(sinλ·cosφ), y = R·atan(tanφ/cosλ)."""
+    lon, lat = _grid(lon0=0.0)
+    x, y = tmerc_forward(lon, lat, 0.0, a=1.0, f=1e-13, k0=1.0)
+    lam = lon * np.pi / 180.0
+    phi = lat * np.pi / 180.0
+    x_ref = np.arctanh(np.sin(lam) * np.cos(phi))
+    y_ref = np.arctan2(np.tan(phi), np.cos(lam))
+    assert np.max(np.abs(x - x_ref)) < 1e-9
+    assert np.max(np.abs(y - y_ref)) < 1e-9
+
+
+def _meridian_arc_simpson(lat_deg, n=20001):
+    """Independent meridian arc: m(φ) = a(1−e²)∫₀^φ (1−e²sin²t)^(−3/2) dt."""
+    e2 = F_WGS84 * (2 - F_WGS84)
+    t = np.linspace(0.0, lat_deg * np.pi / 180.0, n)
+    f_t = (1 - e2 * np.sin(t) ** 2) ** -1.5
+    h = t[1] - t[0]
+    return A_WGS84 * (1 - e2) * (h / 3) * (
+        f_t[0] + f_t[-1] + 4 * f_t[1:-1:2].sum() + 2 * f_t[2:-2:2].sum()
+    )
+
+
+@pytest.mark.parametrize("lat", [10.0, 33.3, 47.5, 60.0, 80.0])
+def test_central_meridian_equals_meridian_arc(lat):
+    """On λ=0 the easting is E₀ and the northing is k₀·(meridian arc) —
+    checked against Simpson integration, which shares NO code with the
+    series."""
+    x, y = tmerc_forward(np.array([3.0]), np.array([lat]), 3.0, e0=500000.0)
+    assert abs(x[0] - 500000.0) < 1e-6
+    assert abs(y[0] - K0_UTM * _meridian_arc_simpson(lat)) < 1e-3
+
+
+def test_quarter_meridian_constant():
+    """N(90°) on the central meridian = k₀ × the published WGS84 quarter
+    meridian, 10 001 965.729 m."""
+    _, y = tmerc_forward(np.array([3.0]), np.array([90.0]), 3.0)
+    assert abs(y[0] - K0_UTM * 10_001_965.7293) < 0.01
+
+
+def test_equator_northing_zero():
+    x, y = tmerc_forward(np.array([4.5]), np.array([0.0]), 3.0)
+    assert abs(y[0]) < 1e-9
+
+
+def test_utm_epsg_parsing_and_zones():
+    assert parse_utm_epsg("EPSG:32631") == (31, True)
+    assert parse_utm_epsg("EPSG:32760") == (60, False)
+    assert parse_utm_epsg("EPSG:32661") is None  # UPS, not UTM
+    assert parse_utm_epsg("EPSG:4326") is None
+    assert utm_zone_of([-180.0, -174.1, 0.0, 3.0, 179.9]).tolist() == [1, 1, 31, 31, 60]
+    assert utm_lon0(31) == 3.0
+
+
+def test_registry_seam_resolves_utm():
+    """The r4 'what's missing' #2 gap: UTM pairs now resolve through the
+    same seam every consumer uses (to_crs / reproject_roi / warp)."""
+    assert have_transform("EPSG:4326", "EPSG:32631")
+    assert have_transform("EPSG:32733", "EPSG:4326")
+    # cross-zone composes through the 4326 pivot
+    fwd = get_transformer("EPSG:32631", "EPSG:32632")
+    x, y = fwd(np.array([500000.0]), np.array([5000000.0]))
+    lon, lat = get_transformer("EPSG:32632", "EPSG:4326")(x, y)
+    assert abs(lon[0] - 3.0) < 1e-9  # zone31 central meridian seen from zone32
+
+
+def test_utm_southern_hemisphere_false_northing():
+    fwd = get_transformer("EPSG:4326", "EPSG:32733")  # zone 33 south
+    x, y = fwd(np.array([15.0]), np.array([-30.0]))
+    assert 0 < y[0] < 10_000_000.0
+    lon, lat = get_transformer("EPSG:32733", "EPSG:4326")(x, y)
+    assert abs(lon[0] - 15.0) < 1e-10 and abs(lat[0] + 30.0) < 1e-10
+
+
+def test_catalyst_matches_numpy(spark):
+    """The Catalyst expression tree (hyperbolics via exp/log) agrees with
+    the numpy kernel to micrometres, hemisphere-aware."""
+    rows = [
+        (1, 7.4, 51.2), (2, 2.1, 48.8), (3, 15.2, -30.5),
+        (4, -0.1, 51.5), (5, 174.8, -41.3), (6, 3.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, lon DOUBLE, lat DOUBLE")
+    zone = (F.floor((F.col("lon") + F.lit(180.0)) / F.lit(6.0)) + F.lit(1)).cast("int")
+    e, n = utm_cols(F.col("lon"), F.col("lat"), zone)
+    got = {
+        r["id"]: (r["zone"], r["e"], r["n"])
+        for r in df.select("id", zone.alias("zone"), e.alias("e"), n.alias("n")).collect()
+    }
+    for rid, lon, lat in rows:
+        z = int(np.floor((lon + 180.0) / 6.0)) + 1
+        fwd = get_transformer("EPSG:4326", f"EPSG:{(32600 if lat >= 0 else 32700) + z}")
+        x, y = fwd(np.array([lon]), np.array([lat]))
+        zz, ee, nn = got[rid]
+        assert zz == z
+        assert abs(ee - x[0]) < 1e-6 and abs(nn - y[0]) < 1e-6
+
+
+def test_bulk_kernel_matches_catalyst(spark):
+    """utm_project_df (the Arrow bulk path, ~35× the interpreted Catalyst
+    tree) agrees with utm_cols to micrometres on mixed-zone/hemisphere
+    rows, and its plan is MapInPandas (no row-at-a-time Python)."""
+    from datacube_core_spark.geom.tmerc import utm_project_df
+
+    rows = [(i, -170.0 + i * 7.3, -80.0 + (i * 13) % 160) for i in range(40)]
+    df = spark.createDataFrame(rows, "id LONG, lon DOUBLE, lat DOUBLE")
+    bulk = {
+        r["id"]: (r["zone"], r["easting"], r["northing"])
+        for r in utm_project_df(df).collect()
+    }
+    zone = (F.floor((F.col("lon") + F.lit(180.0)) / F.lit(6.0)) + F.lit(1)).cast("int")
+    e, n = utm_cols(F.col("lon"), F.col("lat"), zone)
+    cat = {
+        r["id"]: (r["z"], r["e"], r["n"])
+        for r in df.select("id", zone.alias("z"), e.alias("e"), n.alias("n")).collect()
+    }
+    for rid in bulk:
+        assert bulk[rid][0] == cat[rid][0]
+        assert abs(bulk[rid][1] - cat[rid][1]) < 1e-6
+        assert abs(bulk[rid][2] - cat[rid][2]) < 1e-6
+    plan = utm_project_df(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_twin_matches_numpy():
+    import duckdb
+
+    con = duckdb.connect()
+    e_sql, n_sql = sql_utm_exprs("lon", "lat", "zone")
+    q = f"""
+    SELECT id, {e_sql} AS e, {n_sql} AS n FROM (VALUES
+      (1, 7.4, 51.2, 32), (2, 2.1, 48.8, 31), (3, 15.2, -30.5, 33)
+    ) AS t(id, lon, lat, zone) ORDER BY id
+    """
+    for rid, e, n in con.execute(q).fetchall():
+        lon, lat, z = {1: (7.4, 51.2, 32), 2: (2.1, 48.8, 31), 3: (15.2, -30.5, 33)}[rid]
+        x, y = tmerc_forward(np.array([lon]), np.array([lat]), utm_lon0(z), e0=500000.0,
+                             n0=0.0 if lat >= 0 else 10_000_000.0)
+        assert abs(e - x[0]) < 1e-6 and abs(n - y[0]) < 1e-6
