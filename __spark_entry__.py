@@ -85,6 +85,23 @@ def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE S2 cell ids per page (level 16) — the cross-system interop
+    key (r4 "what's missing" #3, closed): geom/s2.py implements the
+    published S2 construction (cube face → quadratic ST → Hilbert curve)
+    from scratch, Arrow-vectorized.  The oracle twin replays the SAME
+    pipeline in DuckDB SQL, including the 8-step Hilbert traversal as
+    joins against the 4096-entry lookup table — so the driver checks the
+    full bit layout value-for-value.  Level 16 (not leaf) bounds out
+    libm ulp flips at fine-grid floor boundaries."""
+    from datacube_core_spark.geom.s2 import with_s2_cell
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    return with_s2_cell(p.select("doc_id", "lon", "lat"), level=16).select(
+        "doc_id", "s2_cell"
+    )
+
+
 def q_tile_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages per GridSpec tile (point→tile assignment + hash agg)."""
     p = pages(spark, sf_dir, repl=Q_REPL)
@@ -1071,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bulk": q_knn_bulk,
         "knn_dense": q_knn_dense,
         "utm_project": q_utm_project,
+        "s2_cells": q_s2_cells,
         "pip_dateline": q_pip_dateline,
         "doc2dataset": q_doc2dataset,
         "solar_day": q_solar_day,
@@ -1206,6 +1224,14 @@ SELECT doc_id, zone,
        CAST(FLOOR({_e_sql}) AS BIGINT) AS easting_m,
        CAST(FLOOR({_n_sql}) AS BIGINT) AS northing_m
 FROM z
+"""
+
+    # s2_cells: the full S2 pipeline replayed in SQL (face CASEs,
+    # quadratic ST, Hilbert LUT joins) — see geom/s2.py sql_s2_cells
+    from datacube_core_spark.geom.s2 import sql_s2_cells
+
+    sqls["s2_cells"] = f"""{_P},
+{sql_s2_cells(16, src="pages")}
 """
 
     # knn_dense: hot-cluster queries (doc_id % 5 = 0, the skew injection)
