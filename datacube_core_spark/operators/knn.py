@@ -323,21 +323,33 @@ def knn_join(
 
     # ---- dense-cell local-index pass (PERF.md §15) --------------------
     if local_index_pairs is not None:
-        pc = {
-            (row["ptx"], row["pty"]): row["n"]
-            for row in pages_t.groupBy("ptx", "pty").agg(F.count("*").alias("n")).collect()
-        }
-        qc = {
-            (row["qtx"], row["qty"]): row["n"]
-            for row in pending.groupBy("qtx", "qty").agg(F.count("*").alias("n")).collect()
-        }
+        # pair estimation stays DISTRIBUTED: per-tile count aggs, ring-
+        # expand the page counts (bounded (2r0+1)² fan-out of an already-
+        # aggregated table), join, filter.  Only tiles ABOVE the cutoff
+        # are collected — each holds > local_index_pairs candidate pairs,
+        # so the driver list is tiny by construction even when the tile
+        # grid is fine enough that the full count map would be data-sized.
         ring0 = [(dx, dy) for dx in range(-r0, r0 + 1) for dy in range(-r0, r0 + 1)]
-        dense = [
-            t
-            for t, nq in qc.items()
-            if nq * sum(pc.get((t[0] + dx, t[1] + dy), 0) for dx, dy in ring0)
-            > local_index_pairs
-        ]
+        pc_df = pages_t.groupBy("ptx", "pty").agg(F.count("*").alias("np"))
+        qc_df = pending.groupBy("qtx", "qty").agg(F.count("*").alias("nq"))
+        ring_np = (
+            pc_df.crossJoin(F.broadcast(_ring_offsets(spark, r0)))
+            .select(
+                (F.col("ptx") + F.col("dx")).alias("qtx"),
+                (F.col("pty") + F.col("dy")).alias("qty"),
+                "np",
+            )
+            .groupBy("qtx", "qty")
+            .agg(F.sum("np").alias("ring_np"))
+        )
+        dense_rows = (
+            qc_df.join(ring_np, on=["qtx", "qty"], how="inner")
+            .where(F.col("nq") * F.col("ring_np") > F.lit(int(local_index_pairs)))
+            .select("qtx", "qty", "nq")
+            .collect()
+        )
+        dense = [(r["qtx"], r["qty"]) for r in dense_rows]
+        qc = {(r["qtx"], r["qty"]): r["nq"] for r in dense_rows}
         if dense:
             id_type = dict(pages_t.dtypes)[id_col]
             qid_type = dict(pending.dtypes)["qid"]
