@@ -157,10 +157,42 @@ def streaming_cell_state(
     )
 
 
+def sessionize_state_from_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user resume state for :func:`streaming_sessionize` derived from
+    a BATCH event history (the restart-bootstrap source): the same
+    lag+running-sum window plan as the batch ``sessionize`` entry, reduced
+    to each user's LAST event — ``(user_id, session_start, last_ts)``.
+    Feed the result as ``bootstrap`` so a restarted stream continues the
+    in-flight session under the same session id instead of restarting it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1000), 1).otherwise(0)
+    assigned = (
+        events.select("user_id", "event_id", "ts")
+        .withColumn(
+            "session_n",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .withColumn(
+            "session_start", F.min("ts").over(Window.partitionBy("user_id", "session_n"))
+        )
+    )
+    wd = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        assigned.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "session_start", F.col("ts").alias("last_ts"))
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "1 day",
+    bootstrap: DataFrame = None,
 ) -> DataFrame:
     """Stateful gap-based sessionization — the streaming twin of the
     batch ``sessionize`` window plan (entry ``q_sessionize``): per user,
@@ -183,9 +215,29 @@ def streaming_sessionize(
     Batch-equivalence contract (tested): when events arrive in event-time
     order (per-user batch-monotone), the streaming assignment is
     row-identical to the batch window plan.  True late data (older than
-    the watermark) needs the batch backfill path."""
+    the watermark) needs the batch backfill path.
+
+    ``bootstrap`` closes the restart gap WITHOUT a streaming checkpoint
+    (same pattern as ``streaming_cell_state``): a batch DataFrame
+    ``(user_id, session_start, last_ts)`` — from
+    :func:`sessionize_state_from_batch` over the already-processed
+    history — is broadcast and seeds any user whose streaming state does
+    not exist yet, so an in-flight session continues under its original
+    id across the restart.  Live state always wins; users idle past the
+    gap are naturally unaffected (their next event starts a fresh session
+    with or without a seed), which is exactly why the session id is the
+    start TIMESTAMP."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    seed_map = {}
+    if bootstrap is not None:
+        for r in bootstrap.select("user_id", "session_start", "last_ts").collect():
+            seed_map[int(r["user_id"])] = (
+                pd.Timestamp(r["session_start"]).value // 1000,
+                pd.Timestamp(r["last_ts"]).value // 1000,
+            )
+    bc_seed = events.sparkSession.sparkContext.broadcast(seed_map)
 
     gap_us = gap_minutes * 60 * 1_000_000
     keyed = (
@@ -202,7 +254,10 @@ def streaming_sessionize(
             # regardless — dropping the state cannot change assignments
             state.remove()
             return
-        sess_start_us, last_us = state.get if state.exists else (None, None)
+        if state.exists:
+            sess_start_us, last_us = state.get
+        else:
+            sess_start_us, last_us = bc_seed.value.get(int(key[0]), (None, None))
         # ONE sort over the whole micro-batch group: a group larger than
         # the Arrow batch size arrives as multiple chunks whose relative
         # order is not guaranteed (review pass 3) — sorting per chunk

@@ -458,3 +458,52 @@ def test_streaming_sessionize_matches_batch_window(spark, tmp_path):
     # share a session id, its later event 12 starts a new one
     assert got[(2, 10)] == got[(2, 11)]
     assert got[(2, 12)] > got[(2, 11)]
+
+
+def test_streaming_sessionize_bootstrap_restore(spark, tmp_path):
+    """Restart restore (ROADMAP r6 item): history is sessionized in batch,
+    its per-user tail seeds the restarted stream — events after the
+    restart continue the in-flight session under the ORIGINAL session id,
+    row-identical to an uninterrupted run over the full timeline."""
+    import datetime as _dt
+
+    from datacube_core_spark.streaming.jobs import (
+        sessionize_state_from_batch,
+        streaming_sessionize,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes):
+        return (eid, uid, t0 + _dt.timedelta(minutes=minutes))
+
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    # user 1: session at (0, 10) that CONTINUES at 25 after the restart
+    # (gap 15 < 30), then a new session at 90
+    # user 2: idle across the restart (5 → 120): new session either way
+    history = [ev(1, 1, 0), ev(2, 1, 10), ev(10, 2, 5)]
+    after = [ev(3, 1, 25), ev(4, 1, 90), ev(11, 2, 120)]
+
+    hist_df = spark.createDataFrame(history, schema)
+    seed = sessionize_state_from_batch(hist_df, gap_minutes=30)
+
+    src = tmp_path / "sess_boot_src"
+    src.mkdir()
+    spark.createDataFrame(after, schema).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_sessionize(stream, gap_minutes=30, bootstrap=seed)
+    q = (
+        out.writeStream.format("memory").queryName("sess_boot")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_start"]
+        for r in spark.sql("SELECT * FROM sess_boot").collect()
+    }
+    # event 3 continues the pre-restart session: id = its START (t0+0)
+    assert got[(1, 3)] == t0
+    # event 4 is a fresh session (gap 65 > 30)
+    assert got[(1, 4)] == t0 + _dt.timedelta(minutes=90)
+    # idle user: fresh session regardless of the seed
+    assert got[(2, 11)] == t0 + _dt.timedelta(minutes=120)
