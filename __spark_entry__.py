@@ -69,13 +69,10 @@ def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB callers use ``geom.tmerc.utm_project_df`` (vectorized Arrow
     kernel, ~35× — parity-tested) or the registry numpy transforms the
     warp operators already consume."""
-    from datacube_core_spark.geom.tmerc import utm_cols
+    from datacube_core_spark.geom.tmerc import utm_cols, utm_zone_col
 
     p = pages(spark, sf_dir, repl=Q_REPL)
-    zone = F.least(
-        (F.floor((F.col("lon") + F.lit(180.0)) / F.lit(6.0)) + F.lit(1)).cast("int"),
-        F.lit(60),
-    )
+    zone = utm_zone_col(F.col("lon"))
     e, n = utm_cols(F.col("lon"), F.col("lat"), zone)
     return p.select(
         "doc_id",
@@ -1213,12 +1210,12 @@ SELECT qid, doc_id, dist_sq, rank FROM (
 
     # utm_project: the Krüger-series SQL twin mirrors utm_cols term by
     # term; FLOOR to whole metres bounds out libm ulp differences
-    from datacube_core_spark.geom.tmerc import sql_utm_exprs
+    from datacube_core_spark.geom.tmerc import sql_utm_exprs, sql_utm_zone
 
     _e_sql, _n_sql = sql_utm_exprs("lon", "lat", "zone")
     sqls["utm_project"] = f"""{_P},
 z AS (SELECT doc_id, lon, lat,
-             LEAST(CAST(FLOOR((lon + 180.0) / 6.0) AS INT) + 1, 60) AS zone
+             {sql_utm_zone("lon")} AS zone
       FROM pages)
 SELECT doc_id, zone,
        CAST(FLOOR({_e_sql}) AS BIGINT) AS easting_m,

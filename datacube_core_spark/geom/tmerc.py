@@ -190,6 +190,20 @@ def utm_transforms(crs: str):
     return fwd, inv
 
 
+def utm_zone_col(lon_col):
+    """Catalyst twin of :func:`utm_zone_of` — SAME clamps (1..60) so the
+    three dialects can never disagree on out-of-range longitudes."""
+    from pyspark.sql import functions as F
+
+    z = (F.floor((lon_col + F.lit(180.0)) / F.lit(6.0)) + F.lit(1)).cast("int")
+    return F.least(F.greatest(z, F.lit(1)), F.lit(60))
+
+
+def sql_utm_zone(lon: str) -> str:
+    """SQL twin of :func:`utm_zone_of` (same clamps)."""
+    return f"LEAST(GREATEST(CAST(FLOOR(({lon} + 180.0) / 6.0) AS INT) + 1, 1), 60)"
+
+
 # ---------------------------------------------------------------------------
 # Distributed bulk projection (the 100-TB path)
 # ---------------------------------------------------------------------------
@@ -203,10 +217,18 @@ def utm_project_df(df, lon_col: str = "lon", lat_col: str = "lat"):
     (measured); this Arrow kernel runs the same series at ~1M rows/s/core
     (~35×).  Rows are processed per-partition with per-zone masks, no
     shuffle, no Python-per-row."""
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    schema = df.schema.simpleString()[7:-1] + ",zone:int,easting:double,northing:double"
-    schema = schema.replace(":", " ").replace(",", ", ")
+    # build the output schema programmatically — string-munging
+    # simpleString() breaks on nested/parameterized column types
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("zone", IntegerType()),
+            StructField("easting", DoubleType()),
+            StructField("northing", DoubleType()),
+        ]
+    )
 
     def kernel(batches):
         for pdf in batches:

@@ -43,6 +43,20 @@ def _ring_offsets(spark, r: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _zero_lit(sql_type: str):
+    """Non-null type-zero for the cross-role id columns of the dense-cell
+    union (a page row's ``qid``, a query row's ``doc_id``).  NULLs would
+    make Arrow hand the kernel a float64 (or object) column — int64 ids
+    above 2^53 would silently lose precision and corrupt the (dist, id)
+    tie-break; a never-read sentinel keeps the dtype exact."""
+    t = sql_type.strip().lower()
+    if t in ("string", "varchar"):
+        return F.lit("")
+    if t.startswith(("decimal", "char", "varchar")):
+        return F.lit("0").cast(sql_type)
+    return F.lit(0).cast(sql_type)
+
+
 def _make_local_knn_kernel(k: int, guard_sq: float):
     """Build the applyInPandas kernel answering exact kNN inside one dense
     cell + page halo.
@@ -265,7 +279,7 @@ def knn_join(
     query_id_col: str = "qid",
     max_r: int = 64,
     broadcast_queries: bool = True,
-    local_index_pairs: int | None = 4_000_000,
+    local_index_pairs: "int | None | str" = "auto",
     local_max_group_queries: int = 250_000,
 ) -> DataFrame:
     """k nearest pages for each query point, with per-query exactness.
@@ -320,6 +334,9 @@ def knn_join(
     )
 
     results = None
+
+    if local_index_pairs == "auto":
+        local_index_pairs = None if broadcast_queries else 4_000_000
 
     # ---- dense-cell local-index pass (PERF.md §15) --------------------
     if local_index_pairs is not None:
@@ -387,7 +404,7 @@ def knn_join(
                     F.pmod(F.xxhash64("qid"), F.lit(salt)).cast("int").alias("sb"),
                     F.lit(1).cast("tinyint").alias("role"),
                     F.col("qid"),
-                    F.lit(None).cast(id_type).alias("doc_id"),
+                    _zero_lit(id_type).alias("doc_id"),
                     F.col("q_lon").alias("x"),
                     F.col("q_lat").alias("y"),
                 )
@@ -400,7 +417,7 @@ def knn_join(
                     "dty",
                     F.col("sb").cast("int"),
                     F.lit(0).cast("tinyint").alias("role"),
-                    F.lit(None).cast(qid_type).alias("qid"),
+                    _zero_lit(qid_type).alias("qid"),
                     F.col(id_col).alias("doc_id"),
                     F.col("lon").alias("x"),
                     F.col("lat").alias("y"),

@@ -154,7 +154,16 @@ class DatasetStore:
         deletes the other's attempts — observed); per-commit dirs give
         each job a private committer workspace, the Iceberg
         unique-data-file discipline."""
-        out.write.mode("error").parquet(f"{self.log_path}/c{seq:020d}")
+        try:
+            out.write.mode("error").parquet(f"{self.log_path}/c{seq:020d}")
+        except BaseException:
+            # release the claim so a surviving process doesn't park the
+            # frontier for every other writer: a failed Spark write
+            # commits nothing (the committer only publishes at job
+            # commit), so finalizing records an EMPTY commit — the
+            # in-process analog of abort_stale_claims
+            self._finalize(seq)
+            raise
         self._finalize(seq)
 
     def abort_stale_claims(self, ttl_s: float = 3600.0) -> list:
@@ -234,11 +243,18 @@ class DatasetStore:
         rows = [(i,) for i in ids]
         return self.spark.createDataFrame(rows, f"{self.id_col} {self.id_type}")
 
-    def _state(self, as_of: Optional[int] = None) -> Optional[DataFrame]:
+    def _state(self, as_of: Optional[int] = None, committed_only: bool = True) -> Optional[DataFrame]:
         """Last event per id (purge events included); ``as_of`` rewinds to
         the state after seq ``as_of`` — the Iceberg snapshot / time-travel
         analog, free on an event-sourced log (filter, then the same
-        last-writer-wins window)."""
+        last-writer-wins window).
+
+        ``committed_only=False`` is the WRITE-SIDE view: it skips the
+        frontier clamp so precondition checks (duplicate add, update-must-
+        exist, purge targets) see every physically-landed row, including
+        commits parked behind another writer's in-flight claim — otherwise
+        add() could double-add an id whose committed row is temporarily
+        hidden.  Read paths always use the committed view."""
         log = self._log()
         if log is None:
             return None
@@ -250,7 +266,7 @@ class DatasetStore:
         # out-of-protocol writers).  The hidden list is tiny: in-flight
         # writers + commits parked behind a stale claim (bounded by the
         # abort TTL).
-        frontier = self._committed_frontier()
+        frontier = self._committed_frontier() if committed_only else None
         if frontier is not None:
             claims, done = self._scan_markers()
             hidden = sorted(s for s in (claims | done) if s > frontier)
@@ -337,7 +353,9 @@ class DatasetStore:
                 *[F.col(c).asc_nulls_last() for c in df.columns]
             )
             df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-        st = self._state()
+        # WRITE view (committed_only=False): the duplicate check must see
+        # rows committed past a parked frontier, or add() double-adds
+        st = self._state(committed_only=False)
         if st is not None:
             existing = st.where(F.col("_op") != "purge").select(self.id_col)
             clash = df.join(existing, on=self.id_col, how="left_semi")
@@ -366,7 +384,7 @@ class DatasetStore:
         would make last-writer-wins nondeterministic (the same reason
         ProductCatalog.add_documents dedupes within-batch) — callers must
         pick ONE payload per id per batch."""
-        st = self._state()
+        st = self._state(committed_only=False)  # write view, see add()
         missing = None
         if st is None:
             missing = df.limit(1).collect()
@@ -397,7 +415,7 @@ class DatasetStore:
         return n
 
     def _payload_for(self, ids_df: DataFrame) -> DataFrame:
-        st = self._state()
+        st = self._state(committed_only=False)  # write view, see add()
         if st is None:
             return ids_df.limit(0)
         return (
@@ -434,7 +452,7 @@ class DatasetStore:
         """Hard-delete from every read.  Only archived datasets may be
         purged unless ``allow_non_archived`` (reference purge contract)."""
         ids_df = self._ids_df(ids)
-        st = self._state()
+        st = self._state(committed_only=False)  # write view, see add()
         if st is None:
             return 0
         targets = st.where(F.col("_op") != "purge").join(

@@ -167,9 +167,12 @@ def sessionize_state_from_batch(events: DataFrame, gap_minutes: int = 30) -> Dat
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
-    gap = ms - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
-    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1000), 1).otherwise(0)
+    # MICROseconds, matching streaming_sessionize's state arithmetic
+    # exactly — a millisecond-truncated gap could disagree with the
+    # uninterrupted stream on sub-ms timestamps right at the threshold
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     assigned = (
         events.select("user_id", "event_id", "ts")
         .withColumn(

@@ -68,6 +68,11 @@ def test_query_matches_oracle(spark, ddb, name):
     # where DuckDB HUGEINT (e.g. un-cast SUM(BIGINT)) degrades to float64
     # ('99.0' vs Spark's '99'). fetchall() returns Python ints and masked
     # exactly that class of oracle-twin type bug in r4 (VERDICT r4 #3).
+    # Known (driver-faithful) conflation: a NULL in a numeric column
+    # becomes NaN through pandas, so the mirror — like the driver —
+    # cannot tell SQL NULL from a genuine NaN in float columns; oracle
+    # entries must avoid NULL numerics in their output (all current ones
+    # do) rather than rely on that distinction.
     duck_df = ddb.execute(sqls[name]).fetchdf()
     duck_cols = list(duck_df.columns)
     duck_rows = [

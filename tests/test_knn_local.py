@@ -119,6 +119,27 @@ def test_kernel_tie_break_matches_window_semantics():
     assert got["doc_id"].tolist() == expected
 
 
+def test_int64_ids_above_2_53_survive_the_kernel(spark):
+    """Review finding: NULL cross-role id columns made Arrow hand the
+    kernel float64, corrupting ids above 2^53.  The non-null sentinel
+    keeps int64 exact — ids one apart at 2^53 must come back verbatim
+    with the correct (dist, id) tie-break."""
+    base = 1 << 53
+    rows = [(base + i, 10.0 + (i % 3) * 1e-9, 10.0) for i in range(1, 7)]
+    p = spark.createDataFrame(rows, "doc_id LONG, lon DOUBLE, lat DOUBLE")
+    q = spark.createDataFrame(
+        [(base + 100, 10.0, 10.0)], "qid LONG, lon DOUBLE, lat DOUBLE"
+    )
+    out = knn_join(p, q, GRID, k=3, broadcast_queries=False, local_index_pairs=0)
+    got = sorted((r["qid"], r["doc_id"]) for r in out.collect())
+    assert all(qid == base + 100 for qid, _ in got)
+    ids = [d for _, d in got]
+    assert all(isinstance(d, int) and d > base for d in ids)
+    # distances tie in groups of (i%3); tie-break is ascending id
+    ring = knn_join(p, q, GRID, k=3, broadcast_queries=False, local_index_pairs=None)
+    assert {tuple(r) for r in ring.collect()} == {tuple(r) for r in out.collect()}
+
+
 def test_kernel_fewer_than_k_pages_pends():
     kernel = _make_local_knn_kernel(5, guard_sq=1e18)
     pdf = pd.DataFrame(

@@ -155,6 +155,57 @@ def test_pending_claim_fences_reads_until_aborted(spark, tmp_path):
     assert sorted(r["id"] for r in a.current().collect()) == [1, 2]
 
 
+def test_write_preconditions_see_parked_commits(spark, tmp_path):
+    """Review finding: precondition checks must use the UNCLAMPED write
+    view — a committed row hidden behind another writer's parked claim
+    still blocks a duplicate add (and still satisfies update/archive)."""
+    path = str(tmp_path / "cat9")
+    a = DatasetStore(spark, path)
+    a.add(_rows(spark, [(1, "a1", T0, "final")]))
+    # writer that claimed seq 2 and stalled
+    with open(f"{a.commits_path}/{2:020d}.claim", "w") as fh:
+        fh.write("stalled")
+    # commit id=7 at seq 3 — hidden from committed reads (frontier = 1)
+    a.add(_rows(spark, [(7, "x", T0, "final")]))
+    assert sorted(r["id"] for r in a.current().collect()) == [1]
+    # but a duplicate add must still be rejected,
+    with pytest.raises(ValueError, match="already exists"):
+        a.add(_rows(spark, [(7, "dup", T0, "final")]))
+    # an update must still find it,
+    assert a.update(_rows(spark, [(7, "x2", T0, "final")])) == 1
+    # and archive must still target it
+    assert a.archive([7]) == 1
+
+
+def test_failed_write_releases_claim(spark, tmp_path, monkeypatch):
+    """Review finding: an in-process write failure must not park the
+    frontier — the claim is finalized as an EMPTY commit and later
+    writers stay visible."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    path = str(tmp_path / "cat10")
+    a = DatasetStore(spark, path)
+    a.add(_rows(spark, [(1, "a1", T0, "final")]))
+    blocked_seq = a._seq + 1
+
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, p, **kw):
+        raise RuntimeError("disk full (injected)")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        a.add(_rows(spark, [(2, "boom", T0, "final")]))
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    # the claim was finalized-empty: frontier moved past it, and a
+    # subsequent writer's commit is immediately visible
+    b = DatasetStore(spark, path)
+    b.add(_rows(spark, [(3, "b1", T0, "final")]))
+    assert b.latest_seq() >= blocked_seq
+    assert sorted(r["id"] for r in b.current().collect()) == [1, 3]
+
+
 def test_concurrent_thread_writers_all_commit(spark, tmp_path):
     """Two threads interleaving adds on disjoint ids: every batch gets a
     unique seq and no commit is lost."""
