@@ -162,3 +162,85 @@ def test_canonical_url_idempotent_fuzz(spark):
     ).collect()
     bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, f"canonicalization not idempotent: {bad[:3]}"
+
+
+def test_utm_twins_fuzz(spark):
+    """Krüger-series UTM: Catalyst vs DuckDB SQL twin on 400 random
+    points (all zones/hemispheres + near-equator/near-pole bands),
+    floor-to-metre compared like the utm_project entry."""
+    import duckdb as _duck
+
+    from datacube_core_spark.geom.tmerc import (
+        sql_utm_exprs,
+        sql_utm_zone,
+        utm_cols,
+        utm_zone_col,
+    )
+
+    r = _rng()
+    pts = [
+        (
+            i,
+            r.uniform(-180.0, 180.0),
+            r.choice(
+                [r.uniform(-84.0, 84.0), r.uniform(-0.01, 0.01), r.uniform(83.0, 84.0)]
+            ),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pts, "i LONG, lon DOUBLE, lat DOUBLE")
+    zone = utm_zone_col(F.col("lon"))
+    e, n = utm_cols(F.col("lon"), F.col("lat"), zone)
+    got = {
+        row["i"]: (row["z"], row["e"], row["n"])
+        for row in df.select(
+            "i",
+            zone.alias("z"),
+            F.floor(e).cast("long").alias("e"),
+            F.floor(n).cast("long").alias("n"),
+        ).collect()
+    }
+    con = _duck.connect()
+    e_sql, n_sql = sql_utm_exprs("lon", "lat", "zone")
+    mism = []
+    for i, lon, lat in pts:
+        z, ee, nn = con.execute(
+            f"SELECT zone, CAST(FLOOR({e_sql}) AS BIGINT), CAST(FLOOR({n_sql}) AS BIGINT) "
+            f"FROM (SELECT ? AS lon, ? AS lat, {sql_utm_zone('?')} AS zone)",
+            [lon, lat, lon],
+        ).fetchone()
+        if got[i] != (z, ee, nn):
+            mism.append((lon, lat, got[i], (z, ee, nn)))
+    assert not mism, f"{len(mism)} UTM cross-engine mismatches; first: {mism[0]}"
+
+
+def test_s2_twins_fuzz(spark):
+    """S2 cell ids: the Arrow pandas_udf vs the full SQL pipeline
+    (face CASEs + Hilbert LUT joins) on 500 random points at three
+    levels, plus face-boundary-adjacent points."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from datacube_core_spark.geom.s2 import sql_s2_cells, with_s2_cell
+
+    r = _rng()
+    pts = [(i, r.uniform(-180.0, 180.0), r.uniform(-89.0, 89.0)) for i in range(400)]
+    # face-boundary band: |lat| ≈ 45 and lon ≈ multiples of 45
+    pts += [
+        (400 + i, 45.0 * r.randint(-4, 4) + r.uniform(-1e-6, 1e-6),
+         45.0 + r.uniform(-1e-6, 1e-6))
+        for i in range(100)
+    ]
+    con = _duck.connect()
+    con.register("pts", pd.DataFrame(
+        {"doc_id": [p[0] for p in pts], "lon": [p[1] for p in pts], "lat": [p[2] for p in pts]}
+    ))
+    df = spark.createDataFrame(pts, "doc_id LONG, lon DOUBLE, lat DOUBLE")
+    for level in (8, 16, 30):
+        got = {
+            row["doc_id"]: row["s2_cell"]
+            for row in with_s2_cell(df, level=level).select("doc_id", "s2_cell").collect()
+        }
+        exp = dict(con.execute("WITH " + sql_s2_cells(level, src="pts")).fetchall())
+        mism = [(k, got[k], exp[k]) for k in got if got[k] != exp[k]]
+        assert not mism, f"level {level}: {len(mism)} mismatches; first: {mism[0]}"
