@@ -128,8 +128,13 @@ def test_transformer_registry():
     t = get_transformer("EPSG:4326", "EPSG:4326")
     xs, ys = t(np.array([1.0]), np.array([2.0]))
     assert xs[0] == 1.0 and ys[0] == 2.0
+    # UTM zones resolve natively since r5 (geom/tmerc.py lazy registry)
+    utm = get_transformer("EPSG:4326", "EPSG:32633")
+    x, y = utm(np.array([15.0]), np.array([0.0]))
+    assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0]) < 1e-9
+    # a genuinely unregistered CRS (British National Grid) still raises
     with pytest.raises(NotImplementedError):
-        get_transformer("EPSG:4326", "EPSG:32633")
+        get_transformer("EPSG:4326", "EPSG:27700")
 
 
 def _gbox_4326(left, top, res, w, h):
@@ -235,10 +240,23 @@ def test_compute_reproject_roi_cross_crs():
     # shrink scale ~ (1 deg src pixels per dst pixel): dst is 60 px over 30 deg
     assert 0.3 < rr.scale < 0.7
 
-    # unsupported pair still raises the documented block
-    g_utm = GeoBox(10, 10, Affine(100.0, 0.0, 0.0, 0.0, -100.0, 0.0), "EPSG:32633")
+    # UTM is a REGISTERED pair since r5 (geom/tmerc.py): a UTM source
+    # geobox plans a cross-CRS ROI instead of raising.  100km-square
+    # window near zone 33's central meridian back-projects into the
+    # 4326 dst plane without error.
+    g_utm = GeoBox(
+        10, 10, Affine(100.0, 0.0, 500000.0, 0.0, -100.0, 5000000.0), "EPSG:32633"
+    )
+    rr_utm = compute_reproject_roi(g_utm, d_gbox)
+    # the 1km UTM window lands somewhere inside the dst plane: a small,
+    # non-degenerate dst ROI (exact indices depend on the dst grid)
+    assert rr_utm.roi_dst[0].stop > rr_utm.roi_dst[0].start >= 0
+    assert rr_utm.roi_dst[1].stop > rr_utm.roi_dst[1].start >= 0
+
+    # a genuinely unregistered CRS still raises the documented block
+    g_bng = GeoBox(10, 10, Affine(100.0, 0.0, 0.0, 0.0, -100.0, 0.0), "EPSG:27700")
     with pytest.raises(NotImplementedError):
-        compute_reproject_roi(g_utm, d_gbox)
+        compute_reproject_roi(g_bng, d_gbox)
 
 
 def test_all_13_modes_constant_field():
