@@ -99,6 +99,41 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER = (
+    "terms of service all rights reserved this content is provided as is "
+    "without warranty of any kind either express or implied including fitness"
+)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact span dedup (the distributed analog of
+    suffix-array exact-substring dedup over training corpora): duplicated
+    12-token windows at stride 6 across documents.  Docs with
+    ``doc_id % 7 == 0`` carry a planted 24-token boilerplate tail, so
+    window-aligned subsets of them share spans — exercising the positive
+    path deterministically in both engines."""
+    from datacube_core_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER))
+    ).otherwise(F.col("text"))
+    return duplicated_spans(docs.select("doc_id", txt.alias("text")), window=12, stride=6)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents corpus for a
+    deterministic self-derived query (the 5 highest-df terms): explode →
+    tf hash-agg (map-side combine), tiny df agg, broadcast query join,
+    per-doc score sum, top-10 with (score desc, doc_id) tie-break.
+    Scores rounded to 1e-6 for the cross-engine compare (ln differs by
+    ulps between libms)."""
+    from datacube_core_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bm25_topk(docs, k=10)
+
+
 def q_tile_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages per GridSpec tile (point→tile assignment + hash agg)."""
     p = pages(spark, sf_dir, repl=Q_REPL)
@@ -1086,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dense": q_knn_dense,
         "utm_project": q_utm_project,
         "s2_cells": q_s2_cells,
+        "span_dedup": q_span_dedup,
+        "bm25_topk": q_bm25_topk,
         "pip_dateline": q_pip_dateline,
         "doc2dataset": q_doc2dataset,
         "solar_day": q_solar_day,
@@ -1222,6 +1259,19 @@ SELECT doc_id, zone,
        CAST(FLOOR({_n_sql}) AS BIGINT) AS northing_m
 FROM z
 """
+
+    from datacube_core_spark.operators.dedup import sql_duplicated_spans
+    from datacube_core_spark.operators.search import sql_bm25_topk
+
+    sqls["span_dedup"] = sql_duplicated_spans(
+        "corpus AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        f"THEN text || ' {_BOILER}' ELSE text END AS text FROM documents)",
+        window=12,
+        stride=6,
+    )
+    sqls["bm25_topk"] = sql_bm25_topk(
+        "corpus AS (SELECT doc_id, text FROM documents)", k=10
+    )
 
     # s2_cells: the full S2 pipeline replayed in SQL (face CASEs,
     # quadratic ST, Hilbert LUT joins) — see geom/s2.py sql_s2_cells

@@ -613,3 +613,103 @@ reach AS (
 )
 SELECT root AS doc_id, MIN(node) AS cluster FROM reach GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Passage-level span dedup (exact duplicated W-token windows across docs)
+# ---------------------------------------------------------------------------
+
+
+def doc_spans(
+    docs: DataFrame,
+    window: int = 30,
+    stride: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, token-window): sliding windows of ``window``
+    lowercased whitespace tokens at ``stride``, each hashed (md5/16) —
+    the substrate for exact PASSAGE-level dedup (the distributed analog
+    of suffix-array exact-substring dedup over training corpora:
+    boilerplate/licence blocks repeat verbatim across documents even when
+    whole-doc fingerprints differ).  Docs shorter than ``window`` tokens
+    emit nothing (whole-doc dedup covers them).
+
+    Scale shape: pure Catalyst (split → sequence → explode → slice →
+    md5); fan-out ≈ n_tokens/stride rows per doc; everything downstream
+    is hash aggregation with map-side partial combine — a boilerplate
+    span in millions of docs contributes one partial row per input
+    partition, never a hot shuffle key join."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    n_win = F.floor((n - F.lit(window)) / F.lit(stride)) + F.lit(1)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.when(n >= window, n_win).otherwise(F.lit(0)).cast("int").alias("_nw"),
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.col("_nw") - 1)).alias("pos")
+    spans = base.where(F.col("_nw") > 0).select("doc_id", "_toks", pos)
+    span_txt = F.array_join(
+        F.slice(F.col("_toks"), F.col("pos") * stride + 1, window), " "
+    )
+    return spans.select(
+        "doc_id",
+        F.col("pos"),
+        F.substring(F.md5(span_txt), 1, 16).alias("span_hash"),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 30,
+    stride: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Spans appearing in ≥ 2 DISTINCT docs:
+    (span_hash, n_docs, n_occ, min_doc, max_doc) — the detection side of
+    passage dedup; a removal pass joins doc spans back on span_hash."""
+    sp = doc_spans(docs, window, stride, id_col, text_col)
+    return (
+        sp.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def sql_duplicated_spans(
+    corpus_cte: str, window: int = 30, stride: int = 15
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` over a CTE yielding
+    ``corpus(doc_id, text)`` (1-based list_slice mirrors F.slice)."""
+    return f"""WITH {corpus_cte},
+tk AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(0, CAST(FLOOR((n - {window}) / {stride}) AS INT))) AS pos
+  FROM tk WHERE n >= {window}
+),
+h AS (
+  SELECT doc_id,
+         substring(md5(array_to_string(list_slice(toks, pos * {stride} + 1, pos * {stride} + {window}), ' ')), 1, 16) AS span_hash
+  FROM w
+)
+SELECT span_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+"""

@@ -1,0 +1,136 @@
+"""Passage-level span dedup (operators/dedup.duplicated_spans) and BM25
+retrieval (operators/search.bm25_topk): pure-python oracles on planted
+corpora, plus plan-shape checks."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.operators.dedup import doc_spans, duplicated_spans
+from datacube_core_spark.operators.search import B, K1, bm25_topk
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _py_spans(text, w, s):
+    toks = text.strip().lower().split()
+    if len(toks) < w:
+        return []
+    return [
+        " ".join(toks[p * s : p * s + w])
+        for p in range((len(toks) - w) // s + 1)
+    ]
+
+
+def test_doc_spans_matches_python_oracle(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "  A  b C d e  "),          # whitespace + case folding
+        (3, "x y z"),                    # shorter than window -> nothing
+        (4, ""),                         # empty -> nothing
+    ]
+    df = _corpus(spark, rows)
+    got = {
+        (r["doc_id"], r["pos"]): r["span_hash"]
+        for r in doc_spans(df, window=4, stride=2).collect()
+    }
+    import hashlib
+
+    exp = {}
+    for did, text in rows:
+        for p, span in enumerate(_py_spans(text, 4, 2)):
+            exp[(did, p)] = hashlib.md5(span.encode()).hexdigest()[:16]
+    assert got == exp
+
+
+def test_duplicated_spans_detects_planted_boilerplate(spark):
+    """Two docs share an 8-token block at ALIGNED offsets; a third has it
+    at a misaligned offset (detected only if a window lines up); an
+    unrelated doc contributes nothing."""
+    block = "one two three four five six seven eight"
+    rows = [
+        (1, f"{block} tail1 tail2"),
+        (2, f"{block} other words here"),
+        (3, f"pre {block}"),                     # offset 1: misaligned for stride 2? pos*2 grid
+        (4, "completely different text entirely unrelated words"),
+    ]
+    df = _corpus(spark, rows)
+    out = duplicated_spans(df, window=4, stride=2).collect()
+    # brute-force python oracle
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for did, text in rows:
+        for span in _py_spans(text, 4, 2):
+            occ[span].append(did)
+    exp_multi = {s for s, ds in occ.items() if len(set(ds)) >= 2}
+    import hashlib
+
+    exp_hashes = {hashlib.md5(s.encode()).hexdigest()[:16] for s in exp_multi}
+    assert {r["span_hash"] for r in out} == exp_hashes
+    for r in out:
+        assert r["n_docs"] >= 2 and r["n_occ"] >= r["n_docs"]
+
+
+def test_duplicated_spans_plan_is_agg_only(spark):
+    df = _corpus(spark, [(i, "w " * 40) for i in range(10)])
+    plan = duplicated_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_bm25_matches_python_oracle(spark):
+    """Hand-computable corpus: query = 2 highest-df terms; scores checked
+    against a from-scratch python BM25."""
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana banana banana"),
+        (3, "apple cherry cherry"),
+        (4, "date egg fig"),
+    ]
+    df = _corpus(spark, rows)
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in bm25_topk(df, k=4, n_query_terms=2).collect()}
+
+    docs = {d: t.split() for d, t in rows}
+    n = float(len(docs))
+    avglen = float(sum(len(t) for t in docs.values())) / n
+    from collections import Counter
+
+    dfreq = Counter()
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] += 1
+    qterms = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:2]  # apple, banana? apple df=3, banana df=2, cherry df=2 -> banana < cherry
+    scores = {}
+    for did, toks in docs.items():
+        tf = Counter(toks)
+        s = 0.0
+        for t in qterms:
+            if tf[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf[t] * (K1 + 1.0) / (tf[t] + K1 * (1.0 - B + B * len(toks) / avglen)))
+        scores[did] = s
+    # standard retrieval semantics: docs matching NO query term are not
+    # ranked at all (the tf join is inner)
+    order = sorted(
+        ((d, s) for d, s in scores.items() if s > 0.0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert set(got) == {d for d, _ in order}
+    for rank, (did, s) in enumerate(order, 1):
+        assert got[did][1] == rank, (did, got[did], order)
+        assert got[did][0] == pytest.approx(round(s, 6), abs=1e-6)
+
+
+def test_bm25_rank_contract(spark):
+    """Identical texts tie exactly -> rank by doc_id; k truncates."""
+    rows = [(i, "same words every time") for i in range(1, 6)]
+    df = _corpus(spark, rows)
+    out = bm25_topk(df, k=3).collect()
+    assert [(r["doc_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, 1), (2, 2), (3, 3)
+    ]
