@@ -109,7 +109,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level exact span dedup (the distributed analog of
     suffix-array exact-substring dedup over training corpora): duplicated
     12-token windows at stride 6 across documents.  Docs with
-    ``doc_id % 7 == 0`` carry a planted 24-token boilerplate tail, so
+    ``doc_id % 7 == 0`` carry a planted 23-token boilerplate tail, so
     window-aligned subsets of them share spans — exercising the positive
     path deterministically in both engines."""
     from datacube_core_spark.operators.dedup import duplicated_spans
@@ -126,8 +126,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic self-derived query (the 5 highest-df terms): explode →
     tf hash-agg (map-side combine), tiny df agg, broadcast query join,
     per-doc score sum, top-10 with (score desc, doc_id) tie-break.
-    Scores rounded to 1e-6 for the cross-engine compare (ln differs by
-    ulps between libms)."""
+    Scores emitted AND ranked as floor(score·1e6) integers so the
+    order-dependent float sum can never flip a rank or a rounding
+    boundary between engines (ln also differs by ulps between libms)."""
     from datacube_core_spark.operators.search import bm25_topk
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")

@@ -129,6 +129,30 @@ def sql_token_count(col: str = "text") -> str:
     )
 
 
+def sql_tokens(col: str = "text") -> str:
+    """Twin of :func:`tokens_col` (lowercased whitespace tokens)."""
+    return f"string_split_regex(lower(trim({col})), '\\s+')"
+
+
+def sql_tokenized_cte(src: str = "corpus", col: str = "text") -> str:
+    """The shared ``tk(doc_id, toks, len)`` CTE body both retrieval twins
+    (BM25, span dedup) build on — ONE definition so a tokenizer tweak
+    cannot silently diverge the contracts.
+
+    Cross-engine caveat (applies to every ``\\s`` twin in this module):
+    Java's ``\\s`` includes vertical tab ``\\x0B``; RE2's does not.  A
+    document containing ``\\x0B`` tokenizes differently between Spark and
+    DuckDB — the synthetic corpus contains none, and real corpora should
+    normalize control characters upstream."""
+    return f"""tk AS (
+  SELECT doc_id,
+         {sql_tokens(col)} AS toks,
+         CASE WHEN trim({col}) = '' THEN 0
+              ELSE len({sql_tokens(col)}) END AS len
+  FROM {src}
+)"""
+
+
 def sql_lang_scores(col: str = "text") -> str:
     toks = f"string_split_regex(lower(trim({col})), '\\s+')"
     parts = []

@@ -640,8 +640,10 @@ def doc_spans(
     is hash aggregation with map-side partial combine — a boilerplate
     span in millions of docs contributes one partial row per input
     partition, never a hot shuffle key join."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    from ..functions.text import token_count_col, tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    n = token_count_col(F.col(text_col))
     n_win = F.floor((n - F.lit(window)) / F.lit(stride)) + F.lit(1)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -688,18 +690,14 @@ def sql_duplicated_spans(
 ) -> str:
     """DuckDB twin of :func:`duplicated_spans` over a CTE yielding
     ``corpus(doc_id, text)`` (1-based list_slice mirrors F.slice)."""
+    from ..functions.text import sql_tokenized_cte
+
     return f"""WITH {corpus_cte},
-tk AS (
-  SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n
-  FROM corpus
-),
+{sql_tokenized_cte("corpus")},
 w AS (
   SELECT doc_id, toks,
-         UNNEST(generate_series(0, CAST(FLOOR((n - {window}) / {stride}) AS INT))) AS pos
-  FROM tk WHERE n >= {window}
+         UNNEST(generate_series(0, CAST(FLOOR((len - {window}) / {stride}) AS INT))) AS pos
+  FROM tk WHERE len >= {window}
 ),
 h AS (
   SELECT doc_id,

@@ -21,9 +21,12 @@ B = 0.75
 
 def term_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
     """(tf_df, len_df): per-(doc, term) frequencies and per-doc token
-    lengths from lowercased whitespace tokens."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    lengths from lowercased whitespace tokens (the shared
+    functions.text tokenizer — ONE definition per dialect)."""
+    from ..functions.text import token_count_col, tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    n = token_count_col(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"), n.alias("len"))
     tf = (
         base.select("doc_id", F.explode("_toks").alias("term"))
@@ -43,14 +46,28 @@ def bm25_topk(
     """Top-``k`` docs by BM25 for a deterministic query: the
     ``n_query_terms`` highest-df terms (ties by term asc) — self-contained
     so the same query derives identically in the SQL twin.  Returns
-    (doc_id, score, rank); ties broken (score desc, doc_id asc).  Docs
-    matching NO query term are not ranked (inner tf join — standard
+    (doc_id, score_micro, rank); ties broken (score desc, doc_id asc).
+    Docs matching NO query term are not ranked (inner tf join — standard
     retrieval semantics).
 
     idf = ln(1 + (N − df + 0.5)/(df + 0.5));
     score = Σ idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)).
-    """
+
+    ``score_micro`` = floor(score · 1e6) as an INTEGER, and the ranking
+    itself orders by score_micro, not the raw sum: the per-doc float SUM
+    adds terms in engine-/partition-dependent order, so exact-tie docs
+    (duplicate texts) can come out 1 ulp apart in one engine and bitwise
+    equal in the other — ranking on the quantized integer makes rank and
+    output deterministic cross-engine (identical multiply+floor in both;
+    residual risk is only a true value within ~1 ulp of an exact 1e-6
+    grid line).  Spark ``F.round``'s BigDecimal HALF_UP also differs
+    algorithmically from DuckDB's double ROUND — floor avoids both."""
     tf, lens = term_stats(docs, id_col, text_col)
+    id_type = dict(docs.dtypes)[id_col]
+    if docs.limit(1).count() == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"doc_id {id_type}, score_micro LONG, rank INT"
+        )
     # corpus constants collected driver-side (two scalar rows — a
     # bounded driver decision, like the salt histograms): avglen from an
     # EXACT integer token sum, then ONE float division — F.avg would sum
@@ -79,26 +96,28 @@ def bm25_topk(
             * (F.lit(1.0 - B) + F.lit(B) * F.col("len") / F.col("avglen"))
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(F.sum(score_term).alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.floor(F.sum(score_term) * F.lit(1e6)).cast("long").alias("score_micro")
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k + driver merge — no global single-partition sort); the rank
+    # window then runs over ≤ k rows only
+    top = per_doc.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_micro", "rank"
     )
 
 
 def sql_bm25_topk(corpus_cte: str, k: int = 10, n_query_terms: int = 5) -> str:
     """DuckDB twin over a CTE yielding ``corpus(doc_id, text)`` — same
     tokenization, same query derivation, same arithmetic op order."""
+    from ..functions.text import sql_tokenized_cte
+
     return f"""WITH {corpus_cte},
-tk AS (
-  SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS len
-  FROM corpus
-),
+{sql_tokenized_cte("corpus")},
 tf AS (
   SELECT doc_id, UNNEST(toks) AS term FROM tk
 ),
@@ -130,9 +149,12 @@ scored AS (
   JOIN tk ON tk.doc_id = tfc.doc_id
   CROSS JOIN consts
 )
-SELECT doc_id, ROUND(score, 6) AS score, rank FROM (
-  SELECT doc_id, SUM(s) AS score,
-         CAST(ROW_NUMBER() OVER (ORDER BY SUM(s) DESC, doc_id ASC) AS INT) AS rank
-  FROM scored GROUP BY doc_id
+SELECT doc_id, score_micro, rank FROM (
+  SELECT doc_id, score_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+  FROM (
+    SELECT doc_id, CAST(FLOOR(SUM(s) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+  )
 ) WHERE rank <= {k}
 """

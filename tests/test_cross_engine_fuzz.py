@@ -216,8 +216,10 @@ def test_utm_twins_fuzz(spark):
 
 def test_s2_twins_fuzz(spark):
     """S2 cell ids: the Arrow pandas_udf vs the full SQL pipeline
-    (face CASEs + Hilbert LUT joins) on 500 random points at three
-    levels, plus face-boundary-adjacent points."""
+    (face CASEs + Hilbert LUT joins): 400 uniform random points + a
+    200-point face-boundary band at lat ±45 / lon multiples of 45
+    (both hemispheres — a sign bug adjacent to face 5 would hide from
+    uniform sampling), at three levels."""
     import duckdb as _duck
     import pandas as pd
 
@@ -225,11 +227,11 @@ def test_s2_twins_fuzz(spark):
 
     r = _rng()
     pts = [(i, r.uniform(-180.0, 180.0), r.uniform(-89.0, 89.0)) for i in range(400)]
-    # face-boundary band: |lat| ≈ 45 and lon ≈ multiples of 45
+    # face-boundary band: lat ±45 (both hemispheres) and lon ≈ k·45
     pts += [
         (400 + i, 45.0 * r.randint(-4, 4) + r.uniform(-1e-6, 1e-6),
-         45.0 + r.uniform(-1e-6, 1e-6))
-        for i in range(100)
+         r.choice([45.0, -45.0]) + r.uniform(-1e-6, 1e-6))
+        for i in range(200)
     ]
     con = _duck.connect()
     con.register("pts", pd.DataFrame(

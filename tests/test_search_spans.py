@@ -92,7 +92,10 @@ def test_bm25_matches_python_oracle(spark):
         (4, "date egg fig"),
     ]
     df = _corpus(spark, rows)
-    got = {r["doc_id"]: (r["score"], r["rank"]) for r in bm25_topk(df, k=4, n_query_terms=2).collect()}
+    got = {
+        r["doc_id"]: (r["score_micro"], r["rank"])
+        for r in bm25_topk(df, k=4, n_query_terms=2).collect()
+    }
 
     docs = {d: t.split() for d, t in rows}
     n = float(len(docs))
@@ -123,7 +126,7 @@ def test_bm25_matches_python_oracle(spark):
     assert set(got) == {d for d, _ in order}
     for rank, (did, s) in enumerate(order, 1):
         assert got[did][1] == rank, (did, got[did], order)
-        assert got[did][0] == pytest.approx(round(s, 6), abs=1e-6)
+        assert got[did][0] == math.floor(s * 1e6)
 
 
 def test_bm25_rank_contract(spark):
@@ -134,3 +137,33 @@ def test_bm25_rank_contract(spark):
     assert [(r["doc_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
         (1, 1), (2, 2), (3, 3)
     ]
+
+
+def test_bm25_exact_ties_mixed_with_distinct_scores(spark):
+    """Review finding: equal-score docs are ranked on the QUANTIZED
+    integer score, so a 1-ulp order-dependent sum difference can never
+    flip rank — duplicate-text docs interleaved with distinct ones must
+    tie-break purely by doc_id."""
+    rows = [
+        (5, "apple apple banana extra words here now"),
+        (2, "apple banana common phrasing of words"),
+        (9, "apple banana common phrasing of words"),   # exact dup of 2
+        (1, "apple banana common phrasing of words"),   # exact dup of 2
+        (3, "banana alone with some other words"),
+    ]
+    df = _corpus(spark, rows)
+    out = bm25_topk(df, k=5, n_query_terms=2).collect()
+    by_rank = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    scores = {r["doc_id"]: r["score_micro"] for r in out}
+    assert scores[1] == scores[2] == scores[9]
+    # the three tied docs appear in doc_id order, contiguously
+    tied_pos = [by_rank.index(d) for d in (1, 2, 9)]
+    assert tied_pos == sorted(tied_pos)
+    assert by_rank.index(1) < by_rank.index(2) < by_rank.index(9)
+
+
+def test_bm25_empty_corpus(spark):
+    df = _corpus(spark, [])
+    out = bm25_topk(df, k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score_micro", "rank"]
