@@ -1112,7 +1112,15 @@ def q_recrawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's CORRECTNESS capture has recorded
+    # exactly the first 50 entries in r5, so entries that have never been
+    # driver-verified sort FIRST (VERDICT r5 "Next round" item 1).  Rule:
+    # a new or never-driver-green entry is inserted at the top, not the
+    # bottom, so it cannot be pushed past the verification window.
     return {
+        "domain_stats": q_domain_stats,
+        "sessionize": q_sessionize,
+        "recrawl_dedup": q_recrawl_dedup,
         "tile_count": q_tile_count,
         "bbox_tiles": q_bbox_tiles,
         "pip_pairs": q_pip_pairs,
@@ -1163,9 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
-        "domain_stats": q_domain_stats,
-        "sessionize": q_sessionize,
-        "recrawl_dedup": q_recrawl_dedup,
     }
 
 

@@ -298,7 +298,7 @@ def s2_token(cell_id):
 # ---------------------------------------------------------------------------
 # DuckDB SQL twin (driver oracle): the ENTIRE pipeline — face/uv CASEs,
 # quadratic ST, and the 8-step Hilbert traversal as joins against the
-# 4096-entry lookup table emitted as a VALUES list
+# 1024-entry lookup table (1 << (2*LOOKUP_BITS + 2)) emitted as a VALUES list
 # ---------------------------------------------------------------------------
 
 

@@ -436,6 +436,11 @@ def knn_join(
                 )
                 .localCheckpoint(eager=True)
             )
+            # The kernel's output schema names the id column 'doc_id'
+            # internally; surface it under the caller's id_col so the
+            # downstream selects/unionByName line up for any id_col.
+            if id_col != "doc_id":
+                loc = loc.withColumnRenamed("doc_id", id_col)
             results = (
                 loc.where(F.col("resolved"))
                 .select("qid", id_col, "dist_sq", "rank")

@@ -26,6 +26,7 @@ amplification — the Iceberg ``rewrite_data_files`` analog.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from typing import Iterable, Optional
 
@@ -67,7 +68,22 @@ class DatasetStore:
 
     The marker CAS relies on atomic exclusive-create in the log's
     filesystem (true for POSIX local/NFSv4/HDFS; on S3 you would swap
-    this seam for a real Iceberg/Glue catalog commit)."""
+    this seam for a real Iceberg/Glue catalog commit).
+
+    SCOPE of the multi-writer guarantees: seq uniqueness, snapshot
+    stability, and frontier clamping are guaranteed under concurrency.
+    PRECONDITION checks are not — :meth:`add`'s duplicate check,
+    :meth:`update`'s must-exist check, and :meth:`purge`'s existence
+    check are read-then-write: two concurrent writers can both pass the
+    check before either commit lands (e.g. the same id added twice,
+    resolved only by last-writer-wins at read).  Those checks are
+    single-writer semantics unless commits are serialized externally —
+    the same gap an Iceberg optimistic commit has for application-level
+    invariants, which real deployments close with a catalog-level
+    conditional commit or an upstream queue."""
+
+    #: seconds between claim-file heartbeat touches during a commit write
+    _HEARTBEAT_S = 30.0
 
     def __init__(self, spark: SparkSession, base_path: str, id_col: str = "id", id_type: str = "LONG"):
         self.spark = spark
@@ -153,18 +169,41 @@ class DatasetStore:
         Hadoop committer ``_temporary`` staging dir (one job's cleanup
         deletes the other's attempts — observed); per-commit dirs give
         each job a private committer workspace, the Iceberg
-        unique-data-file discipline."""
+        unique-data-file discipline.
+
+        While the Spark write runs, a heartbeat thread touches the
+        ``.claim`` file every ``_HEARTBEAT_S`` so its mtime tracks
+        LIVENESS, not claim age: :meth:`abort_stale_claims`'s TTL then
+        cannot force-finalize a slow-but-alive writer whose append merely
+        outlasts the TTL (it would land rows below an already-captured
+        frontier, retroactively mutating snapshots)."""
+        claim = f"{self.commits_path}/{seq:020d}.claim"
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(self._HEARTBEAT_S):
+                try:
+                    os.utime(claim)
+                except OSError:
+                    return  # claim resolved/removed under us — stop quietly
+
+        hb = threading.Thread(target=_beat, name=f"claim-heartbeat-{seq}", daemon=True)
+        hb.start()
         try:
-            out.write.mode("error").parquet(f"{self.log_path}/c{seq:020d}")
-        except BaseException:
-            # release the claim so a surviving process doesn't park the
-            # frontier for every other writer: a failed Spark write
-            # commits nothing (the committer only publishes at job
-            # commit), so finalizing records an EMPTY commit — the
-            # in-process analog of abort_stale_claims
+            try:
+                out.write.mode("error").parquet(f"{self.log_path}/c{seq:020d}")
+            except BaseException:
+                # release the claim so a surviving process doesn't park the
+                # frontier for every other writer: a failed Spark write
+                # commits nothing (the committer only publishes at job
+                # commit), so finalizing records an EMPTY commit — the
+                # in-process analog of abort_stale_claims
+                self._finalize(seq)
+                raise
             self._finalize(seq)
-            raise
-        self._finalize(seq)
+        finally:
+            stop.set()
+            hb.join(timeout=5.0)
 
     def abort_stale_claims(self, ttl_s: float = 3600.0) -> list:
         """Resolve claims older than ``ttl_s`` with no finalize — a
@@ -174,9 +213,13 @@ class DatasetStore:
         before acking" case); if none landed it is an empty commit and the
         frontier simply advances past it.  Returns resolved seqs.  This is
         the orphaned-commit cleanup an Iceberg catalog runs as
-        maintenance; only invoke when the claim's writer is known dead —
-        force-finalizing a LIVE writer mid-append can expose a partial
-        batch."""
+        maintenance.  Staleness is judged by claim-file MTIME, and
+        :meth:`_write_commit` heartbeats (``os.utime``) its claim every
+        ``_HEARTBEAT_S`` while its Spark write runs, so a slow-but-ALIVE
+        writer is not force-finalized as long as ``ttl_s`` comfortably
+        exceeds the heartbeat interval (keep ``ttl_s`` ≥ 10×
+        ``_HEARTBEAT_S``); only a writer whose process actually died goes
+        quiet long enough to cross the TTL."""
         import time as _time
 
         claims, done = self._scan_markers()

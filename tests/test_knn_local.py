@@ -164,3 +164,22 @@ def test_kernel_guard_rejection_pends():
     )
     out = kernel(pdf)
     assert not out["resolved"].any()
+
+
+def test_local_index_custom_id_col(spark, pages_df):
+    """ADVICE r5: the local-index kernel names its id column 'doc_id'
+    internally; a caller passing a non-default id_col must get identical
+    rows (the rename seam), not an analysis error."""
+    p = pages_df.withColumnRenamed("doc_id", "page_id")
+    q = pages_df.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "lon", "lat"
+    )
+    base = knn_join(
+        pages_df, q, GRID, k=5, broadcast_queries=False, local_index_pairs=None
+    )
+    loc = knn_join(
+        p, q, GRID, k=5, id_col="page_id",
+        broadcast_queries=False, local_index_pairs=0,
+    )
+    assert loc.columns == ["qid", "page_id", "dist_sq", "rank", "exact"]
+    assert _rows(base) == _rows(loc)

@@ -338,3 +338,30 @@ def test_intra_batch_duplicate_ids(spark, tmp_path):
     assert got[2] == "b" and got[1] == "a"  # deterministic: first by all-column sort
     with pytest.raises(ValueError, match="duplicate id in one update batch"):
         st.update(_rows(spark, [(1, "x", T0, "final"), (1, "y", T0, "final")]))
+
+
+def test_claim_heartbeat_keeps_slow_writer_alive(spark, tmp_path, monkeypatch):
+    """ADVICE r5: abort_stale_claims judges liveness by claim mtime; a
+    slow-but-alive writer's _write_commit must heartbeat (utime) its
+    claim so the TTL tracks liveness, not claim AGE.  We backdate the
+    claim right as the write starts and check the heartbeat re-touched
+    it before finalize."""
+    import os as _os
+    import time as _time
+
+    monkeypatch.setattr(DatasetStore, "_HEARTBEAT_S", 0.05)
+    st = DatasetStore(spark, str(tmp_path / "cat_hb"))
+    seq = st._next_seq()
+    claim = f"{st.commits_path}/{seq:020d}.claim"
+    _os.utime(claim, (0, 0))  # pretend the claim is ancient
+    df = _rows(spark, [(1, "a1", T0, "final")]).withColumn("_op", F.lit("add")) \
+        .withColumn("_seq", F.lit(seq).cast("long")).withColumn("_tie", F.lit("t"))
+    st._write_commit(df, seq)
+    # heartbeat fired at least once during the (>=0.1s) Spark write, so
+    # the mtime is now recent — a ttl_s=3600 sweep would not have seen
+    # this writer as dead at any point after its first beat
+    assert _time.time() - _os.path.getmtime(claim) < 3000
+    # and the heartbeat thread is stopped: mtime stays put afterwards
+    m0 = _os.path.getmtime(claim)
+    _time.sleep(0.2)
+    assert _os.path.getmtime(claim) == m0
