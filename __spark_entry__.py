@@ -213,6 +213,48 @@ def q_knn_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "doc_id", "dist_sq", "rank")
 
 
+_S2PIP_INDEX_CACHE: dict = {}
+
+
+def _s2pip_index(spark: SparkSession):
+    """Build-once S2 covering index over the 240 patchwork regions PLUS
+    the chopped dateline region (region_id 240) — memoized per session
+    like _pip_index."""
+    from datacube_core_spark.geom.lonlat import chop_along_antimeridian
+    from datacube_core_spark.geom.polygon import box_ring, pack_multipolygon
+    from datacube_core_spark.operators.s2pip import S2PipIndex
+
+    key = id(spark)
+    idx = _S2PIP_INDEX_CACHE.get(key)
+    if idx is None:
+        chopped = chop_along_antimeridian([[box_ring(170.0, -20.0, 190.0, 25.0)]])
+        extra = spark.createDataFrame(
+            [(240, "dateline", -180.0, -20.0, 180.0, 25.0, bytearray(pack_multipolygon(chopped)))],
+            "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY",
+        )
+        idx = S2PipIndex(spark, regions(spark).unionByName(extra))
+        _S2PIP_INDEX_CACHE.clear()
+        _S2PIP_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_pip_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join keyed by TRUE S2 cell ids (r5 verdict item 2): each
+    region becomes a conservative covering cell set (geom/s2cover.py —
+    published S2Cell::GetRectBound construction, interior/boundary
+    tiers), pages get leaf ids from the r5 Arrow S2 kernel, candidates
+    come from pure-Catalyst parent-at-level bit arithmetic + broadcast
+    equi-joins, and the thin boundary band is refined exactly.  This is
+    the candidate pass an external S2-keyed point index enables
+    (reference analog: the PostGIS GIST pass,
+    ``datacube/drivers/postgis/_spatial.py:62-97``); output is
+    row-identical to the GridSpec-lattice PipIndex on the same regions —
+    including the antimeridian-crossing region_id 240 — which the oracle
+    checks value-for-value."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    return _s2pip_index(spark).join(p, keep_cols=["doc_id"]).select("doc_id", "region_id")
+
+
 def q_pip_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join against a region CROSSING THE ANTIMERIDIAN: the raw
     footprint arrives in extended longitudes (170..190, the reference's
@@ -1118,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "pip_s2": q_pip_s2,
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "recrawl_dedup": q_recrawl_dedup,
@@ -1223,6 +1266,16 @@ SELECT p.doc_id, r.region_id FROM {pip_join_sql}
     sqls["pip_region_count"] = f"""{_P}, {REGIONS_CTE}
 SELECT r.region_id, COUNT(*) AS n FROM {pip_join_sql}
 GROUP BY 1
+"""
+
+    # pip_s2 output = patchwork pairs ∪ dateline-region pairs (id 240):
+    # same exact strict-interior semantics, different candidate machinery
+    sqls["pip_s2"] = f"""{_P}, {REGIONS_CTE}
+SELECT p.doc_id, r.region_id FROM {pip_join_sql}
+UNION ALL
+SELECT doc_id, CAST(240 AS INT) AS region_id FROM pages
+WHERE lat > -20.0 AND lat < 25.0
+  AND ((lon > 170.0 AND lon < 180.0) OR (lon > -180.0 AND lon < -170.0))
 """
 
     sqls["knn"] = f"""{_P},

@@ -1,0 +1,183 @@
+"""S2-keyed point-in-polygon join — the spatial-index interop path.
+
+`PipIndex` (operators/pip.py) owns the engine's native GridSpec/subcell
+lattice.  This operator answers the same query through GENUINE S2 cell
+ids (geom/s2.py) + region coverings (geom/s2cover.py), which is the
+join shape you need when the big side arrives ALREADY keyed by S2 cells
+from an external system (the planet-scale point-index convention) — the
+candidate pass PostGIS' per-SRID GIST index performs in the reference
+(``datacube/drivers/postgis/_spatial.py:62-97``) expressed as a Spark
+broadcast equi-join on an integer key.
+
+Plan shape (mirrors PipIndex's single-scan tier discipline):
+
+1. big side: one Arrow-vectorized pass computes the LEAF cell id per
+   point (skipped when the caller provides a pre-keyed column), then
+   pure-Catalyst bit arithmetic derives the parent id at every active
+   covering level and explodes — no shuffle, no Python in the join path.
+2. one broadcast equi-join against the level-tagged INTERIOR covering
+   union — membership proven by the join alone (covering cells whose
+   rect bound lies strictly inside the region skip refinement).
+3. one broadcast equi-join against the BOUNDARY union, then the exact
+   numpy strict-interior refine over the thin candidate band.
+
+100-TB notes: the covering tables are geometry-bounded (per-region
+~target_cells² rows at an adaptively picked level), so the broadcast is
+small by construction; the big side is scanned twice (interior +
+boundary joins) against PipIndex's three — both AQE-friendly broadcast
+hash joins on a single long key.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geom.polygon import points_strictly_inside_multi, unpack_multipolygon
+from ..geom.s2 import MAX_LEVEL, lsb_for_level, with_s2_cell
+from ..geom.s2cover import pick_covering_level, s2_covering
+
+
+def parent_id_col(cell, level: int):
+    """Catalyst ancestor-at-``level`` of an S2 id column — the bitwise
+    twin of :func:`..geom.s2.parent_id` ((id & -lsb) | lsb), sign-safe
+    for faces 4-5 (pure bit ops on long)."""
+    lsb = lsb_for_level(level)
+    return cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+class S2PipIndex:
+    """Build-once S2 covering index of a (broadcast-small) region table.
+
+    ``regions_df`` must carry ``region_id`` and a packed-multipolygon
+    ``geom`` column (same contract as PipIndex); geometries are pulled
+    driver-side to run the covering — the region side is the SMALL side
+    of this join by definition (it is broadcast either way), matching
+    PipIndex's generic-blob discipline.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        regions_df: DataFrame,
+        target_cells_per_axis: int = 8,
+        level: Optional[int] = None,
+    ):
+        rows = regions_df.select("region_id", "geom").collect()
+        self.geom_map: Dict[int, bytes] = {int(r["region_id"]): bytes(r["geom"]) for r in rows}
+
+        cov_rows: List[tuple] = []
+        levels = set()
+        for rid, blob in sorted(self.geom_map.items()):
+            mp = unpack_multipolygon(blob)
+            lv = level if level is not None else pick_covering_level(mp, target_cells_per_axis)
+            ids, interior = s2_covering(mp, lv)
+            levels.add(lv)
+            cov_rows.extend(
+                (int(rid), int(lv), int(c), bool(i))
+                for c, i in zip(ids.tolist(), interior.tolist())
+            )
+        if not cov_rows:
+            raise ValueError("S2PipIndex built from an empty region table")
+        self.levels = sorted(levels)
+        cov = spark.createDataFrame(
+            cov_rows, "region_id INT, lv INT, cell LONG, interior BOOLEAN"
+        )
+        self._interior = cov.where(F.col("interior")).select("lv", "cell", "region_id")
+        self._boundary = cov.where(~F.col("interior")).select("lv", "cell", "region_id")
+        self._bc_geoms = spark.sparkContext.broadcast(self.geom_map)
+
+    def join(
+        self,
+        pages_df: DataFrame,
+        lon: str = "lon",
+        lat: str = "lat",
+        keep_cols: Optional[list] = None,
+        cell_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Pages → regions whose interior strictly contains them.
+
+        Returns (keep_cols or all pages columns) + lon/lat + region_id —
+        the same output contract as ``PipIndex.join`` (parity-tested).
+        ``cell_col`` names a pre-existing LEAF (level-30) S2 id column —
+        the external-table interop case where points arrive keyed; when
+        omitted the leaf id is computed from lon/lat in one Arrow pass.
+        """
+        base_cols = keep_cols if keep_cols is not None else [
+            c for c in pages_df.columns if c not in (lon, lat, cell_col)
+        ]
+        out_cols = [*base_cols, lon, lat, "region_id"]
+
+        if cell_col is None:
+            keyed = with_s2_cell(
+                pages_df.select(*base_cols, lon, lat),
+                level=MAX_LEVEL, lon_col=lon, lat_col=lat, out_col="__s2_leaf",
+            )
+            leaf = F.col("__s2_leaf")
+        else:
+            keyed = pages_df.select(*base_cols, lon, lat, F.col(cell_col).alias("__s2_leaf"))
+            leaf = F.col("__s2_leaf")
+
+        # per-level parents in ONE pass (array+explode, pipelined)
+        elems = [
+            F.struct(F.lit(lv).alias("lv"), parent_id_col(leaf, lv).alias("cell"))
+            for lv in self.levels
+        ]
+        sub = (
+            keyed.withColumn("__s2_p", F.explode(F.array(*elems)))
+            .select(*base_cols, lon, lat, "__s2_p.lv", "__s2_p.cell")
+        )
+
+        parts: List[DataFrame] = []
+        if len(self._interior.take(1)):
+            parts.append(
+                sub.join(F.broadcast(self._interior), on=["lv", "cell"], how="inner")
+                .select(*out_cols)
+            )
+        cand = (
+            sub.join(F.broadcast(self._boundary), on=["lv", "cell"], how="inner")
+            .select(*out_cols)
+        )
+        parts.append(self._refine(cand, lon, lat))
+
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        return result
+
+    def _refine(self, cand: DataFrame, lon: str, lat: str) -> DataFrame:
+        """Exact strict-interior PIP over the boundary-band candidates
+        (same kernel discipline as ``PipIndex._refine``)."""
+        bc_geoms = self._bc_geoms
+        lon_name, lat_name = lon, lat
+        out_schema = cand.schema
+
+        def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: Dict[int, object] = {}
+
+            def poly_of(rid: int):
+                mp = cache.get(rid)
+                if mp is None:
+                    mp = unpack_multipolygon(bc_geoms.value[rid])
+                    cache[rid] = mp
+                return mp
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keep = np.zeros(len(pdf), dtype=bool)
+                xs = pdf[lon_name].to_numpy(dtype=np.float64)
+                ys = pdf[lat_name].to_numpy(dtype=np.float64)
+                rids = pdf["region_id"].to_numpy()
+                for rid in pd.unique(rids):
+                    m = rids == rid
+                    keep[m] = points_strictly_inside_multi(xs[m], ys[m], poly_of(int(rid)))
+                out = pdf.loc[keep]
+                if len(out):
+                    yield out
+
+        return cand.mapInPandas(refine, schema=out_schema)
