@@ -16,14 +16,17 @@ Two plans for the same semantics:
 * :func:`token_budget_sample_threshold` — SCALE PATH: the prefix-sum is
   really a THRESHOLD search ("the worst priority we still admit"), so it
   two-passes: (1) per-(group, priority-range-bucket) token sums — a plain
-  hash aggregation, fully parallel; (2) the tiny (groups × buckets) grid
-  goes to the driver, which picks each group's boundary bucket and the
-  budget remaining when entering it; (3) rows in strictly-better buckets
-  are kept by a broadcast join ALONE (no window), and only the boundary
-  bucket — ~1/n_buckets of each group — pays an exact within-bucket
-  window.  Identical keep-set to the exact plan for any priority with
-  deterministic total order (ties must be broken inside ``priority``,
-  e.g. by doc id — both plans assume it).
+  hash aggregation, fully parallel; (2) a DISTRIBUTED boundary decision:
+  an exclusive running sum over the ≤ n_buckets rows per group picks each
+  group's boundary bucket and the budget consumed entering it, and the
+  |groups|-row decision table joins back on the group key (never
+  collected — per-domain budgets with millions of groups stay
+  executor-side; AQE broadcasts the table when it happens to be small);
+  (3) rows in strictly-better buckets are kept by the join ALONE (no
+  window), and only the boundary bucket — ~1/n_buckets of each group —
+  pays an exact within-bucket window.  Identical keep-set to the exact
+  plan for any priority with deterministic total order (ties must be
+  broken inside ``priority``, e.g. by doc id — both plans assume it).
 """
 
 from __future__ import annotations
@@ -108,38 +111,42 @@ def token_budget_sample_threshold(
     bucket = F.when(F.col(priority_col).isNull(), F.lit(n_buckets - 1)).otherwise(bucket)
     withb = withb.withColumn("_bkt", bucket).drop("_pmin", "_pmax")
 
-    # pass 1: token mass per (group, bucket) — tiny result, driver decides
+    # pass 1: token mass per (group, bucket), then the boundary decision —
+    # fully DISTRIBUTED (VERDICT r5 item 4: the old driver-side collect of
+    # the (group × bucket) grid made the decision table data-sized for
+    # high-cardinality groups, e.g. per-domain budgets at web scale).
+    # The grid is ≤ n_buckets rows per group, so the ordered window below
+    # is a bounded per-group scan; the decision table is |groups| rows and
+    # joins back on the group key (AQE turns it into a broadcast join when
+    # it is small, keeps a shuffle join when it is not).
     # (coalesce: a bucket holding only NULL-token rows has NULL sum)
-    grid = (
-        withb.groupBy(*group_cols, "_bkt")
-        .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("_mass"))
-        .collect()
+    grid = withb.groupBy(*group_cols, "_bkt").agg(
+        F.coalesce(F.sum(token_col), F.lit(0)).alias("_mass")
     )
-    per_group: dict = {}
-    for r in grid:
-        key = tuple(r[c] for c in group_cols)
-        per_group.setdefault(key, []).append((int(r["_bkt"]), int(r["_mass"])))
-    # boundary bucket + budget/offset entering it, per group
-    rows = []
-    for key, masses in per_group.items():
-        masses.sort()
-        consumed = 0
-        boundary, offset = None, 0
-        for bkt, mass in masses:
-            if consumed + mass > budget:
-                boundary, offset = bkt, consumed
-                break
-            consumed += mass
-        if boundary is None:
-            boundary, offset = masses[-1][0] + 1, consumed  # everything fits
-        rows.append((*key, boundary, offset))
-    spark = df.sparkSession
-    group_schema = ", ".join(
-        f"{c} {dict(df.dtypes)[c].upper()}" for c in group_cols
+    # tokens consumed ENTERING each bucket = exclusive running sum
+    wcons = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    bdf = spark.createDataFrame(rows, f"{group_schema}, _boundary INT, _offset LONG")
+    grid = grid.withColumn("_consumed", F.coalesce(F.sum("_mass").over(wcons), F.lit(0)))
+    # boundary = FIRST bucket whose mass crosses the remaining budget
+    crossing = grid.where(F.col("_consumed") + F.col("_mass") > F.lit(int(budget)))
+    bnd = crossing.groupBy(*group_cols).agg(
+        F.min("_bkt").alias("_xb"),
+        F.min_by("_consumed", "_bkt").alias("_xo"),
+    )
+    # everything-fits groups: boundary past the last bucket, offset = total
+    tot = grid.groupBy(*group_cols).agg(
+        (F.max("_bkt") + F.lit(1)).alias("_ab"), F.sum("_mass").alias("_at")
+    )
+    bdf = tot.join(bnd, on=list(group_cols), how="left").select(
+        *group_cols,
+        F.coalesce(F.col("_xb"), F.col("_ab")).cast("int").alias("_boundary"),
+        F.coalesce(F.col("_xo"), F.col("_at")).cast("long").alias("_offset"),
+    )
 
-    routed = withb.join(F.broadcast(bdf), on=list(group_cols), how="inner")
+    routed = withb.join(bdf, on=list(group_cols), how="inner")
 
     # strictly-better buckets: kept by the join alone; cum_col needs the
     # within-kept running sum — that part is still a window, but ONLY over
