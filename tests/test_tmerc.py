@@ -177,3 +177,24 @@ def test_sql_twin_matches_numpy():
         x, y = tmerc_forward(np.array([lon]), np.array([lat]), utm_lon0(z), e0=500000.0,
                              n0=0.0 if lat >= 0 else 10_000_000.0)
         assert abs(e - x[0]) < 1e-6 and abs(n - y[0]) < 1e-6
+
+
+def test_staged_form_bitwise_equals_single_expression(spark):
+    """utm_staged_df (VERDICT r5 item 6): hoisting t/ξ′/η′ into
+    intermediate columns must change the PLAN (whole-stage-codegen'd
+    instead of interpreted janino-overflow fallback) and nothing else —
+    the doubles are bitwise-identical to utm_cols, and the executed plan
+    shows a compiled Project span."""
+    from datacube_core_spark.geom.tmerc import utm_staged_df
+
+    rows = [(i, -170.0 + (i * 7.31) % 340, -80.0 + (i * 13.7) % 160) for i in range(120)]
+    df = spark.createDataFrame(rows, "id LONG, lon DOUBLE, lat DOUBLE")
+    staged = utm_staged_df(df)
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan  # whole-stage-codegen star shorthand
+    zone = (F.floor((F.col("lon") + F.lit(180.0)) / F.lit(6.0)) + F.lit(1)).cast("int")
+    e, n = utm_cols(F.col("lon"), F.col("lat"), zone)
+    old = {r["id"]: (r["z"], r["e"], r["n"])
+           for r in df.select("id", zone.alias("z"), e.alias("e"), n.alias("n")).collect()}
+    new = {r["id"]: (r["zone"], r["easting"], r["northing"]) for r in staged.collect()}
+    assert old == new  # exact equality, not approx — same ops, same order
