@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..geom.grid import GridSpec
-from .tiling import point_tile_cols
+from .tiling import _axis_index, point_tile_cols
 
 
 def _ring_offsets(spark, r: int) -> DataFrame:
@@ -269,6 +269,123 @@ def _make_local_knn_kernel(k: int, guard_sq: float):
     return kernel
 
 
+def _subcell_local_pass(
+    spark,
+    pending: DataFrame,
+    pages_t: DataFrame,
+    grid: GridSpec,
+    big,
+    rnp,
+    k: int,
+    *,
+    id_col: str,
+    id_type: str,
+    qid_type: str,
+    out_schema: str,
+    local_max_halo_pages: int,
+    local_max_group_queries: int,
+) -> DataFrame:
+    """SUB-CELL split for dense tiles whose page HALO alone exceeds the
+    per-group memory budget (PERF.md §16 100-TB note, closed in r6).
+
+    Query-side salting caps queries per pandas group but replicates the
+    FULL halo into every bucket — when the halo itself is the memory
+    problem, only a finer spatial key helps.  Each oversized tile is cut
+    into an s×s sub-grid with s = ⌈√(halo/budget)⌉ (uniform across the
+    oversized tiles — the max; a finer-than-needed split costs only
+    escalations).  The pass is then exactly the dense-cell local-index
+    algorithm one level down: queries keyed by their GLOBAL sub-cell,
+    halo pages exploded to the 3×3 sub-ring, same kernel, guard =
+    (min sub step)² — the r=1 ring guarantee at sub-cell granularity, so
+    resolved rows keep the strict exactness contract and the (bounded)
+    remainder re-enters the distributed escalation loop.  Per-group
+    memory is now ~halo/s², independent of how dense the tile is.
+
+    Page volume shuffled: halo pages × 9 (sub-ring explode) × salt,
+    pruned by a semi-join against the sub-cells that actually hold
+    queries — linear in the halo, never n_q × n_p.
+    """
+    s_split = 2
+    for t in big:
+        need = math.isqrt(max(1, (int(rnp[t]) - 1) // int(local_max_halo_pages))) + 1
+        s_split = max(s_split, need)
+
+    size_y_t, size_x_t = grid.tile_size
+    oy, ox = grid.origin
+    step_x = float(size_x_t) / s_split
+    step_y = float(size_y_t) / s_split
+    guard_sq = float(min(abs(step_x), abs(step_y))) ** 2
+
+    big_df = spark.createDataFrame(sorted(big), "dtx INT, dty INT")
+    q_big = pending.join(
+        F.broadcast(big_df),
+        on=[pending["qtx"] == big_df["dtx"], pending["qty"] == big_df["dty"]],
+        how="inner",
+    )
+    sgx = _axis_index(F.col("q_lon"), ox, step_x)
+    sgy = _axis_index(F.col("q_lat"), oy, step_y)
+    q_sub = q_big.select("qid", "q_lon", "q_lat", sgx.alias("sgx"), sgy.alias("sgy"))
+
+    # bounded aggs: max queries in one sub-cell (for the memory salt) and
+    # the occupied sub-cell list (for the page-side prune) are both ≤
+    # s²·|big| rows — geometry-bounded, not data-sized
+    mx = q_sub.groupBy("sgx", "sgy").agg(F.count("*").alias("n")).agg(F.max("n")).collect()[0][0]
+    salt = max(1, -(-int(mx) // int(local_max_group_queries)))
+    qcells = q_sub.select("sgx", "sgy").distinct()
+
+    q_part = q_sub.select(
+        F.col("sgx").alias("dtx"),
+        F.col("sgy").alias("dty"),
+        F.pmod(F.xxhash64("qid"), F.lit(salt)).cast("int").alias("sb"),
+        F.lit(1).cast("tinyint").alias("role"),
+        F.col("qid"),
+        _zero_lit(id_type).alias("doc_id"),
+        F.col("q_lon").alias("x"),
+        F.col("q_lat").alias("y"),
+    )
+
+    # tile-level halo prefilter (tiny broadcast), then sub-ring explode
+    halo_rows = sorted(
+        {(dtx + dx, dty + dy) for dtx, dty in big for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+    )
+    halo_map = spark.createDataFrame(halo_rows, "ptx INT, pty INT")
+    pgx = _axis_index(F.col("lon"), ox, step_x)
+    pgy = _axis_index(F.col("lat"), oy, step_y)
+    p_sub = (
+        pages_t.join(F.broadcast(halo_map), on=["ptx", "pty"], how="inner")
+        .select(id_col, "lon", "lat", pgx.alias("pgx"), pgy.alias("pgy"))
+        .withColumn("__d", F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])))
+        .select(
+            id_col, "lon", "lat",
+            (F.col("pgx") + F.col("__d.dx")).alias("sgx"),
+            (F.col("pgy") + F.col("__d.dy")).alias("sgy"),
+        )
+        .join(F.broadcast(qcells), on=["sgx", "sgy"], how="left_semi")
+    )
+    p_part = (
+        p_sub.withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .select(
+            F.col("sgx").alias("dtx"),
+            F.col("sgy").alias("dty"),
+            F.col("sb").cast("int"),
+            F.lit(0).cast("tinyint").alias("role"),
+            _zero_lit(qid_type).alias("qid"),
+            F.col(id_col).alias("doc_id"),
+            F.col("lon").alias("x"),
+            F.col("lat").alias("y"),
+        )
+    )
+    kernel = _make_local_knn_kernel(k, guard_sq)
+    return (
+        q_part.unionByName(p_part)
+        .groupBy("dtx", "dty", "sb")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
 def knn_join(
     pages_df: DataFrame,
     queries_df: DataFrame,
@@ -281,6 +398,7 @@ def knn_join(
     broadcast_queries: bool = True,
     local_index_pairs: "int | None | str" = "auto",
     local_max_group_queries: int = 250_000,
+    local_max_halo_pages: int = 4_000_000,
 ) -> DataFrame:
     """k nearest pages for each query point, with per-query exactness.
 
@@ -315,6 +433,15 @@ def knn_join(
     query side of a dense cell into hash buckets (halo pages replicated
     per bucket) so one pandas group never holds more than ~that many
     queries — memory stays bounded by the page halo.
+
+    ``local_max_halo_pages``: when a dense tile's r0-halo PAGE count
+    itself exceeds this bound (the one failure mode query salting cannot
+    fix — the halo is replicated per bucket), the tile takes the
+    SUB-CELL split (:func:`_subcell_local_pass`): an s×s sub-grid with
+    s = ⌈√(halo/bound)⌉ re-runs the same kernel at sub-cell granularity
+    with the r=1 sub-ring guard, capping per-group memory at ~halo/s²
+    regardless of tile density; unresolved queries re-enter escalation
+    exactly as in the salted path.
     """
     spark = pages_df.sparkSession
     size = min(abs(grid.tile_size[0]), abs(grid.tile_size[1]))
@@ -362,80 +489,106 @@ def knn_join(
         dense_rows = (
             qc_df.join(ring_np, on=["qtx", "qty"], how="inner")
             .where(F.col("nq") * F.col("ring_np") > F.lit(int(local_index_pairs)))
-            .select("qtx", "qty", "nq")
+            .select("qtx", "qty", "nq", "ring_np")
             .collect()
         )
         dense = [(r["qtx"], r["qty"]) for r in dense_rows]
         qc = {(r["qtx"], r["qty"]): r["nq"] for r in dense_rows}
+        rnp = {(r["qtx"], r["qty"]): r["ring_np"] for r in dense_rows}
         if dense:
             id_type = dict(pages_t.dtypes)[id_col]
             qid_type = dict(pending.dtypes)["qid"]
-            # salt serves TWO masters: (a) memory — cap queries per pandas
-            # group; (b) parallelism — a few dense cells must still fan out
-            # across the cluster (3 unsalted hot cells = 3 tasks; measured
-            # 52s → 10.6s at 100k×500k just from salting to ~2×cores).
-            # Page halos are replicated per bucket, so cap the parallelism
-            # salt at ~1k queries/bucket to bound the duplication.
-            max_nq = max(qc[t] for t in dense)
-            par = spark.sparkContext.defaultParallelism
-            salt_mem = -(-max_nq // local_max_group_queries)
-            salt_par = min(-(-2 * par // len(dense)), max(1, max_nq // 1000))
-            salt = max(1, salt_mem, salt_par)
-            halo_rows = sorted(
-                {(dtx, dty, dtx + dx, dty + dy) for dtx, dty in dense for dx, dy in ring0}
+            out_schema = (
+                f"qid {qid_type}, doc_id {id_type}, dist_sq DOUBLE, "
+                "rank INT, resolved BOOLEAN, q_lon DOUBLE, q_lat DOUBLE"
             )
-            halo_map = spark.createDataFrame(
-                halo_rows, "dtx INT, dty INT, ptx INT, pty INT"
-            )
+            # a dense tile whose r0-HALO page count alone exceeds the
+            # per-group memory budget takes the SUB-CELL split path (the
+            # PERF.md §16 100-TB bound, closed): the query salt cannot
+            # shrink the halo, only a finer spatial key can
+            big = [t for t in dense if rnp[t] > local_max_halo_pages]
+            big_set = set(big)
+            small = [t for t in dense if t not in big_set]
             dense_df = spark.createDataFrame(sorted(dense), "dtx INT, dty INT")
+            locs = []
 
-            q_part = (
-                pending.join(
-                    F.broadcast(dense_df),
-                    on=[
-                        pending["qtx"] == dense_df["dtx"],
-                        pending["qty"] == dense_df["dty"],
-                    ],
-                    how="inner",
+            if small:
+                # salt serves TWO masters: (a) memory — cap queries per
+                # pandas group; (b) parallelism — a few dense cells must
+                # still fan out across the cluster (3 unsalted hot cells =
+                # 3 tasks; measured 52s → 10.6s at 100k×500k just from
+                # salting to ~2×cores).  Page halos are replicated per
+                # bucket, so cap the parallelism salt at ~1k queries/bucket
+                # to bound the duplication.
+                max_nq = max(qc[t] for t in small)
+                par = spark.sparkContext.defaultParallelism
+                salt_mem = -(-max_nq // local_max_group_queries)
+                salt_par = min(-(-2 * par // len(small)), max(1, max_nq // 1000))
+                salt = max(1, salt_mem, salt_par)
+                halo_rows = sorted(
+                    {(dtx, dty, dtx + dx, dty + dy) for dtx, dty in small for dx, dy in ring0}
                 )
-                .select(
-                    "dtx",
-                    "dty",
-                    F.pmod(F.xxhash64("qid"), F.lit(salt)).cast("int").alias("sb"),
-                    F.lit(1).cast("tinyint").alias("role"),
-                    F.col("qid"),
-                    _zero_lit(id_type).alias("doc_id"),
-                    F.col("q_lon").alias("x"),
-                    F.col("q_lat").alias("y"),
+                halo_map = spark.createDataFrame(
+                    halo_rows, "dtx INT, dty INT, ptx INT, pty INT"
                 )
-            )
-            p_part = (
-                pages_t.join(F.broadcast(halo_map), on=["ptx", "pty"], how="inner")
-                .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-                .select(
-                    "dtx",
-                    "dty",
-                    F.col("sb").cast("int"),
-                    F.lit(0).cast("tinyint").alias("role"),
-                    _zero_lit(qid_type).alias("qid"),
-                    F.col(id_col).alias("doc_id"),
-                    F.col("lon").alias("x"),
-                    F.col("lat").alias("y"),
+                small_df = spark.createDataFrame(sorted(small), "dtx INT, dty INT")
+
+                q_part = (
+                    pending.join(
+                        F.broadcast(small_df),
+                        on=[
+                            pending["qtx"] == small_df["dtx"],
+                            pending["qty"] == small_df["dty"],
+                        ],
+                        how="inner",
+                    )
+                    .select(
+                        "dtx",
+                        "dty",
+                        F.pmod(F.xxhash64("qid"), F.lit(salt)).cast("int").alias("sb"),
+                        F.lit(1).cast("tinyint").alias("role"),
+                        F.col("qid"),
+                        _zero_lit(id_type).alias("doc_id"),
+                        F.col("q_lon").alias("x"),
+                        F.col("q_lat").alias("y"),
+                    )
                 )
-            )
-            kernel = _make_local_knn_kernel(k, float(r0 * size) ** 2)
-            loc = (
-                q_part.unionByName(p_part)
-                .groupBy("dtx", "dty", "sb")
-                .applyInPandas(
-                    kernel,
-                    schema=(
-                        f"qid {qid_type}, doc_id {id_type}, dist_sq DOUBLE, "
-                        "rank INT, resolved BOOLEAN, q_lon DOUBLE, q_lat DOUBLE"
-                    ),
+                p_part = (
+                    pages_t.join(F.broadcast(halo_map), on=["ptx", "pty"], how="inner")
+                    .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+                    .select(
+                        "dtx",
+                        "dty",
+                        F.col("sb").cast("int"),
+                        F.lit(0).cast("tinyint").alias("role"),
+                        _zero_lit(qid_type).alias("qid"),
+                        F.col(id_col).alias("doc_id"),
+                        F.col("lon").alias("x"),
+                        F.col("lat").alias("y"),
+                    )
                 )
-                .localCheckpoint(eager=True)
-            )
+                kernel = _make_local_knn_kernel(k, float(r0 * size) ** 2)
+                locs.append(
+                    q_part.unionByName(p_part)
+                    .groupBy("dtx", "dty", "sb")
+                    .applyInPandas(kernel, schema=out_schema)
+                )
+
+            if big:
+                locs.append(
+                    _subcell_local_pass(
+                        spark, pending, pages_t, grid, big, rnp, k,
+                        id_col=id_col, id_type=id_type, qid_type=qid_type,
+                        out_schema=out_schema,
+                        local_max_halo_pages=local_max_halo_pages,
+                        local_max_group_queries=local_max_group_queries,
+                    )
+                )
+
+            loc = locs[0]
+            for extra in locs[1:]:
+                loc = loc.unionByName(extra)
+            loc = loc.localCheckpoint(eager=True)
             # The kernel's output schema names the id column 'doc_id'
             # internally; surface it under the caller's id_col so the
             # downstream selects/unionByName line up for any id_col.

@@ -183,3 +183,76 @@ def test_local_index_custom_id_col(spark, pages_df):
     )
     assert loc.columns == ["qid", "page_id", "dist_sq", "rank", "exact"]
     assert _rows(base) == _rows(loc)
+
+
+def test_subcell_split_rows_identical(spark, pages_df):
+    """Forcing the oversized-halo SUB-CELL path (tiny local_max_halo_pages
+    so every dense tile's halo 'exceeds memory') must reproduce the ring
+    join row-for-row — same ids, dist_sq doubles, ranks, exact flags."""
+    q = pages_df.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "lon", "lat"
+    )
+    base = knn_join(pages_df, q, GRID, k=5, broadcast_queries=False, local_index_pairs=None)
+    split = knn_join(
+        pages_df, q, GRID, k=5, broadcast_queries=False,
+        local_index_pairs=0, local_max_halo_pages=50,
+    )
+    assert _rows(base) == _rows(split)
+
+
+def test_subcell_split_salted_and_custom_id(spark, pages_df):
+    """Sub-cell path with BOTH bounds tight (queries per group and halo
+    pages) and a non-default id_col: still row-identical."""
+    p = pages_df.withColumnRenamed("doc_id", "page_id")
+    q = pages_df.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "lon", "lat"
+    )
+    base = knn_join(pages_df, q, GRID, k=5, broadcast_queries=False, local_index_pairs=None)
+    split = knn_join(
+        p, q, GRID, k=5, id_col="page_id", broadcast_queries=False,
+        local_index_pairs=0, local_max_halo_pages=50, local_max_group_queries=3,
+    )
+    assert split.columns == ["qid", "page_id", "dist_sq", "rank", "exact"]
+    assert _rows(base) == _rows(split)
+
+
+def test_subcell_split_mixed_with_salted_tiles(spark, pages_df):
+    """A halo bound that sends only SOME dense tiles down the sub-cell
+    path (the rest stay on the salted tile-level pass): the two local
+    passes plus escalation must still union to the exact answer."""
+    q = pages_df.where(F.col("doc_id") % 251 == 0).select(
+        F.col("doc_id").alias("qid"), "lon", "lat"
+    )
+    base = knn_join(pages_df, q, GRID, k=3, broadcast_queries=False, local_index_pairs=None)
+    # pick a bound between the smallest and largest per-tile halo count so
+    # the dense set genuinely splits into both kinds
+    from pyspark.sql import functions as SF
+    counts = (
+        pages_df.groupBy(SF.floor(SF.col("lon")).alias("tx"), SF.floor(SF.col("lat")).alias("ty"))
+        .count().agg(SF.expr("percentile(count, 0.5)")).collect()[0][0]
+    )
+    mixed = knn_join(
+        pages_df, q, GRID, k=3, broadcast_queries=False,
+        local_index_pairs=0, local_max_halo_pages=int(counts * 3),
+    )
+    assert _rows(base) == _rows(mixed)
+
+
+def test_subcell_split_halo_escape(spark):
+    """A dense cell NEXT TO an empty neighborhood under the sub-cell
+    path: queries whose k-th neighbour lies beyond the SUB-ring guard
+    must escalate and still come back exact."""
+    import itertools
+
+    pts = [(i, 0.05 + (i % 7) * 0.01, 0.05 + (i // 7) * 0.01) for i in range(49)]
+    far = [(100 + i, 5.5 + i * 0.3, 5.5) for i in range(4)]
+    p = spark.createDataFrame(pts + far, "doc_id LONG, lon DOUBLE, lat DOUBLE")
+    q = spark.createDataFrame(
+        [(0, 0.08, 0.08), (1, 5.45, 5.5)], "qid LONG, lon DOUBLE, lat DOUBLE"
+    )
+    base = knn_join(p, q, GRID, k=5, broadcast_queries=False, local_index_pairs=None)
+    split = knn_join(
+        p, q, GRID, k=5, broadcast_queries=False,
+        local_index_pairs=0, local_max_halo_pages=10,
+    )
+    assert _rows(base) == _rows(split)
