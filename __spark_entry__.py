@@ -102,6 +102,28 @@ def q_albers_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lcc_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page Lambert Conformal Conic (EPSG:3112, GDA94 Geoscience
+    Australia Lambert) coordinates — the second conic family from the
+    SURVEY §2.8 CRS row (VERDICT r5 "what's missing" #2 named Albers AND
+    LCC; both now native on the register_transform seam, geom/lcc.py).
+    Loop-free forward, whole-stage-codegen'd.  Latitudes are clamped to
+    ±89.5° before projecting (t(φ)→0 at the pole is a genuine LCC domain
+    edge — PROJ errors there too; the clamp keeps the oracle comparison
+    on a well-defined domain while exercising every page row), floored
+    to whole metres for the cross-engine compare."""
+    from datacube_core_spark.geom.lcc import lcc_cols
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    lat_c = F.least(F.greatest(F.col("lat"), F.lit(-89.5)), F.lit(89.5))
+    e, n = lcc_cols(F.col("lon"), lat_c, "EPSG:3112")
+    return p.select(
+        "doc_id",
+        F.floor(e).cast("long").alias("easting_m"),
+        F.floor(n).cast("long").alias("northing_m"),
+    )
+
+
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE S2 cell ids per page (level 16) — the cross-system interop
     key (r4 "what's missing" #3, closed): geom/s2.py implements the
@@ -1182,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_s2": q_pip_s2,
         "albers_project": q_albers_project,
+        "lcc_project": q_lcc_project,
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "recrawl_dedup": q_recrawl_dedup,
@@ -1347,6 +1370,17 @@ FROM z
 SELECT doc_id,
        CAST(FLOOR({_ae_sql}) AS BIGINT) AS easting_m,
        CAST(FLOOR({_an_sql}) AS BIGINT) AS northing_m
+FROM pages
+"""
+
+    from datacube_core_spark.geom.lcc import sql_lcc_exprs
+
+    _lat_clamped = "LEAST(GREATEST(lat, -89.5), 89.5)"
+    _le_sql, _ln_sql = sql_lcc_exprs("lon", _lat_clamped, "EPSG:3112")
+    sqls["lcc_project"] = f"""{_P}
+SELECT doc_id,
+       CAST(FLOOR({_le_sql}) AS BIGINT) AS easting_m,
+       CAST(FLOOR({_ln_sql}) AS BIGINT) AS northing_m
 FROM pages
 """
 

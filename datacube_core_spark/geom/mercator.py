@@ -133,9 +133,10 @@ def _resolve_lazy(crs: str) -> None:
     if (crs, EPSG_4326) in _TRANSFORMS:
         return
     from .albers import albers_transforms
+    from .lcc import lcc_transforms
     from .tmerc import utm_transforms
 
-    pair = utm_transforms(crs) or albers_transforms(crs)
+    pair = utm_transforms(crs) or albers_transforms(crs) or lcc_transforms(crs)
     if pair is not None:
         fwd, inv = pair
         register_transform(EPSG_4326, crs, fwd, inv)
