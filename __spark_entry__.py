@@ -1208,6 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "recrawl_dedup": q_recrawl_dedup,
+        # entries whose MODULE changed this round sort inside the window
+        # too, even though their own plans are unchanged
+        "token_budget": q_token_budget,
+        "stratified_sample": q_stratified_sample,
         "tile_count": q_tile_count,
         "bbox_tiles": q_bbox_tiles,
         "pip_pairs": q_pip_pairs,
@@ -1252,11 +1256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse": q_fuse,
         "archive_less_mature": q_archive_less_mature,
         "raw_field_search": q_raw_field_search,
-        "token_budget": q_token_budget,
         "url_canon": q_url_canon,
         "recipe_monthly": q_recipe_monthly,
         "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
     }
 
