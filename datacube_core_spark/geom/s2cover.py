@@ -53,12 +53,13 @@ from typing import List, Tuple
 import numpy as np
 
 from .polygon import (
-    polygon_bbox,
     MultiPolygon,
     as_ring,
     multipolygon_bbox,
-    multipolygon_rect_closed_intersects,
     points_strictly_inside_multi,
+    polygon_bbox,
+    rect_closed_intersects,
+    ring_area,
 )
 from .s2 import MAX_LEVEL, fij_to_id, parent_id, st_to_uv
 
@@ -110,8 +111,77 @@ def _face_uv_to_lonlat_deg(face: np.ndarray, u: np.ndarray, v: np.ndarray):
     return lon, lat
 
 
+_UZ_ARR = np.array(_U_AXIS_Z)
+_VZ_ARR = np.array(_V_AXIS_Z)
+
+
+def cell_rect_bounds_vec(face, i_lo, j_lo, level: int):
+    """Vectorized exact lat/lng outer bounds of many SAME-LEVEL cells.
+
+    Returns ``(lat_lo, lat_hi, s1_lo, s1_hi, s2_lo, s2_hi)`` arrays in
+    degrees — the second longitude segment is NaN unless the shorter arc
+    wraps the dateline; polar-closure / ambiguous-half-circle cells get
+    the full span in segment 1.  The per-level BFS calls this once per
+    level instead of once per node (the per-node scalar version was the
+    covering build's hot spot)."""
+    if level < 1:
+        raise ValueError("vectorized bounds are for level >= 1 (faces use _FACE_BOUNDS)")
+    face = np.asarray(face, dtype=np.int64)
+    i_lo = np.asarray(i_lo, dtype=np.int64)
+    j_lo = np.asarray(j_lo, dtype=np.int64)
+    size = 1 << (MAX_LEVEL - level)
+    scale = 1.0 / (1 << MAX_LEVEL)
+    u_lo = st_to_uv(i_lo * scale)
+    u_hi = st_to_uv((i_lo + size) * scale)
+    v_lo = st_to_uv(j_lo * scale)
+    v_hi = st_to_uv((j_lo + size) * scale)
+
+    # published vertex-pair selection: which u/v endpoint attains the
+    # latitude extreme depends on the sign of the cell center along the
+    # axis whose unit vector has a z-component (else the negative side)
+    uz = _UZ_ARR[face]
+    vz = _VZ_ARR[face]
+    u_sum = u_lo + u_hi
+    v_sum = v_lo + v_hi
+    i_sel = np.where(uz == 0.0, u_sum < 0, u_sum > 0)
+    j_sel = np.where(vz == 0.0, v_sum < 0, v_sum > 0)
+    u_i = np.where(i_sel, u_hi, u_lo)      # uu[i_sel]
+    u_ni = np.where(i_sel, u_lo, u_hi)     # uu[1-i_sel]
+    v_j = np.where(j_sel, v_hi, v_lo)
+    v_nj = np.where(j_sel, v_lo, v_hi)
+
+    n = face.size
+    f4 = np.concatenate([face, face, face, face])
+    us = np.concatenate([u_i, u_ni, u_i, u_ni])
+    vs = np.concatenate([v_j, v_nj, v_nj, v_j])
+    lons, lats = _face_uv_to_lonlat_deg(f4, us, vs)
+    lat_a, lat_b = lats[:n], lats[n : 2 * n]      # (i,j), (1-i,1-j)
+    lng_a, lng_b = lons[2 * n : 3 * n], lons[3 * n :]  # (i,1-j), (1-i,j)
+
+    lat_lo = np.minimum(lat_a, lat_b) - _EPS_DEG
+    lat_hi = np.maximum(lat_a, lat_b) + _EPS_DEG
+    polar = (lat_hi >= 90.0 - _EPS_DEG) | (lat_lo <= -90.0 + _EPS_DEG)
+
+    a = np.minimum(lng_a, lng_b)
+    b = np.maximum(lng_a, lng_b)
+    span = b - a
+    ambiguous = np.abs(span - 180.0) <= 1e-9
+    wraps = (span > 180.0) & ~ambiguous
+    full = polar | ambiguous
+
+    s1_lo = np.where(full, -180.0, np.where(wraps, -180.0, np.maximum(a - _EPS_DEG, -180.0)))
+    s1_hi = np.where(full, 180.0, np.where(wraps, a + _EPS_DEG, np.minimum(b + _EPS_DEG, 180.0)))
+    s2_lo = np.where(wraps & ~full, b - _EPS_DEG, np.nan)
+    s2_hi = np.where(wraps & ~full, 180.0, np.nan)
+    return (
+        np.maximum(lat_lo, -90.0), np.minimum(lat_hi, 90.0),
+        s1_lo, s1_hi, s2_lo, s2_hi,
+    )
+
+
 def cell_rect_segments(face: int, i_lo: int, j_lo: int, level: int):
-    """Exact lat/lng outer bound of one cell as plane rectangles.
+    """Exact lat/lng outer bound of ONE cell as plane rectangles —
+    scalar convenience wrapper over :func:`cell_rect_bounds_vec`.
 
     Returns ``(lat_lo, lat_hi, [(lng_lo, lng_hi), ...])`` in degrees;
     a dateline-wrapping longitude interval arrives pre-split into two
@@ -120,51 +190,13 @@ def cell_rect_segments(face: int, i_lo: int, j_lo: int, level: int):
     """
     if level == 0:
         return _FACE_BOUNDS[face]
-    size = 1 << (MAX_LEVEL - level)
-    scale = 1.0 / (1 << MAX_LEVEL)
-    u_lo = float(st_to_uv(i_lo * scale))
-    u_hi = float(st_to_uv((i_lo + size) * scale))
-    v_lo = float(st_to_uv(j_lo * scale))
-    v_hi = float(st_to_uv((j_lo + size) * scale))
-
-    # published vertex-pair selection: which u/v endpoint attains the
-    # latitude extreme depends on the sign of the cell center along the
-    # axis whose unit vector has a z-component (else the negative side)
-    u_sum, v_sum = u_lo + u_hi, v_lo + v_hi
-    i_sel = int(u_sum < 0) if _U_AXIS_Z[face] == 0.0 else int(u_sum > 0)
-    j_sel = int(v_sum < 0) if _V_AXIS_Z[face] == 0.0 else int(v_sum > 0)
-    uu = (u_lo, u_hi)
-    vv = (v_lo, v_hi)
-
-    f4 = np.full(4, face, dtype=np.int64)
-    us = np.array([uu[i_sel], uu[1 - i_sel], uu[i_sel], uu[1 - i_sel]])
-    vs = np.array([vv[j_sel], vv[1 - j_sel], vv[1 - j_sel], vv[j_sel]])
-    lons, lats = _face_uv_to_lonlat_deg(f4, us, vs)
-    # [0]=(i,j), [1]=(1-i,1-j) → lat range; [2]=(i,1-j), [3]=(1-i,j) → lng
-    lat_lo = min(lats[0], lats[1]) - _EPS_DEG
-    lat_hi = max(lats[0], lats[1]) + _EPS_DEG
-
-    if lat_hi >= 90.0 - _EPS_DEG or lat_lo <= -90.0 + _EPS_DEG:
-        # polar closure: a cell reaching a pole spans every longitude
-        return max(lat_lo, -90.0), min(lat_hi, 90.0), [(-180.0, 180.0)]
-
-    a, b = float(lons[2]), float(lons[3])
-    if a > b:
-        a, b = b, a
-    span = b - a
-    if abs(span - 180.0) <= 1e-9:
-        # ambiguous shorter-arc (exactly half a circle, within float
-        # noise) — go conservative-full; only face-scale cells land here
-        segs: List[Tuple[float, float]] = [(-180.0, 180.0)]
-    elif span > 180.0:
-        # shorter arc wraps the dateline: the interval is the COMPLEMENT
-        # of [a, b], split at ±180 into two plane segments
-        segs = [(-180.0, a + _EPS_DEG), (b - _EPS_DEG, 180.0)]
-    else:
-        # shorter arc between the two diagonal vertices
-        segs = [(a - _EPS_DEG, b + _EPS_DEG)]
-    out = [(max(lo, -180.0), min(hi, 180.0)) for lo, hi in segs]
-    return max(lat_lo, -90.0), min(lat_hi, 90.0), out
+    lat_lo, lat_hi, s1l, s1h, s2l, s2h = cell_rect_bounds_vec(
+        np.array([face]), np.array([i_lo]), np.array([j_lo]), level
+    )
+    segs: List[Tuple[float, float]] = [(float(s1l[0]), float(s1h[0]))]
+    if not math.isnan(s2l[0]):
+        segs.append((float(s2l[0]), float(s2h[0])))
+    return float(lat_lo[0]), float(lat_hi[0]), segs
 
 
 def pick_covering_level(mp: MultiPolygon, target_cells_per_axis: int = 8,
@@ -245,23 +277,65 @@ def s2_covering(mp: MultiPolygon, level: int):
     """
     bl, bb, br, bt = multipolygon_bbox(mp)
 
-    # BFS over (face, i_lo, j_lo) nodes, level by level
+    # per-PART bbox + exact-rectangle detection: a simple single-ring part
+    # whose shoelace area equals its bbox area IS its bbox (containment +
+    # equal measure), so the intersect test collapses to float compares —
+    # the exact rect-vs-polygon clip runs only for genuinely non-rect
+    # parts.  This is what makes a few-hundred-region covering build a
+    # sub-second driver step instead of seconds of ring clipping.
+    parts = []
+    for poly in mp:
+        pb = polygon_bbox(poly)
+        r0 = as_ring(poly[0])
+        is_rect = (
+            len(poly) == 1
+            and ring_area(r0) == (pb[2] - pb[0]) * (pb[3] - pb[1])
+        )
+        parts.append((poly, pb, is_rect))
+
+    def _hits(lo: float, la_lo: float, hi: float, la_hi: float) -> bool:
+        for poly, (pl, pb_, pr, pt), is_rect in parts:
+            if lo > pr or hi < pl or la_lo > pt or la_hi < pb_:
+                continue
+            if is_rect:
+                return True
+            if rect_closed_intersects(poly, lo, la_lo, hi, la_hi):
+                return True
+        return False
+
+    # BFS over (face, i_lo, j_lo) nodes, level by level; rect bounds are
+    # computed VECTORIZED per level (the per-node scalar version was the
+    # build's hot spot), with a vectorized multipolygon-bbox prune so the
+    # per-node python test only runs on bbox-surviving nodes
     nodes = [(f, 0, 0) for f in range(6)]
     for k in range(0, level + 1):
         kept = []
-        for face, i_lo, j_lo in nodes:
-            lat_lo, lat_hi, segs = cell_rect_segments(face, i_lo, j_lo, k)
-            if lat_lo > bt or lat_hi < bb:
-                continue
-            hit = False
-            for lo, hi in segs:
-                if lo > br or hi < bl:
+        if k == 0:
+            for face, i_lo, j_lo in nodes:
+                lat_lo, lat_hi, segs = _FACE_BOUNDS[face]
+                if lat_lo > bt or lat_hi < bb:
                     continue
-                if multipolygon_rect_closed_intersects(mp, lo, lat_lo, hi, lat_hi):
-                    hit = True
-                    break
-            if hit:
-                kept.append((face, i_lo, j_lo))
+                if any(lo <= br and hi >= bl and _hits(lo, lat_lo, hi, lat_hi)
+                       for lo, hi in segs):
+                    kept.append((face, i_lo, j_lo))
+        else:
+            faces = np.array([t[0] for t in nodes], dtype=np.int64)
+            iis = np.array([t[1] for t in nodes], dtype=np.int64)
+            jjs = np.array([t[2] for t in nodes], dtype=np.int64)
+            la_lo, la_hi, s1l, s1h, s2l, s2h = cell_rect_bounds_vec(faces, iis, jjs, k)
+            cand = (la_lo <= bt) & (la_hi >= bb) & (
+                ((s1l <= br) & (s1h >= bl))
+                | (~np.isnan(s2l) & (s2l <= br) & (s2h >= bl))
+            )
+            for idx in np.flatnonzero(cand):
+                node = nodes[idx]
+                ok = (s1l[idx] <= br and s1h[idx] >= bl
+                      and _hits(s1l[idx], la_lo[idx], s1h[idx], la_hi[idx]))
+                if not ok and not np.isnan(s2l[idx]):
+                    ok = (s2l[idx] <= br and s2h[idx] >= bl
+                          and _hits(s2l[idx], la_lo[idx], s2h[idx], la_hi[idx]))
+                if ok:
+                    kept.append(node)
         if k == level:
             nodes = kept
             break
@@ -276,16 +350,26 @@ def s2_covering(mp: MultiPolygon, level: int):
     if not nodes:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
 
-    interior = np.zeros(len(nodes), dtype=bool)
-    for idx, (face, i_lo, j_lo) in enumerate(nodes):
-        lat_lo, lat_hi, segs = cell_rect_segments(face, i_lo, j_lo, level)
-        if len(segs) != 1:
-            continue  # wrapped/polar cells always refine
-        lo, hi = segs[0]
-        interior[idx] = not _rect_pokes_outside(mp, lo, lat_lo, hi, lat_hi)
-
     faces = np.array([n[0] for n in nodes], dtype=np.int64)
     iis = np.array([n[1] for n in nodes], dtype=np.int64)
     jjs = np.array([n[2] for n in nodes], dtype=np.int64)
+    la_lo, la_hi, s1l, s1h, s2l, s2h = cell_rect_bounds_vec(faces, iis, jjs, level)
+    interior = np.zeros(len(nodes), dtype=bool)
+    # wrapped/polar cells (two segments or full span) always refine
+    simple = np.isnan(s2l) & ~((s1l <= -180.0) & (s1h >= 180.0))
+    # fast path: a cell strictly inside a RECT hole-free part is interior
+    # by pure float compares — strict containment in one part's interior
+    # implies strict containment in the union, whatever the other parts'
+    # boundaries do.  Only cells failing that pay the python sweep.
+    rect_in = np.zeros(len(nodes), dtype=bool)
+    for poly, (pl, pb_, pr, pt), is_rect in parts:
+        if is_rect:
+            rect_in |= (s1l > pl) & (s1h < pr) & (la_lo > pb_) & (la_hi < pt)
+    interior[simple & rect_in] = True
+    for idx in np.flatnonzero(simple & ~rect_in):
+        interior[idx] = not _rect_pokes_outside(
+            mp, float(s1l[idx]), float(la_lo[idx]), float(s1h[idx]), float(la_hi[idx])
+        )
+
     ids = parent_id(fij_to_id(faces, iis, jjs), level)
     return ids, interior
