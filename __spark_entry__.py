@@ -163,6 +163,35 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs.select("doc_id", txt.alias("text")), window=12, stride=6)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (GPT-3 appendix-C / Pile / OLMo style):
+    (doc, benchmark item) pairs sharing ≥3 distinct 13-gram token
+    windows (operators/dedup.contamination_pairs — benchmark n-grams
+    broadcast, corpus exploded once, hash agg with map-side combine).
+    The benchmark set is derived deterministically from the corpus
+    itself (tokens 11..31 of every 97th doc), so contamination exists by
+    construction: each sampled doc overlaps its own benchmark item in 9
+    windows, plus any cross-doc boilerplate overlap."""
+    from datacube_core_spark.functions.text import tokens_col
+    from datacube_core_spark.operators.dedup import contamination_pairs
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER))
+    ).otherwise(F.col("text"))
+    docs = raw.select("doc_id", txt.alias("text"))
+    toks = tokens_col(F.col("text"))
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 11, 21), " ").alias("text"),
+    ).unionByName(
+        # a benchmark item that IS the planted boilerplate: every 7th doc
+        # contaminates it — the cross-doc positive path
+        spark.createDataFrame([(-1, _BOILER)], "bench_id LONG, text STRING")
+    )
+    return contamination_pairs(docs, bench, n=13, min_hits=3)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval over the documents corpus for a
     deterministic self-derived query (the 5 highest-df terms): explode →
@@ -1212,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # too, even though their own plans are unchanged
         "token_budget": q_token_budget,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "tile_count": q_tile_count,
         "bbox_tiles": q_bbox_tiles,
         "pip_pairs": q_pip_pairs,
@@ -1397,6 +1427,22 @@ FROM pages
     )
     sqls["bm25_topk"] = sql_bm25_topk(
         "corpus AS (SELECT doc_id, text FROM documents)", k=10
+    )
+
+    from datacube_core_spark.functions.text import sql_tokens
+    from datacube_core_spark.operators.dedup import sql_contamination
+
+    sqls["decontaminate"] = sql_contamination(
+        "corpus AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        f"THEN text || ' {_BOILER}' ELSE text END AS text FROM documents)",
+        "bench AS (SELECT doc_id AS bench_id, "
+        f"array_to_string(list_slice({sql_tokens('text')}, 11, 31), ' ') AS text "
+        "FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        f"THEN text || ' {_BOILER}' ELSE text END AS text FROM documents) "
+        "WHERE doc_id % 97 = 0 "
+        f"UNION ALL SELECT CAST(-1 AS BIGINT) AS bench_id, '{_BOILER}' AS text)",
+        n=13,
+        min_hits=3,
     )
 
     # s2_cells: the full S2 pipeline replayed in SQL (face CASEs,

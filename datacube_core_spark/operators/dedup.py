@@ -711,3 +711,81 @@ SELECT span_hash,
        MAX(doc_id) AS max_doc
 FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
 """
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: (doc, benchmark item) pairs sharing ≥
+    ``min_hits`` distinct ``n``-gram token windows — the standard
+    pre-training hygiene pass (GPT-3 appendix-C / Pile / OLMo style
+    13-gram overlap) that keeps eval items out of the training corpus.
+
+    Returns (doc_id, bench_id, n_shared).  Both sides shingle through
+    the SHARED tokenizer/window machinery (:func:`doc_spans`, stride 1 —
+    the doc side must enumerate EVERY n-gram or an overlap straddling a
+    stride boundary is missed), so a tokenizer tweak cannot diverge this
+    contract from span dedup / BM25.
+
+    Scale shape: the benchmark side is small by definition → distinct
+    n-gram hashes BROADCAST; the doc side is a pure Catalyst explode
+    (n_tokens rows per doc, the price every real decontamination
+    pipeline pays) feeding a broadcast hash join + hash agg with
+    map-side combine.  At 100 TB the broadcast join means the corpus is
+    scanned once with no shuffle before the (tiny, post-join) aggregate;
+    if the benchmark set ever outgrew broadcast size, the same plan
+    degrades gracefully to a shuffle equi-join on span_hash.
+    """
+    d = doc_spans(docs, window=n, stride=1, id_col=id_col, text_col=text_col)
+    b = (
+        doc_spans(bench, window=n, stride=1, id_col=bench_id_col, text_col=bench_text_col)
+        .select(F.col("doc_id").alias("__bench_id"), "span_hash")
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(b), on="span_hash", how="inner")
+        .groupBy("doc_id", F.col("__bench_id").alias("bench_id"))
+        .agg(F.countDistinct("span_hash").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_hits)))
+    )
+
+
+def sql_contamination(
+    corpus_cte: str, bench_cte: str, n: int = 13, min_hits: int = 1
+) -> str:
+    """DuckDB twin of :func:`contamination_pairs` over CTEs yielding
+    ``corpus(doc_id, text)`` and ``bench(bench_id, text)``."""
+    from ..functions.text import sql_tokenized_cte
+
+    bench_tk = sql_tokenized_cte("bench").replace("tk AS", "btk AS").replace(
+        "SELECT doc_id,", "SELECT bench_id,"
+    )
+    return f"""WITH {corpus_cte},
+{bench_cte},
+{sql_tokenized_cte("corpus")},
+{bench_tk},
+dg AS (
+  SELECT doc_id,
+         substring(md5(array_to_string(list_slice(toks, pos + 1, pos + {n}), ' ')), 1, 16) AS span_hash
+  FROM (SELECT doc_id, toks,
+               UNNEST(generate_series(0, CAST(FLOOR((len - {n}) / 1) AS INT))) AS pos
+        FROM tk WHERE len >= {n})
+),
+bg AS (
+  SELECT DISTINCT bench_id,
+         substring(md5(array_to_string(list_slice(toks, pos + 1, pos + {n}), ' ')), 1, 16) AS span_hash
+  FROM (SELECT bench_id, toks,
+               UNNEST(generate_series(0, CAST(FLOOR((len - {n}) / 1) AS INT))) AS pos
+        FROM btk WHERE len >= {n})
+)
+SELECT dg.doc_id, bg.bench_id, COUNT(DISTINCT dg.span_hash) AS n_shared
+FROM dg JOIN bg ON dg.span_hash = bg.span_hash
+GROUP BY 1, 2 HAVING COUNT(DISTINCT dg.span_hash) >= {min_hits}
+"""

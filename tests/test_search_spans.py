@@ -167,3 +167,53 @@ def test_bm25_empty_corpus(spark):
     out = bm25_topk(df, k=5)
     assert out.count() == 0
     assert out.columns == ["doc_id", "score_micro", "rank"]
+
+
+def test_contamination_pairs_hand_corpus(spark):
+    """Decontamination on a hand corpus: doc 1 contains benchmark item
+    10 verbatim (4 shared 3-grams), doc 2 shares exactly one 3-gram with
+    it (below min_hits=2), doc 3 is clean; bench item 11 is novel."""
+    from datacube_core_spark.operators.dedup import contamination_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "x y alpha beta gamma q r"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"), (11, "nope never seen here")],
+        "bench_id LONG, text STRING",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_pairs(docs, bench, n=3, min_hits=2).collect()
+    }
+    assert got == {(1, 10): 4}
+    # min_hits=1 surfaces the single-window brush with doc 2
+    got1 = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_pairs(docs, bench, n=3, min_hits=1).collect()
+    }
+    assert got1 == {(1, 10): 4, (2, 10): 1}
+
+
+def test_contamination_case_insensitive_and_short_bench(spark):
+    """Shared tokenizer lowercases (contamination survives case changes);
+    a benchmark item shorter than n emits no windows and never matches."""
+    from datacube_core_spark.operators.dedup import contamination_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "The Quick Brown Fox Jumps")], "doc_id LONG, text STRING"
+    )
+    bench = spark.createDataFrame(
+        [(10, "the quick brown fox"), (11, "too short")],
+        "bench_id LONG, text STRING",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_pairs(docs, bench, n=3, min_hits=1).collect()
+    }
+    assert got == {(1, 10): 2}
