@@ -18,14 +18,24 @@ Plan shape (mirrors PipIndex's single-scan tier discipline):
 2. one broadcast equi-join against the level-tagged INTERIOR covering
    union — membership proven by the join alone (covering cells whose
    rect bound lies strictly inside the region skip refinement).
-3. one broadcast equi-join against the BOUNDARY union, then the exact
-   numpy strict-interior refine over the thin candidate band.
+3. boundary-band candidates split by region shape: AXIS-RECT regions
+   (single ring equal to its bbox) refine with pure-Catalyst strict
+   bbox predicates — no Python and no geometry blobs; generic regions
+   pay the exact numpy strict-interior refine.
 
-100-TB notes: the covering tables are geometry-bounded (per-region
-~target_cells² rows at an adaptively picked level), so the broadcast is
-small by construction; the big side is scanned twice (interior +
-boundary joins) against PipIndex's three — both AQE-friendly broadcast
-hash joins on a single long key.
+100-TB notes (PipIndex's discipline transplanted):
+
+* above ``DISTRIBUTED_COVER_THRESHOLD`` regions the covering itself is
+  computed on the EXECUTORS (one-off ``mapInPandas`` over the region
+  table) instead of a driver loop, and geometry blobs are pulled
+  driver-side ONLY for non-rect regions — driver memory scales with
+  |generic|, not |regions|.
+* the covering tables are geometry-bounded (per-region ~target_cells²
+  rows at an adaptively picked level) and are broadcast either way —
+  they are the small side of this join by definition.
+* the big side is scanned twice (interior + boundary joins) against
+  PipIndex's three — all AQE-friendly broadcast hash joins on one long
+  key.
 """
 
 from __future__ import annotations
@@ -37,7 +47,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..geom.polygon import points_strictly_inside_multi, unpack_multipolygon
+from ..geom.polygon import (
+    as_ring,
+    multipolygon_bbox,
+    points_strictly_inside_multi,
+    ring_area,
+    unpack_multipolygon,
+)
 from ..geom.s2 import MAX_LEVEL, lsb_for_level, with_s2_cell
 from ..geom.s2cover import pick_covering_level, s2_covering
 
@@ -50,15 +66,46 @@ def parent_id_col(cell, level: int):
     return cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
 
 
+def _rect_info(mp) -> tuple:
+    """(is_axis_rect, bbox): a single-part single-ring polygon whose
+    shoelace area equals its bbox area IS its bbox — strict-interior PIP
+    against it reduces to four float compares."""
+    l, b, r, t = multipolygon_bbox(mp)
+    is_rect = (
+        len(mp) == 1
+        and len(mp[0]) == 1
+        and ring_area(as_ring(mp[0][0])) == (r - l) * (t - b)
+    )
+    return is_rect, (float(l), float(b), float(r), float(t))
+
+
+_COV_SCHEMA = (
+    "region_id INT, lv INT, cell LONG, interior BOOLEAN, rect BOOLEAN, "
+    "r_left DOUBLE, r_bottom DOUBLE, r_right DOUBLE, r_top DOUBLE"
+)
+
+
+def _cover_rows(rid: int, blob: bytes, target: int, level: Optional[int]):
+    mp = unpack_multipolygon(blob)
+    lv = level if level is not None else pick_covering_level(mp, target)
+    ids, interior = s2_covering(mp, lv)
+    is_rect, (l, b, r, t) = _rect_info(mp)
+    return [
+        (int(rid), int(lv), int(c), bool(i), is_rect, l, b, r, t)
+        for c, i in zip(ids.tolist(), interior.tolist())
+    ]
+
+
 class S2PipIndex:
-    """Build-once S2 covering index of a (broadcast-small) region table.
+    """Build-once S2 covering index of a region table.
 
     ``regions_df`` must carry ``region_id`` and a packed-multipolygon
-    ``geom`` column (same contract as PipIndex); geometries are pulled
-    driver-side to run the covering — the region side is the SMALL side
-    of this join by definition (it is broadcast either way), matching
-    PipIndex's generic-blob discipline.
+    ``geom`` column (same contract as PipIndex).  Below
+    ``DISTRIBUTED_COVER_THRESHOLD`` regions the covering is built in a
+    driver loop; above it, on the executors (see module docstring).
     """
+
+    DISTRIBUTED_COVER_THRESHOLD = 10_000
 
     def __init__(
         self,
@@ -66,29 +113,72 @@ class S2PipIndex:
         regions_df: DataFrame,
         target_cells_per_axis: int = 8,
         level: Optional[int] = None,
+        distributed_cover: Optional[bool] = None,
     ):
-        rows = regions_df.select("region_id", "geom").collect()
-        self.geom_map: Dict[int, bytes] = {int(r["region_id"]): bytes(r["geom"]) for r in rows}
-
-        cov_rows: List[tuple] = []
-        levels = set()
-        for rid, blob in sorted(self.geom_map.items()):
-            mp = unpack_multipolygon(blob)
-            lv = level if level is not None else pick_covering_level(mp, target_cells_per_axis)
-            ids, interior = s2_covering(mp, lv)
-            levels.add(lv)
-            cov_rows.extend(
-                (int(rid), int(lv), int(c), bool(i))
-                for c, i in zip(ids.tolist(), interior.tolist())
+        if distributed_cover is None:
+            # limit-probe, not a full count (PipIndex's rule): deciding
+            # the build mode of a 10^6-region table must not scan it
+            thresh = self.DISTRIBUTED_COVER_THRESHOLD
+            distributed_cover = (
+                regions_df.select(F.lit(1)).limit(thresh + 1).count() > thresh
             )
-        if not cov_rows:
-            raise ValueError("S2PipIndex built from an empty region table")
-        self.levels = sorted(levels)
-        cov = spark.createDataFrame(
-            cov_rows, "region_id INT, lv INT, cell LONG, interior BOOLEAN"
+
+        target = int(target_cells_per_axis)
+        if distributed_cover:
+            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                cols = [
+                    "region_id", "lv", "cell", "interior", "rect",
+                    "r_left", "r_bottom", "r_right", "r_top",
+                ]
+                for pdf in batches:
+                    rows: List[tuple] = []
+                    for rid, blob in zip(pdf["region_id"], pdf["geom"]):
+                        rows.extend(_cover_rows(int(rid), bytes(blob), target, level))
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+
+            cov = (
+                regions_df.select("region_id", "geom")
+                .mapInPandas(kernel, schema=_COV_SCHEMA)
+                .localCheckpoint(eager=True)  # one-off build job
+            )
+            # geometry blobs driver-side ONLY for non-rect regions — the
+            # numpy refine's working set; rect regions' WKB never leaves
+            # the executors (driver memory scales with |generic|)
+            gid = cov.where(~F.col("rect") & ~F.col("interior")).select("region_id").distinct()
+            collected = (
+                regions_df.join(F.broadcast(gid), on="region_id", how="left_semi")
+                .select("region_id", "geom")
+                .collect()
+            )
+            self.geom_map: Dict[int, bytes] = {
+                int(r["region_id"]): bytes(r["geom"]) for r in collected
+            }
+        else:
+            rows = regions_df.select("region_id", "geom").collect()
+            cov_rows: List[tuple] = []
+            self.geom_map = {}
+            for r in sorted(rows, key=lambda r: r["region_id"]):
+                rid, blob = int(r["region_id"]), bytes(r["geom"])
+                part = _cover_rows(rid, blob, target, level)
+                cov_rows.extend(part)
+                if part and not part[0][4]:  # non-rect → refine needs the blob
+                    self.geom_map[rid] = blob
+            if not cov_rows:
+                raise ValueError("S2PipIndex built from an empty region table")
+            cov = spark.createDataFrame(cov_rows, _COV_SCHEMA)
+
+        self.levels = sorted(
+            int(r["lv"]) for r in cov.select("lv").distinct().collect()
         )
+        if not self.levels:
+            raise ValueError("S2PipIndex built from an empty region table")
         self._interior = cov.where(F.col("interior")).select("lv", "cell", "region_id")
-        self._boundary = cov.where(~F.col("interior")).select("lv", "cell", "region_id")
+        bnd = cov.where(~F.col("interior"))
+        self._boundary_rect = bnd.where(F.col("rect")).select(
+            "lv", "cell", "region_id", "r_left", "r_bottom", "r_right", "r_top"
+        )
+        self._boundary_gen = bnd.where(~F.col("rect")).select("lv", "cell", "region_id")
         self._bc_geoms = spark.sparkContext.broadcast(self.geom_map)
 
     def join(
@@ -117,10 +207,9 @@ class S2PipIndex:
                 pages_df.select(*base_cols, lon, lat),
                 level=MAX_LEVEL, lon_col=lon, lat_col=lat, out_col="__s2_leaf",
             )
-            leaf = F.col("__s2_leaf")
         else:
             keyed = pages_df.select(*base_cols, lon, lat, F.col(cell_col).alias("__s2_leaf"))
-            leaf = F.col("__s2_leaf")
+        leaf = F.col("__s2_leaf")
 
         # per-level parents in ONE pass (array+explode, pipelined)
         elems = [
@@ -138,20 +227,36 @@ class S2PipIndex:
                 sub.join(F.broadcast(self._interior), on=["lv", "cell"], how="inner")
                 .select(*out_cols)
             )
-        cand = (
-            sub.join(F.broadcast(self._boundary), on=["lv", "cell"], how="inner")
-            .select(*out_cols)
-        )
-        parts.append(self._refine(cand, lon, lat))
+        # rect-region boundary tier: strict bbox predicates, pure Catalyst
+        if len(self._boundary_rect.take(1)):
+            parts.append(
+                sub.join(F.broadcast(self._boundary_rect), on=["lv", "cell"], how="inner")
+                .where(
+                    (F.col(lon) > F.col("r_left"))
+                    & (F.col(lon) < F.col("r_right"))
+                    & (F.col(lat) > F.col("r_bottom"))
+                    & (F.col(lat) < F.col("r_top"))
+                )
+                .select(*out_cols)
+            )
+        # generic-region boundary tier: exact numpy strict-interior refine
+        if len(self._boundary_gen.take(1)):
+            cand = (
+                sub.join(F.broadcast(self._boundary_gen), on=["lv", "cell"], how="inner")
+                .select(*out_cols)
+            )
+            parts.append(self._refine(cand, lon, lat))
 
+        if not parts:
+            raise ValueError("S2PipIndex produced no candidate tables")
         result = parts[0]
         for p in parts[1:]:
             result = result.unionByName(p)
         return result
 
     def _refine(self, cand: DataFrame, lon: str, lat: str) -> DataFrame:
-        """Exact strict-interior PIP over the boundary-band candidates
-        (same kernel discipline as ``PipIndex._refine``)."""
+        """Exact strict-interior PIP over the generic-region boundary
+        band (same kernel discipline as ``PipIndex._refine``)."""
         bc_geoms = self._bc_geoms
         lon_name, lat_name = lon, lat
         out_schema = cand.schema

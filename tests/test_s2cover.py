@@ -234,3 +234,49 @@ def test_s2pip_plan_is_broadcast_no_python_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     depythoned = plan.replace("ArrowEvalPython", "")
     assert "BatchEvalPython" not in depythoned
+
+
+def test_s2pip_distributed_cover_matches_driver(spark):
+    """Forcing the executor-side covering build (distributed_cover=True)
+    must give row-identical joins to the driver-loop build, and pull NO
+    rect-region geometry blobs to the driver."""
+    from datacube_core_spark.operators.s2pip import S2PipIndex
+    from datacube_core_spark.sources.pages import pages
+
+    from .conftest import SF_TINY
+
+    specs = [
+        (0, [[box_ring(10.0, 20.0, 25.0, 37.0)]]),      # rect
+        (1, [[box_ring(0.0, 0.0, 10.0, 10.0), box_ring(4.0, 4.0, 6.0, 6.0)]]),  # donut
+        (2, [[np.array([(40, 40), (46, 40), (46, 42), (42, 42), (42, 46), (40, 46)], dtype=float)]]),
+    ]
+    regs = _region_df(spark, specs)
+    p = pages(spark, SF_TINY, repl=2).select("doc_id", "lon", "lat")
+
+    drv = S2PipIndex(spark, regs, distributed_cover=False)
+    dst = S2PipIndex(spark, regs, distributed_cover=True)
+    a = {tuple(r) for r in drv.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    b = {tuple(r) for r in dst.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    assert a == b and len(a) > 0
+    # rect region 0's blob never reaches the driver in either mode
+    assert set(drv.geom_map) == {1, 2}
+    assert set(dst.geom_map) == {1, 2}
+
+
+def test_s2pip_rect_tier_is_catalyst_only(spark):
+    """An all-rect region table must need NO geometry broadcast and NO
+    python in the boundary refine — strict bbox predicates only."""
+    from datacube_core_spark.operators.s2pip import S2PipIndex
+    from datacube_core_spark.sources.pages import pages
+
+    from .conftest import SF_TINY
+
+    regs = _region_df(spark, [(0, [[box_ring(10.0, 20.0, 25.0, 37.0)]])])
+    p = pages(spark, SF_TINY, repl=2).select("doc_id", "lon", "lat")
+    idx = S2PipIndex(spark, regs)
+    assert idx.geom_map == {}
+    df = idx.join(p, keep_cols=["doc_id"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # only the Arrow keying pass remains
+    depythoned = plan.replace("ArrowEvalPython", "")
+    assert "BatchEvalPython" not in depythoned
