@@ -125,9 +125,8 @@ def lcc_inverse_c(x, y, c: dict) -> Tuple[np.ndarray, np.ndarray]:
     chi = PI / 2.0 - 2.0 * np.arctan(t)
     a1, a2, a3, a4 = c["series"]
     phi = chi + a1 * np.sin(2 * chi) + a2 * np.sin(4 * chi) + a3 * np.sin(6 * chi) + a4 * np.sin(8 * chi)
-    # two Newton polish steps on f(φ) = t(φ) − t (d t/dφ = −t·(1−e²sin²φ)
-    # / ((1−e²sin²φ)·cosφ)… use the standard derivative m/( (1−e²s²)·cosφ )
-    # simplification: dt/dφ = −t·(1−e²)/((1−e²sin²φ)·cosφ))
+    # two Newton polish steps on f(φ) = t(φ) − t, using the closed-form
+    # derivative dt/dφ = −t·(1−e²) / ((1−e²sin²φ)·cosφ)
     for _ in range(2):
         s = np.sin(phi)
         tphi = np.tan(PI / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)

@@ -20,7 +20,6 @@ from datacube_core_spark.geom.albers import (
     albers_forward,
     albers_forward_c,
     albers_inverse,
-    albers_inverse_c,
     sql_albers_exprs,
 )
 from datacube_core_spark.geom.mercator import get_transformer, have_transform

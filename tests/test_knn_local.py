@@ -242,7 +242,6 @@ def test_subcell_split_halo_escape(spark):
     """A dense cell NEXT TO an empty neighborhood under the sub-cell
     path: queries whose k-th neighbour lies beyond the SUB-ring guard
     must escalate and still come back exact."""
-    import itertools
 
     pts = [(i, 0.05 + (i % 7) * 0.01, 0.05 + (i // 7) * 0.01) for i in range(49)]
     far = [(100 + i, 5.5 + i * 0.3, 5.5) for i in range(4)]
