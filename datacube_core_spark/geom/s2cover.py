@@ -373,3 +373,86 @@ def s2_covering(mp: MultiPolygon, level: int):
 
     ids = parent_id(fij_to_id(faces, iis, jjs), level)
     return ids, interior
+
+
+def s2_covering_budgeted(mp: MultiPolygon, max_cells: int = 64,
+                         max_level: int = 18):
+    """MIXED-LEVEL conservative covering under a cell budget — the
+    S2RegionCoverer shape (published coverer semantics: repeatedly split
+    the coarsest intersecting cell while the projected count stays
+    within ``max_cells``), for joining tables keyed at heterogeneous S2
+    levels or bounding broadcast size on oddly-shaped regions.
+
+    Returns ``(cell_ids, interior)`` like :func:`s2_covering`, but ids
+    carry their own levels (read them back with
+    :func:`..geom.s2.cell_level`).  Same conservativeness argument: a
+    cell is dropped only when its exact rect outer bound cannot touch
+    the region, so every region point stays covered at every split.
+    """
+    bl, bb, br, bt = multipolygon_bbox(mp)
+    parts = []
+    for poly in mp:
+        pb = polygon_bbox(poly)
+        r0 = as_ring(poly[0])
+        is_rect = (
+            len(poly) == 1
+            and ring_area(r0) == (pb[2] - pb[0]) * (pb[3] - pb[1])
+        )
+        parts.append((poly, pb, is_rect))
+
+    def _hits(lo, la_lo, hi, la_hi):
+        for poly, (pl, pb_, pr, pt), is_rect in parts:
+            if lo > pr or hi < pl or la_lo > pt or la_hi < pb_:
+                continue
+            if is_rect or rect_closed_intersects(poly, lo, la_lo, hi, la_hi):
+                return True
+        return False
+
+    def _segs(face, i_lo, j_lo, k):
+        lat_lo, lat_hi, segs = cell_rect_segments(face, i_lo, j_lo, k)
+        return lat_lo, lat_hi, segs
+
+    def _intersects(face, i_lo, j_lo, k) -> bool:
+        lat_lo, lat_hi, segs = _segs(face, i_lo, j_lo, k)
+        if lat_lo > bt or lat_hi < bb:
+            return False
+        return any(lo <= br and hi >= bl and _hits(lo, lat_lo, hi, lat_hi)
+                   for lo, hi in segs)
+
+    # (face, i_lo, j_lo, level) intersecting cells; split coarsest-first
+    cells = [(f, 0, 0, 0) for f in range(6) if _intersects(f, 0, 0, 0)]
+    while True:
+        k_min = min((c[3] for c in cells if c[3] < max_level), default=None)
+        if k_min is None:
+            break
+        idx = next(i for i, c in enumerate(cells) if c[3] == k_min)
+        face, i_lo, j_lo, k = cells[idx]
+        half = 1 << (MAX_LEVEL - k - 1)
+        children = [
+            (face, i_lo + di, j_lo + dj, k + 1)
+            for di in (0, half)
+            for dj in (0, half)
+            if _intersects(face, i_lo + di, j_lo + dj, k + 1)
+        ]
+        if len(cells) - 1 + len(children) > max_cells:
+            # splitting THIS cell would bust the budget; since it is a
+            # coarsest cell, no other split helps more — stop
+            break
+        cells = cells[:idx] + cells[idx + 1 :] + children
+
+    if not cells:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+
+    interior = np.zeros(len(cells), dtype=bool)
+    ids = np.empty(len(cells), dtype=np.int64)
+    for n_, (face, i_lo, j_lo, k) in enumerate(cells):
+        ids[n_] = int(parent_id(fij_to_id(
+            np.array([face]), np.array([i_lo]), np.array([j_lo])), k)[0])
+        if k == 0:
+            continue
+        lat_lo, lat_hi, segs = _segs(face, i_lo, j_lo, k)
+        if len(segs) != 1 or (segs[0][0] <= -180.0 and segs[0][1] >= 180.0):
+            continue  # wrapped/full-span cells always refine
+        lo, hi = segs[0]
+        interior[n_] = not _rect_pokes_outside(mp, lo, lat_lo, hi, lat_hi)
+    return ids, interior

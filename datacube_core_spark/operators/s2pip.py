@@ -55,7 +55,7 @@ from ..geom.polygon import (
     unpack_multipolygon,
 )
 from ..geom.s2 import MAX_LEVEL, lsb_for_level, with_s2_cell
-from ..geom.s2cover import pick_covering_level, s2_covering
+from ..geom.s2cover import pick_covering_level, s2_covering, s2_covering_budgeted
 
 
 def parent_id_col(cell, level: int):
@@ -85,8 +85,21 @@ _COV_SCHEMA = (
 )
 
 
-def _cover_rows(rid: int, blob: bytes, target: int, level: Optional[int]):
+def _cover_rows(rid: int, blob: bytes, target: int, level: Optional[int],
+                max_cells: Optional[int] = None):
     mp = unpack_multipolygon(blob)
+    if max_cells is not None:
+        # mixed-level budgeted covering (S2RegionCoverer shape): ids
+        # carry their own levels; the join explodes per DISTINCT level
+        from ..geom.s2 import cell_level
+
+        ids, interior = s2_covering_budgeted(mp, max_cells=max_cells)
+        lvs = cell_level(ids)
+        is_rect, (l, b, r, t) = _rect_info(mp)
+        return [
+            (int(rid), int(lv_), int(c), bool(i), is_rect, l, b, r, t)
+            for c, i, lv_ in zip(ids.tolist(), interior.tolist(), lvs.tolist())
+        ]
     lv = level if level is not None else pick_covering_level(mp, target)
     ids, interior = s2_covering(mp, lv)
     is_rect, (l, b, r, t) = _rect_info(mp)
@@ -103,6 +116,12 @@ class S2PipIndex:
     ``geom`` column (same contract as PipIndex).  Below
     ``DISTRIBUTED_COVER_THRESHOLD`` regions the covering is built in a
     driver loop; above it, on the executors (see module docstring).
+
+    ``max_cells`` switches per-region coverings to the MIXED-LEVEL
+    budgeted coverer (``s2_covering_budgeted`` — the S2RegionCoverer
+    shape); the join handles heterogeneous levels by exploding the big
+    side once per DISTINCT level present, so a tight budget trades page
+    explode fan-out for a smaller broadcast.
     """
 
     DISTRIBUTED_COVER_THRESHOLD = 10_000
@@ -114,6 +133,7 @@ class S2PipIndex:
         target_cells_per_axis: int = 8,
         level: Optional[int] = None,
         distributed_cover: Optional[bool] = None,
+        max_cells: Optional[int] = None,
     ):
         if distributed_cover is None:
             # limit-probe, not a full count (PipIndex's rule): deciding
@@ -133,7 +153,7 @@ class S2PipIndex:
                 for pdf in batches:
                     rows: List[tuple] = []
                     for rid, blob in zip(pdf["region_id"], pdf["geom"]):
-                        rows.extend(_cover_rows(int(rid), bytes(blob), target, level))
+                        rows.extend(_cover_rows(int(rid), bytes(blob), target, level, max_cells))
                     if rows:
                         yield pd.DataFrame(rows, columns=cols)
 
@@ -160,7 +180,7 @@ class S2PipIndex:
             self.geom_map = {}
             for r in sorted(rows, key=lambda r: r["region_id"]):
                 rid, blob = int(r["region_id"]), bytes(r["geom"])
-                part = _cover_rows(rid, blob, target, level)
+                part = _cover_rows(rid, blob, target, level, max_cells)
                 cov_rows.extend(part)
                 if part and not part[0][4]:  # non-rect → refine needs the blob
                     self.geom_map[rid] = blob

@@ -280,3 +280,46 @@ def test_s2pip_rect_tier_is_catalyst_only(spark):
     assert "MapInPandas" not in plan  # only the Arrow keying pass remains
     depythoned = plan.replace("ArrowEvalPython", "")
     assert "BatchEvalPython" not in depythoned
+
+
+def test_budgeted_covering_conservative_and_bounded():
+    """Mixed-level budgeted coverer: cell count within budget, ids at
+    heterogeneous levels, and every in-region point covered by an
+    ancestor at one of the emitted levels."""
+    from datacube_core_spark.geom.s2 import parent_id
+    from datacube_core_spark.geom.s2cover import s2_covering_budgeted
+
+    mp = chop_along_antimeridian([[box_ring(170.0, -20.0, 190.0, 25.0)]])
+    ids, interior = s2_covering_budgeted(mp, max_cells=20)
+    assert 0 < len(ids) <= 20
+    levels = sorted(set(cell_level(ids).tolist()))
+    lons = np.concatenate([
+        RNG.uniform(170.001, 179.999, 1500), RNG.uniform(-179.999, -170.001, 1500)
+    ])
+    lats = RNG.uniform(-19.999, 24.999, 3000)
+    leaf = s2_cell_id(lons, lats, 30)
+    idset = set(ids.tolist())
+    for lf in leaf.tolist():
+        assert any(int(parent_id(np.array([lf]), k)[0]) in idset for k in levels)
+
+
+def test_s2pip_budgeted_covering_matches_fixed(spark):
+    """S2PipIndex(max_cells=...) — mixed-level covering through the same
+    join — must give row-identical results to the fixed-level build."""
+    from datacube_core_spark.operators.s2pip import S2PipIndex
+    from datacube_core_spark.sources.pages import pages
+
+    from .conftest import SF_TINY
+
+    specs = [
+        (0, [[box_ring(10.0, 20.0, 25.0, 37.0)]]),
+        (1, [[np.array([(40, 40), (46, 40), (46, 42), (42, 42), (42, 46), (40, 46)], dtype=float)]]),
+    ]
+    regs = _region_df(spark, specs)
+    p = pages(spark, SF_TINY, repl=2).select("doc_id", "lon", "lat")
+    fixed = S2PipIndex(spark, regs)
+    budg = S2PipIndex(spark, regs, max_cells=16)
+    assert len(budg.levels) >= 1
+    a = {tuple(r) for r in fixed.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    b = {tuple(r) for r in budg.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    assert a == b and len(a) > 0
