@@ -210,3 +210,44 @@ def test_gridspec_c_tiles_in_crs(spark):
         tiles = list(GRID_C.tiles(BoundingBox(xi, yi, xi + 1.0, yi + 1.0)))
         idx = [t[0] for t in tiles]
         assert (math.floor(xi / 100000.0), math.floor(yi / 100000.0)) in idx
+
+
+def test_albers_gs_tiles_from_geopolygon_in_crs():
+    """The reference's AlbersGS flow end-to-end IN CRS (its canonical
+    test grid, ``datacube/testutils/geom.py:23-26``): a geographic
+    footprint projects through the native 3577 registry transform, tiles
+    enumerate with ``tiles_from_geopolygon`` in CRS metres, and two
+    independent invariants must hold — every projected in-footprint
+    sample point lands in an enumerated tile (conservative completeness)
+    and every enumerated tile's extent genuinely intersects the
+    projected footprint interior (the refine property)."""
+    from datacube_core_spark.geom.grid import GRID_C
+    from datacube_core_spark.geom.polygon import (
+        multipolygon_rect_interiors_intersect,
+        points_strictly_inside_multi,
+    )
+
+    fwd = get_transformer("EPSG:4326", "EPSG:3577")
+    # a non-rectangular (diamond) footprint over central Australia
+    ring_ll = np.array(
+        [(128.0, -22.0), (134.0, -18.5), (140.0, -22.0), (134.0, -27.5)],
+        dtype=float,
+    )
+    xs, ys = fwd(ring_ll[:, 0], ring_ll[:, 1])
+    mp = [[np.column_stack([xs, ys])]]
+
+    tiles = {idx for idx, _gb in GRID_C.tiles_from_geopolygon(mp)}
+    assert len(tiles) > 4  # a multi-tile footprint, not a degenerate one
+
+    # completeness: dense interior samples (barycentric mix of the ring)
+    w = RNG.dirichlet(np.ones(4), 3000)
+    px = w @ xs
+    py = w @ ys
+    inside = points_strictly_inside_multi(px, py, mp)
+    for x, y in zip(px[inside], py[inside]):
+        assert (math.floor(x / 100000.0), math.floor(y / 100000.0)) in tiles
+
+    # refine property: no tile whose 100 km extent misses the footprint
+    for tx, ty in tiles:
+        l, b = tx * 100000.0, ty * 100000.0
+        assert multipolygon_rect_interiors_intersect(mp, l, b, l + 100000.0, b + 100000.0)
