@@ -15,13 +15,13 @@ Plan shape (mirrors PipIndex's single-scan tier discipline):
    point (skipped when the caller provides a pre-keyed column), then
    pure-Catalyst bit arithmetic derives the parent id at every active
    covering level and explodes — no shuffle, no Python in the join path.
-2. one broadcast equi-join against the level-tagged INTERIOR covering
-   union — membership proven by the join alone (covering cells whose
-   rect bound lies strictly inside the region skip refinement).
-3. boundary-band candidates split by region shape: AXIS-RECT regions
-   (single ring equal to its bbox) refine with pure-Catalyst strict
-   bbox predicates — no Python and no geometry blobs; generic regions
-   pay the exact numpy strict-interior refine.
+2. ONE broadcast equi-join resolves every Catalyst-decidable candidate:
+   INTERIOR covering cells pass unconditionally (membership proven by
+   the join alone — their rect bound lies strictly inside the region)
+   and AXIS-RECT regions' boundary cells pass by strict bbox predicate
+   — no Python and no geometry blobs in either case.
+3. only GENERIC regions' boundary-band candidates pay a second scan +
+   the exact numpy strict-interior refine.
 
 100-TB notes (PipIndex's discipline transplanted):
 
@@ -33,9 +33,12 @@ Plan shape (mirrors PipIndex's single-scan tier discipline):
 * the covering tables are geometry-bounded (per-region ~target_cells²
   rows at an adaptively picked level) and are broadcast either way —
   they are the small side of this join by definition.
-* the big side is scanned twice (interior + boundary joins) against
-  PipIndex's three — all AQE-friendly broadcast hash joins on one long
-  key.
+* the big side is scanned ONCE when every region is axis-rect, twice
+  when generic regions exist (their refine band) — against PipIndex's
+  three; this matters more here than there because each scan pays the
+  Arrow leaf-keying kernel (unless the caller pre-keys via
+  ``cell_col``).  All joins are AQE-friendly broadcast hash joins on
+  one long key.
 """
 
 from __future__ import annotations
@@ -193,12 +196,19 @@ class S2PipIndex:
         )
         if not self.levels:
             raise ValueError("S2PipIndex built from an empty region table")
-        self._interior = cov.where(F.col("interior")).select("lv", "cell", "region_id")
-        bnd = cov.where(~F.col("interior"))
-        self._boundary_rect = bnd.where(F.col("rect")).select(
-            "lv", "cell", "region_id", "r_left", "r_bottom", "r_right", "r_top"
+        # Catalyst-resolvable candidates (interior cells + rect-region
+        # boundary cells) share ONE broadcast table: interior rows pass
+        # unconditionally, rect-boundary rows by strict bbox predicate —
+        # a single keep-filter, so the big side is scanned ONCE for both
+        # tiers (the S2 leaf-keying Arrow pass is the per-scan cost here,
+        # unlike PipIndex's cheap subcell arithmetic)
+        self._catalyst = cov.where(F.col("interior") | F.col("rect")).select(
+            "lv", "cell", "region_id", "interior",
+            "r_left", "r_bottom", "r_right", "r_top",
         )
-        self._boundary_gen = bnd.where(~F.col("rect")).select("lv", "cell", "region_id")
+        self._boundary_gen = cov.where(~F.col("interior") & ~F.col("rect")).select(
+            "lv", "cell", "region_id"
+        )
         self._bc_geoms = spark.sparkContext.broadcast(self.geom_map)
 
     def join(
@@ -242,20 +252,19 @@ class S2PipIndex:
         )
 
         parts: List[DataFrame] = []
-        if len(self._interior.take(1)):
+        # interior + rect-boundary tiers in ONE scan: interior rows pass
+        # unconditionally, rect rows by strict bbox predicate
+        if len(self._catalyst.take(1)):
             parts.append(
-                sub.join(F.broadcast(self._interior), on=["lv", "cell"], how="inner")
-                .select(*out_cols)
-            )
-        # rect-region boundary tier: strict bbox predicates, pure Catalyst
-        if len(self._boundary_rect.take(1)):
-            parts.append(
-                sub.join(F.broadcast(self._boundary_rect), on=["lv", "cell"], how="inner")
+                sub.join(F.broadcast(self._catalyst), on=["lv", "cell"], how="inner")
                 .where(
-                    (F.col(lon) > F.col("r_left"))
-                    & (F.col(lon) < F.col("r_right"))
-                    & (F.col(lat) > F.col("r_bottom"))
-                    & (F.col(lat) < F.col("r_top"))
+                    F.col("interior")
+                    | (
+                        (F.col(lon) > F.col("r_left"))
+                        & (F.col(lon) < F.col("r_right"))
+                        & (F.col(lat) > F.col("r_bottom"))
+                        & (F.col(lat) < F.col("r_top"))
+                    )
                 )
                 .select(*out_cols)
             )
