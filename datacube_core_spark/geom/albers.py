@@ -143,16 +143,29 @@ def albers_inverse_c(x, y, c: dict) -> Tuple[np.ndarray, np.ndarray]:
     rho = sgn * np.sqrt(xp * xp + yp * yp)
     theta = np.arctan2(sgn * xp, sgn * yp)
     q = (c["C"] - (rho * n / c["a"]) ** 2) / n
-    beta = np.arcsin(np.clip(q / c["qp"], -1.0, 1.0))
+    ratio = np.clip(q / c["qp"], -1.0, 1.0)
+    beta = np.arcsin(ratio)
     s2b, s4b, s6b = np.sin(2 * beta), np.sin(4 * beta), np.sin(6 * beta)
     a1, a2, a3 = c["series"]
     phi = beta + a1 * s2b + a2 * s4b + a3 * s6b
+    # pole guard: when the inverse q lands at (or within float-rounding
+    # distance of) ±qp the polish step divides by cos(φ) → 0, amplifying
+    # the ~ulp residual of f into an O(1)-radian error.  There the series
+    # estimate is already far inside the series' own error band (|β| is
+    # within ~1.5e-6 rad of the pole only when |ratio| ≥ 1−1e-12), so
+    # skip the polish for those points rather than corrupt it.
+    at_pole = np.abs(ratio) >= 1.0 - 1e-12
+    phi_series = phi
     # two Newton polish steps of Snyder 3-16 (fixed count, branch-free)
-    for _ in range(2):
-        s = np.sin(phi)
-        one = 1.0 - e2 * s * s
-        f_val = q / (1.0 - e2) - s / one + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
-        phi = phi + (one * one / (2.0 * np.cos(phi))) * f_val
+    # (errstate: at_pole lanes may hit log(0) at s=±1 — their values are
+    # discarded by the np.where below)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _ in range(2):
+            s = np.sin(phi)
+            one = 1.0 - e2 * s * s
+            f_val = q / (1.0 - e2) - s / one + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            phi = phi + (one * one / (2.0 * np.where(at_pole, 1.0, np.cos(phi)))) * f_val
+    phi = np.where(at_pole, phi_series, phi)
     lam = c["lam0"] + theta / n
     lon = np.rad2deg(np.remainder(lam + PI, 2.0 * PI) - PI)
     return lon, np.rad2deg(phi)

@@ -103,7 +103,10 @@ def lcc_forward_c(lon, lat, c: dict) -> Tuple[np.ndarray, np.ndarray]:
     s = np.sin(phi)
     t = np.tan(PI / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
     # t^n via exp(n·ln t): the association the Catalyst/SQL dialects use
-    rho = c["aF"] * np.exp(n * np.log(t))
+    # (errstate: t = 0 at the projection pole — log(0) → ∓inf → rho 0 or
+    # +inf, both the mathematically correct limit, no warning needed)
+    with np.errstate(divide="ignore"):
+        rho = c["aF"] * np.exp(n * np.log(t))
     dlam = np.remainder(lam - c["lam0"] + PI, 2.0 * PI) - PI
     theta = n * dlam
     return c["e0"] + rho * np.sin(theta), c["n0"] + c["rho0"] - rho * np.cos(theta)
@@ -121,17 +124,31 @@ def lcc_inverse_c(x, y, c: dict) -> Tuple[np.ndarray, np.ndarray]:
     sgn = 1.0 if n >= 0 else -1.0
     rho = sgn * np.sqrt(xp * xp + yp * yp)
     theta = np.arctan2(sgn * xp, sgn * yp)
-    t = np.exp(np.log(rho / c["aF"]) / n)
+    with np.errstate(divide="ignore", over="ignore"):
+        t = np.exp(np.log(rho / c["aF"]) / n)
     chi = PI / 2.0 - 2.0 * np.arctan(t)
     a1, a2, a3, a4 = c["series"]
     phi = chi + a1 * np.sin(2 * chi) + a2 * np.sin(4 * chi) + a3 * np.sin(6 * chi) + a4 * np.sin(8 * chi)
+    # apex guard: at (or within float-rounding distance of) the cone apex
+    # rho→0 drives t toward 0 (n>0) or +inf (n<0) — the Newton step below
+    # then computes inf−inf / divides by cos(φ)→0 and returns NaN/junk.
+    # For those points the series estimate IS the answer (|χ| is within
+    # ~1e-12 rad of the pole, far below the series' own error), so skip
+    # the polish there rather than corrupt it.
+    at_apex = ~np.isfinite(t) | (t <= 1e-12) | (t >= 1e12)
+    phi_series = phi
+    t_safe = np.where(at_apex, 1.0, t)
     # two Newton polish steps on f(φ) = t(φ) − t, using the closed-form
     # derivative dt/dφ = −t·(1−e²) / ((1−e²sin²φ)·cosφ)
-    for _ in range(2):
-        s = np.sin(phi)
-        tphi = np.tan(PI / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
-        dtdphi = -tphi * (1.0 - c["e2"]) / ((1.0 - c["e2"] * s * s) * np.cos(phi))
-        phi = phi - (tphi - t) / dtdphi
+    # (errstate: at_apex lanes may still divide by an underflowed dtdphi —
+    # their values are discarded by the np.where below)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for _ in range(2):
+            s = np.sin(phi)
+            tphi = np.tan(PI / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+            dtdphi = -tphi * (1.0 - c["e2"]) / ((1.0 - c["e2"] * s * s) * np.where(at_apex, 1.0, np.cos(phi)))
+            phi = phi - (tphi - t_safe) / dtdphi
+    phi = np.where(at_apex, phi_series, phi)
     lam = c["lam0"] + theta / n
     lon = np.rad2deg(np.remainder(lam + PI, 2.0 * PI) - PI)
     return lon, np.rad2deg(phi)

@@ -217,6 +217,45 @@ def pick_covering_level(mp: MultiPolygon, target_cells_per_axis: int = 8,
     return max(min_level, min(max_level, k))
 
 
+def rect_parts(mp: MultiPolygon) -> list:
+    """``[(poly, part_bbox, is_rect)]`` — per-part bbox + exact-rectangle
+    detection.  A simple single-ring part whose shoelace area equals its
+    bbox area IS its bbox (containment + equal measure), so intersect
+    tests against it collapse to float compares; the exact
+    rect-vs-polygon clip runs only for genuinely non-rect parts.  This is
+    what makes a few-hundred-region covering build a sub-second driver
+    step instead of seconds of ring clipping.  ONE definition shared by
+    both coverers and the s2pip tier classifier — the rect rule must not
+    diverge between them (a part classified rect here passes the join by
+    bbox predicate alone downstream).
+    """
+    parts = []
+    for poly in mp:
+        pb = polygon_bbox(poly)
+        is_rect = (
+            len(poly) == 1
+            and ring_area(as_ring(poly[0])) == (pb[2] - pb[0]) * (pb[3] - pb[1])
+        )
+        parts.append((poly, pb, is_rect))
+    return parts
+
+
+def make_hits(parts: list):
+    """Closure testing whether a closed lon/lat rect intersects any part
+    (bbox prune → rect fast path → exact clip); operand of both coverers'
+    BFS keep-tests."""
+
+    def _hits(lo: float, la_lo: float, hi: float, la_hi: float) -> bool:
+        for poly, (pl, pb_, pr, pt), is_rect in parts:
+            if lo > pr or hi < pl or la_lo > pt or la_hi < pb_:
+                continue
+            if is_rect or rect_closed_intersects(poly, lo, la_lo, hi, la_hi):
+                return True
+        return False
+
+    return _hits
+
+
 def _rect_pokes_outside(mp: MultiPolygon, l: float, b: float, r: float, t: float) -> bool:
     """True unless the CLOSED rect is clearly strictly inside ``mp``.
 
@@ -277,31 +316,8 @@ def s2_covering(mp: MultiPolygon, level: int):
     """
     bl, bb, br, bt = multipolygon_bbox(mp)
 
-    # per-PART bbox + exact-rectangle detection: a simple single-ring part
-    # whose shoelace area equals its bbox area IS its bbox (containment +
-    # equal measure), so the intersect test collapses to float compares —
-    # the exact rect-vs-polygon clip runs only for genuinely non-rect
-    # parts.  This is what makes a few-hundred-region covering build a
-    # sub-second driver step instead of seconds of ring clipping.
-    parts = []
-    for poly in mp:
-        pb = polygon_bbox(poly)
-        r0 = as_ring(poly[0])
-        is_rect = (
-            len(poly) == 1
-            and ring_area(r0) == (pb[2] - pb[0]) * (pb[3] - pb[1])
-        )
-        parts.append((poly, pb, is_rect))
-
-    def _hits(lo: float, la_lo: float, hi: float, la_hi: float) -> bool:
-        for poly, (pl, pb_, pr, pt), is_rect in parts:
-            if lo > pr or hi < pl or la_lo > pt or la_hi < pb_:
-                continue
-            if is_rect:
-                return True
-            if rect_closed_intersects(poly, lo, la_lo, hi, la_hi):
-                return True
-        return False
+    parts = rect_parts(mp)
+    _hits = make_hits(parts)
 
     # BFS over (face, i_lo, j_lo) nodes, level by level; rect bounds are
     # computed VECTORIZED per level (the per-node scalar version was the
@@ -353,6 +369,11 @@ def s2_covering(mp: MultiPolygon, level: int):
     faces = np.array([n[0] for n in nodes], dtype=np.int64)
     iis = np.array([n[1] for n in nodes], dtype=np.int64)
     jjs = np.array([n[2] for n in nodes], dtype=np.int64)
+    if level == 0:
+        # face cells: cell_rect_bounds_vec is level ≥ 1 only, and a face
+        # cell always refines (every face rect either wraps in longitude
+        # or touches a pole), matching the budgeted coverer's k == 0 rule
+        return parent_id(fij_to_id(faces, iis, jjs), 0), np.zeros(len(nodes), dtype=bool)
     la_lo, la_hi, s1l, s1h, s2l, s2h = cell_rect_bounds_vec(faces, iis, jjs, level)
     interior = np.zeros(len(nodes), dtype=bool)
     # wrapped/polar cells (two segments or full span) always refine
@@ -390,23 +411,7 @@ def s2_covering_budgeted(mp: MultiPolygon, max_cells: int = 64,
     the region, so every region point stays covered at every split.
     """
     bl, bb, br, bt = multipolygon_bbox(mp)
-    parts = []
-    for poly in mp:
-        pb = polygon_bbox(poly)
-        r0 = as_ring(poly[0])
-        is_rect = (
-            len(poly) == 1
-            and ring_area(r0) == (pb[2] - pb[0]) * (pb[3] - pb[1])
-        )
-        parts.append((poly, pb, is_rect))
-
-    def _hits(lo, la_lo, hi, la_hi):
-        for poly, (pl, pb_, pr, pt), is_rect in parts:
-            if lo > pr or hi < pl or la_lo > pt or la_hi < pb_:
-                continue
-            if is_rect or rect_closed_intersects(poly, lo, la_lo, hi, la_hi):
-                return True
-        return False
+    _hits = make_hits(rect_parts(mp))
 
     def _segs(face, i_lo, j_lo, k):
         lat_lo, lat_hi, segs = cell_rect_segments(face, i_lo, j_lo, k)
@@ -419,13 +424,19 @@ def s2_covering_budgeted(mp: MultiPolygon, max_cells: int = 64,
         return any(lo <= br and hi >= bl and _hits(lo, lat_lo, hi, lat_hi)
                    for lo, hi in segs)
 
-    # (face, i_lo, j_lo, level) intersecting cells; split coarsest-first
+    # (face, i_lo, j_lo, level) intersecting cells; split coarsest-first.
+    # A cell whose split would bust the budget is FROZEN (kept as-is) and
+    # the sweep moves on: another cell at the same or deeper level may
+    # have fewer intersecting children and still split within budget —
+    # coarsest-first ordering alone does not make the first bust terminal.
     cells = [(f, 0, 0, 0) for f in range(6) if _intersects(f, 0, 0, 0)]
+    frozen: set = set()
     while True:
-        k_min = min((c[3] for c in cells if c[3] < max_level), default=None)
-        if k_min is None:
+        live = [(c[3], i) for i, c in enumerate(cells)
+                if c[3] < max_level and i not in frozen]
+        if not live:
             break
-        idx = next(i for i, c in enumerate(cells) if c[3] == k_min)
+        _, idx = min(live)
         face, i_lo, j_lo, k = cells[idx]
         half = 1 << (MAX_LEVEL - k - 1)
         children = [
@@ -435,10 +446,12 @@ def s2_covering_budgeted(mp: MultiPolygon, max_cells: int = 64,
             if _intersects(face, i_lo + di, j_lo + dj, k + 1)
         ]
         if len(cells) - 1 + len(children) > max_cells:
-            # splitting THIS cell would bust the budget; since it is a
-            # coarsest cell, no other split helps more — stop
-            break
+            frozen.add(idx)
+            continue
         cells = cells[:idx] + cells[idx + 1 :] + children
+        # replacement shifts indices past idx down by one and appends the
+        # children at the tail; remap the frozen markers accordingly
+        frozen = {i if i < idx else i - 1 for i in frozen}
 
     if not cells:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)

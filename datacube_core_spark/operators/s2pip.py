@@ -51,14 +51,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..geom.polygon import (
-    as_ring,
     multipolygon_bbox,
     points_strictly_inside_multi,
-    ring_area,
     unpack_multipolygon,
 )
 from ..geom.s2 import MAX_LEVEL, lsb_for_level, with_s2_cell
-from ..geom.s2cover import pick_covering_level, s2_covering, s2_covering_budgeted
+from ..geom.s2cover import (
+    pick_covering_level,
+    rect_parts,
+    s2_covering,
+    s2_covering_budgeted,
+)
 
 
 def parent_id_col(cell, level: int):
@@ -70,15 +73,14 @@ def parent_id_col(cell, level: int):
 
 
 def _rect_info(mp) -> tuple:
-    """(is_axis_rect, bbox): a single-part single-ring polygon whose
-    shoelace area equals its bbox area IS its bbox — strict-interior PIP
-    against it reduces to four float compares."""
+    """(is_axis_rect, bbox): whole-region form of the shared
+    :func:`..geom.s2cover.rect_parts` rule — a single-part region whose
+    one ring is its bbox reduces strict-interior PIP to four float
+    compares.  Delegates so the rect rule cannot diverge from the
+    coverers'."""
     l, b, r, t = multipolygon_bbox(mp)
-    is_rect = (
-        len(mp) == 1
-        and len(mp[0]) == 1
-        and ring_area(as_ring(mp[0][0])) == (r - l) * (t - b)
-    )
+    parts = rect_parts(mp)
+    is_rect = len(parts) == 1 and parts[0][2]
     return is_rect, (float(l), float(b), float(r), float(t))
 
 
@@ -191,9 +193,17 @@ class S2PipIndex:
                 raise ValueError("S2PipIndex built from an empty region table")
             cov = spark.createDataFrame(cov_rows, _COV_SCHEMA)
 
-        self.levels = sorted(
-            int(r["lv"]) for r in cov.select("lv").distinct().collect()
-        )
+        # one build-time job yields the active levels AND which tiers are
+        # populated — join() must not re-probe per call (it runs on the
+        # hot query path, warm-benchmarked; these facts are build-time
+        # constants of the covering)
+        tier_rows = cov.groupBy("lv").agg(
+            F.max((F.col("interior") | F.col("rect")).cast("int")).alias("cat"),
+            F.max((~F.col("interior") & ~F.col("rect")).cast("int")).alias("gen"),
+        ).collect()
+        self.levels = sorted(int(r["lv"]) for r in tier_rows)
+        self._has_catalyst = any(r["cat"] for r in tier_rows)
+        self._has_generic = any(r["gen"] for r in tier_rows)
         if not self.levels:
             raise ValueError("S2PipIndex built from an empty region table")
         # Catalyst-resolvable candidates (interior cells + rect-region
@@ -254,7 +264,7 @@ class S2PipIndex:
         parts: List[DataFrame] = []
         # interior + rect-boundary tiers in ONE scan: interior rows pass
         # unconditionally, rect rows by strict bbox predicate
-        if len(self._catalyst.take(1)):
+        if self._has_catalyst:
             parts.append(
                 sub.join(F.broadcast(self._catalyst), on=["lv", "cell"], how="inner")
                 .where(
@@ -269,7 +279,7 @@ class S2PipIndex:
                 .select(*out_cols)
             )
         # generic-region boundary tier: exact numpy strict-interior refine
-        if len(self._boundary_gen.take(1)):
+        if self._has_generic:
             cand = (
                 sub.join(F.broadcast(self._boundary_gen), on=["lv", "cell"], how="inner")
                 .select(*out_cols)

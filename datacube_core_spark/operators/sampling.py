@@ -163,7 +163,16 @@ def token_budget_sample_threshold(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    kept_prefix = kept_prefix.withColumn(cum_col, F.sum(F.col(token_col)).over(wp))
+    kept_prefix = (
+        kept_prefix.withColumn(cum_col, F.sum(F.col(token_col)).over(wp))
+        # non-NULL cums here are ≤ budget by the boundary construction, so
+        # this predicate only drops rows whose running sum is NULL (an
+        # all-NULL-token prefix — possible when priority_col != token_col,
+        # or a group whose every token is NULL) — which the exact plan's
+        # WHERE cum <= budget also drops.  Without it the two plans'
+        # keep-sets diverge on NULL tokens.
+        .where(F.col(cum_col) <= F.lit(int(budget)))
+    )
 
     # boundary bucket: exact pass over ~1/n_buckets of the group
     edge = routed.where(F.col("_bkt") == F.col("_boundary"))

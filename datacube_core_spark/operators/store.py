@@ -185,7 +185,15 @@ class DatasetStore:
                 try:
                     os.utime(claim)
                 except OSError:
-                    return  # claim resolved/removed under us — stop quietly
+                    # Distinguish "claim resolved/removed under us" (stop
+                    # quietly) from a TRANSIENT utime failure (EIO/EINTR
+                    # class on network filesystems): only the former may
+                    # end the heartbeat — a transient error must not
+                    # silently re-open the force-finalize-a-live-writer
+                    # race this thread exists to close, so keep beating
+                    # while the claim file still exists.
+                    if not os.path.exists(claim):
+                        return
 
         hb = threading.Thread(target=_beat, name=f"claim-heartbeat-{seq}", daemon=True)
         hb.start()

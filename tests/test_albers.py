@@ -251,3 +251,25 @@ def test_albers_gs_tiles_from_geopolygon_in_crs():
     for tx, ty in tiles:
         l, b = tx * 100000.0, ty * 100000.0
         assert multipolygon_rect_interiors_intersect(mp, l, b, l + 100000.0, b + 100000.0)
+
+
+def test_inverse_pole_stability():
+    """Review-pass (r6): at the poles q → ±q_pole and the Newton polish
+    of Snyder 3-16 divides by cos φ → 0, turning the ~ulp residual of f
+    into an O(1)-radian error (observed: lat −90 inverting to −89.967 on
+    EPSG:3577).  Inside the float-rounding band of the pole the series
+    estimate must be kept un-"polished"; everywhere else the polish must
+    still run."""
+    for crs in sorted(ALBERS_PARAMS):
+        # exactly at both poles and inside the rounding band
+        for lat in (-90.0, 90.0, -89.9999999, 89.9999999):
+            x, y = albers_forward([10.0], [lat], crs)
+            lon2, lat2 = albers_inverse(x, y, crs)
+            assert np.isfinite(lat2[0]) and np.isfinite(lon2[0]), (crs, lat)
+            assert abs(abs(lat2[0]) - 90.0) < 1e-6, (crs, lat, lat2[0])
+        # just OUTSIDE the band: the polish is active and the round trip
+        # is sub-centimetre in latitude (1e-7 deg ≈ 1.1 cm)
+        lat = np.array([-89.99, 89.99, -88.0, 88.0])
+        x, y = albers_forward(np.full(4, 10.0), lat, crs)
+        _, lat2 = albers_inverse(x, y, crs)
+        assert np.all(np.abs(lat2 - lat) < 1e-7), crs

@@ -171,3 +171,25 @@ def test_sql_twin_fuzz_band():
             tol = max(1e-5, abs(x[rid]) * 1e-12, abs(y[rid]) * 1e-12)
             assert abs(e - x[rid]) < tol
             assert abs(n - y[rid]) < tol
+
+
+def test_inverse_apex_stability():
+    """Review-pass (r6): at the cone apex ρ → 0 drives t to 0 (n > 0) or
+    +inf (n < 0); the Newton polish then computes inf − inf / divides by
+    cos φ → 0 and returned NaN (observed on EPSG:2154, whose ρ₀ rounding
+    leaves t tiny-but-finite and escaping an exact-zero mask).  Near the
+    apex the series estimate must be kept; away from it the polish must
+    still run."""
+    for crs in sorted(LCC_PARAMS):
+        n = lcc_constants(crs)["n"]
+        apex_lat = 90.0 if n > 0 else -90.0
+        for lat in (apex_lat, apex_lat * 0.99999999):
+            x, y = lcc_forward([30.0], [lat], crs)
+            lon2, lat2 = lcc_inverse(x, y, crs)
+            assert np.isfinite(lat2[0]) and np.isfinite(lon2[0]), (crs, lat)
+            assert abs(lat2[0] - apex_lat) < 1e-5, (crs, lat, lat2[0])
+        # near-but-outside the apex band: polish active, round trip tight
+        lat = np.array([apex_lat * f for f in (0.9999, 0.999, 0.98)])
+        x, y = lcc_forward(np.full(3, 30.0), lat, crs)
+        _, lat2 = lcc_inverse(x, y, crs)
+        assert np.all(np.abs(lat2 - lat) < 1e-7), crs

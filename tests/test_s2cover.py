@@ -323,3 +323,112 @@ def test_s2pip_budgeted_covering_matches_fixed(spark):
     a = {tuple(r) for r in fixed.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
     b = {tuple(r) for r in budg.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_covering_level0_face_cells():
+    """Review-pass (r6): s2_covering(level=0) crashed — the vectorized
+    rect-bound kernel is level ≥ 1 only.  A level-0 covering must return
+    the intersecting FACE cells, none marked interior (every face rect
+    wraps in longitude or touches a pole, matching the budgeted coverer's
+    k == 0 rule)."""
+    mp = [[box_ring(-170.0, -50.0, 170.0, 50.0)]]
+    ids, interior = s2_covering(mp, 0)
+    assert len(ids) == 6  # a near-global band hits all six faces
+    assert set(cell_level(ids).tolist()) == {0}
+    assert not interior.any()
+    # conservative: sampled in-region points land under an emitted face
+    from datacube_core_spark.geom.s2 import parent_id
+
+    lons = RNG.uniform(-169.9, 169.9, 500)
+    lats = RNG.uniform(-49.9, 49.9, 500)
+    leaf = s2_cell_id(lons, lats, 30)
+    idset = set(ids.tolist())
+    assert all(int(p) in idset for p in parent_id(leaf, 0).tolist())
+
+
+def test_budgeted_covering_freezes_instead_of_stopping():
+    """Review-pass (r6): the budgeted coverer used to STOP at the first
+    cell whose split would bust the budget; coarsest-first ordering does
+    not make that bust terminal — another (smaller) part's cell may still
+    split within budget.  A big region + a tiny far-away region at
+    max_cells=8: the old early-break left 6 cells all at levels ≤ 1 (the
+    tiny part stuck inside a face cell); the freeze sweep must fill the
+    budget and refine the tiny part several levels deeper."""
+    from datacube_core_spark.geom.s2 import parent_id
+    from datacube_core_spark.geom.s2cover import s2_covering_budgeted
+
+    mp = [[box_ring(-10.0, -10.0, 40.0, 40.0)], [box_ring(100.0, 10.0, 100.5, 10.5)]]
+    ids, _ = s2_covering_budgeted(mp, max_cells=8)
+    levels = cell_level(ids)
+    assert len(ids) == 8  # budget filled, not abandoned at 6
+    assert levels.max() >= 3  # the tiny part kept refining after the bust
+    # conservativeness for BOTH parts
+    idset = set(ids.tolist())
+    lvset = sorted(set(levels.tolist()))
+    lons = np.concatenate([RNG.uniform(-9.99, 39.99, 700), RNG.uniform(100.001, 100.499, 300)])
+    lats = np.concatenate([RNG.uniform(-9.99, 39.99, 700), RNG.uniform(10.001, 10.499, 300)])
+    leaf = s2_cell_id(lons, lats, 30)
+    for lf in leaf.tolist():
+        assert any(int(parent_id(np.array([lf]), k)[0]) in idset for k in lvset)
+
+
+def test_rect_parts_shared_rule():
+    """Review-pass (r6): the per-part exact-rectangle rule was
+    triplicated (both coverers + the s2pip tier classifier) and could
+    drift — a part classified rect passes the PIP join by bbox predicate
+    ALONE downstream, so divergence silently corrupts join rows.  The
+    rule now lives in one place; pin its semantics: an axis-aligned
+    single-ring box IS rect, a diamond / holed part is NOT, and s2pip's
+    whole-region form delegates to it."""
+    from datacube_core_spark.geom.s2cover import rect_parts
+    from datacube_core_spark.operators.s2pip import _rect_info
+
+    box = [[box_ring(0.0, 0.0, 10.0, 5.0)]]
+    diamond = [[np.array([(5.0, 0.0), (10.0, 5.0), (5.0, 10.0), (0.0, 5.0)], dtype=float)]]
+    donut = [[box_ring(0.0, 0.0, 10.0, 10.0), box_ring(4.0, 4.0, 6.0, 6.0)]]
+    assert [p[2] for p in rect_parts(box)] == [True]
+    assert [p[2] for p in rect_parts(diamond)] == [False]
+    assert [p[2] for p in rect_parts(donut)] == [False]
+    assert _rect_info(box)[0] is True
+    assert _rect_info(diamond)[0] is False
+    # multi-part region is never whole-region rect even if each part is
+    two_boxes = [[box_ring(0.0, 0.0, 1.0, 1.0)], [box_ring(5.0, 5.0, 6.0, 6.0)]]
+    assert _rect_info(two_boxes)[0] is False
+    assert [p[2] for p in rect_parts(two_boxes)] == [True, True]
+
+
+def test_s2pip_tier_flags_are_build_time(spark):
+    """Review-pass (r6): join() ran two take(1) probes per CALL to decide
+    which tiers exist — per-query Spark jobs on the hot path for facts
+    that are build-time constants of the covering.  The flags are now
+    computed once at build; pin them: a rect-only region table populates
+    only the Catalyst tier, a thin diamond populates the generic tier,
+    and join() output is unaffected by which tiers are dark."""
+    from datacube_core_spark.operators.pip import PipIndex
+    from datacube_core_spark.operators.s2pip import S2PipIndex
+    from datacube_core_spark.geom.grid import GridSpec
+    from datacube_core_spark.sources.pages import pages
+
+    from .conftest import SF_TINY
+
+    p = pages(spark, SF_TINY, repl=2).select("doc_id", "lon", "lat")
+    grid = GridSpec("EPSG:4326", tile_size=(10.0, 10.0), resolution=(-0.1, 0.1))
+
+    rect_only = _region_df(spark, [(0, [[box_ring(10.0, 20.0, 25.0, 37.0)]])])
+    ix = S2PipIndex(spark, rect_only)
+    assert ix._has_catalyst is True and ix._has_generic is False
+    got = {tuple(r) for r in ix.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    want = {tuple(r) for r in PipIndex(spark, rect_only, grid, distributed_classify=False)
+            .join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    assert got == want and len(got) > 0
+
+    diamond = _region_df(
+        spark,
+        [(7, [[np.array([(40, 40), (46, 40), (46, 42), (42, 42), (42, 46), (40, 46)], dtype=float)]])],
+    )
+    ix2 = S2PipIndex(spark, diamond)
+    assert ix2._has_generic is True
+    got2 = {tuple(r) for r in ix2.join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    want2 = {tuple(r) for r in PipIndex(spark, diamond, grid, distributed_classify=False)
+             .join(p, keep_cols=["doc_id"]).select("doc_id", "region_id").collect()}
+    assert got2 == want2

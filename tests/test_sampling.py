@@ -153,3 +153,24 @@ def test_threshold_decision_is_distributed_high_cardinality(spark):
     fa = fast.agg(F.count("*"), F.sum("tokens"), F.sum("cum_tokens")).collect()[0]
     assert tuple(ea) == tuple(fa)
     assert _keyset(exact) == _keyset(fast)
+
+
+def test_null_token_prefix_distinct_priority(spark):
+    """Review-pass (r6): when priority_col != token_col, the best-priority
+    rows can carry NULL tokens — their running sum is NULL, and the exact
+    plan's WHERE cum <= budget drops them.  The threshold plan's
+    strictly-better-bucket tier admitted rows by the join ALONE (no cum
+    predicate), keeping those NULL-cum rows: divergent keep-sets.  Both
+    plans must agree with an all-NULL-token prefix present."""
+    rows = [(i, "en", None, 1000 - i) for i in range(5)]  # best priority, NULL tokens
+    rows += [(100 + i, "en", 50 + i, 500 - i) for i in range(60)]
+    rows += [(2000 + i, "de", 30, 100 - i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, tokens LONG, score LONG")
+    for budget in (200, 1500, 10_000_000):
+        exact = token_budget_sample(
+            df, budget, priority=(("score", "desc"), ("doc_id", "asc"))
+        )
+        fast = token_budget_sample_threshold(df, budget, priority_col="score")
+        assert _keyset(exact) == _keyset(fast), f"budget={budget}"
+        # the NULL-cum prefix rows are dropped by BOTH plans
+        assert not any(k[0] < 5 for k in _keyset(fast)), f"budget={budget}"

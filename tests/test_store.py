@@ -365,3 +365,40 @@ def test_claim_heartbeat_keeps_slow_writer_alive(spark, tmp_path, monkeypatch):
     m0 = _os.path.getmtime(claim)
     _time.sleep(0.2)
     assert _os.path.getmtime(claim) == m0
+
+
+def test_heartbeat_survives_transient_utime_failure(spark, tmp_path, monkeypatch):
+    """Review-pass (r6): the heartbeat loop treated ANY OSError from
+    os.utime as "claim resolved under us" and exited — a transient
+    EIO/EINTR-class failure (network filesystems) silently re-opened the
+    force-finalize-a-live-writer race the thread exists to close.  A
+    transient failure must NOT stop the beat while the claim file still
+    exists; the next tick re-touches it."""
+    import os as _os
+    import time as _time
+
+    from datacube_core_spark.operators import store as store_mod
+
+    monkeypatch.setattr(DatasetStore, "_HEARTBEAT_S", 0.05)
+    st = DatasetStore(spark, str(tmp_path / "cat_hb2"))
+    seq = st._next_seq()
+    claim = f"{st.commits_path}/{seq:020d}.claim"
+    _os.utime(claim, (0, 0))  # backdated: only a live beat can refresh it
+
+    real_utime = _os.utime
+    fails = {"n": 2}
+
+    def flaky_utime(path, *a, **kw):
+        if str(path) == claim and fails["n"] > 0:
+            fails["n"] -= 1
+            raise OSError(5, "transient I/O error")
+        return real_utime(path, *a, **kw)
+
+    monkeypatch.setattr(store_mod.os, "utime", flaky_utime)
+    df = _rows(spark, [(9, "hb", T0, "final")]).withColumn("_op", F.lit("add")) \
+        .withColumn("_seq", F.lit(seq).cast("long")).withColumn("_tie", F.lit("t"))
+    st._write_commit(df, seq)
+    # both injected failures were consumed AND a later beat still landed:
+    # the thread outlived the transient errors
+    assert fails["n"] == 0
+    assert _time.time() - _os.path.getmtime(claim) < 3000
