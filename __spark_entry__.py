@@ -590,6 +590,37 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec tier (functions/png.py — pure stdlib zlib +
+    numpy, W3C PNG spec): image payloads are true PNG byte streams
+    (mixed grayscale/RGB, per-row cycled filters exercising all five
+    unfilter branches), decoded pixel-exactly by the strict path; the
+    result is per-image positional checksums computed JVM-side
+    (higher-order array lambdas — no pixel explode).
+
+    The oracle needs no codec: the synthetic pattern is closed-form in
+    (media_id, y, x), so DuckDB replays the EXPECTED decoded aggregates
+    arithmetically — any codec corruption (filter math, CRC, luma
+    collapse, row/col transposition) diverges the sums."""
+    from datacube_core_spark.functions.multimodal import decode_images, synth_png_media
+
+    m = synth_png_media(spark, sf_dir)
+    dec = decode_images(m.where(F.col("kind") == "image"), strict=True)
+    pix = F.col("pixels")
+    pix_sum = F.aggregate(
+        pix, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    pos_sum = F.aggregate(
+        F.transform(pix, lambda x, i: x * ((i % 97) + F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return dec.select(
+        "media_id", "height", "width",
+        pix_sum.alias("pix_sum"), pos_sum.alias("pos_sum"),
+    )
+
+
 def q_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmask predicate (reference make_mask, utils/masking.py:81-189):
     deterministic flag word per doc; rows where (flags & mask) == value,
@@ -1231,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "png_roundtrip": q_png_roundtrip,
         "pip_s2": q_pip_s2,
         "albers_project": q_albers_project,
         "lcc_project": q_lcc_project,
@@ -1534,6 +1566,40 @@ SELECT lang,
        CAST(MAX(strlen(h)) AS INT) AS max_bytes,
        COUNT(DISTINCT md5(h)) AS n_distinct_payloads
 FROM m GROUP BY 1, 2
+"""
+
+    # png_roundtrip twin: NO codec — the generator pattern is closed-form
+    # in (media_id, y, x) (synth_png_media: luma = (y*11 + x*5 + id) % 256,
+    # odd ids RGB-collapsed by integer BT.601), so the EXPECTED decoded
+    # aggregates are plain arithmetic over a generated (y, x) lattice.
+    # Spark's side went bytes -> DEFLATE -> filters -> unfilter -> luma;
+    # any corruption anywhere in that pipe diverges pix_sum/pos_sum.
+    sqls["png_roundtrip"] = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         64 + (doc_id % 8) * 32 AS w,
+         64 + (doc_id % 5) * 32 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+rows_y AS (
+  SELECT media_id, w, h, unnest(range(0, h)) AS y FROM imgs
+),
+cells AS (
+  SELECT media_id, w, h, y, unnest(range(0, w)) AS x FROM rows_y
+),
+px AS (
+  SELECT media_id, w, h, y, x,
+         CASE WHEN media_id % 2 = 1
+              THEN (299 * l + 587 * ((l + 85) % 256) + 114 * ((l + 170) % 256)) // 1000
+              ELSE l END AS pix
+  FROM (SELECT *, (y * 11 + x * 5 + media_id) % 256 AS l FROM cells)
+)
+SELECT media_id,
+       CAST(h AS INT) AS height,
+       CAST(w AS INT) AS width,
+       CAST(SUM(pix) AS BIGINT) AS pix_sum,
+       CAST(SUM(pix * (((y * w + x) % 97) + 1)) AS BIGINT) AS pos_sum
+FROM px GROUP BY 1, 2, 3
 """
 
     sqls["bitmask"] = """
