@@ -1031,6 +1031,27 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "tokens", "cum_tokens")
 
 
+def q_token_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-budget SCALE path through the driver contract: the
+    threshold-search plan (per-(group, bucket) hash aggs + distributed
+    boundary decision + windows only over the kept prefix and the single
+    boundary bucket — no full-group window, VERDICT r5 item 4) produces
+    the IDENTICAL keep-set and running totals as the exact window plan,
+    so the SAME SQL-window oracle grades it.  Same budget/priority as
+    ``token_budget``; a green row here driver-verifies the plan 100-TB
+    callers are steered to, not just its equivalence tests."""
+    from datacube_core_spark.functions.text import token_count_col
+    from datacube_core_spark.operators.sampling import token_budget_sample_threshold
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", token_count_col(F.col("text")).cast("long").alias("tokens")
+    )
+    return token_budget_sample_threshold(
+        docs, budget=2500, token_col="tokens", group_cols=("lang",),
+        priority_col="tokens", priority_desc=True, tie_col="doc_id",
+    ).select("doc_id", "lang", "tokens", "cum_tokens")
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (webtext op): deterministic messy urls
     (scheme/case/www/utm/fragment/trailing-slash variants, all functions
@@ -1263,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bottom, so it cannot be pushed past the verification window.
     return {
         "png_roundtrip": q_png_roundtrip,
+        "token_budget_threshold": q_token_budget_threshold,
         "pip_s2": q_pip_s2,
         "albers_project": q_albers_project,
         "lcc_project": q_lcc_project,
@@ -1934,6 +1956,11 @@ WITH t AS (
 )
 SELECT doc_id, lang, tokens, cum_tokens FROM c WHERE cum_tokens <= 2500
 """
+
+    # identical semantics by construction (threshold search == window
+    # prefix; equivalence-tested in tests/test_sampling.py), so the same
+    # window SQL grades the scale plan
+    sqls["token_budget_threshold"] = sqls["token_budget"]
 
     from datacube_core_spark.functions.url import (
         sql_canonical_url,

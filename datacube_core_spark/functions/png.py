@@ -24,12 +24,15 @@ viewer):
 * CRC-32 of every chunk is verified on decode (corrupt payloads at
   100-TB scale must fail loudly, not produce quiet garbage).
 
-The kernels are vectorized per SCANLINE: Up is a whole-row vector op;
-Sub/Average/Paeth carry an intra-row sequential dependency by
-definition, so those rows run a per-pixel loop — bounded by row width,
-and only for rows whose filter byte demands it.  At Spark level the
-codec sits inside Arrow-batched ``mapInPandas`` kernels
-(functions/multimodal.py), so per-image cost is the only Python cost.
+The kernels are vectorized per SCANLINE: Up is a whole-row vector op
+and Sub is a per-channel-lane prefix sum (mod 256 distributes over
+addition, so ``cumsum % 256`` inverts it); Average/Paeth genuinely
+couple left AND up neighbours, so those rows run a per-pixel loop —
+bounded by row width, and only for rows whose filter byte demands it
+(a known cost bound of a pure-Python codec; a wild corpus averages
+~2/5 such rows).  At Spark level the codec sits inside Arrow-batched
+``mapInPandas`` kernels (functions/multimodal.py), so per-image cost
+is the only Python cost.
 """
 
 from __future__ import annotations
@@ -134,10 +137,11 @@ def _unfilter_row(f: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.nda
         return cur
     if f == 2:  # Up — pure vector op
         return (cur + prev) % 256
-    if f == 1:  # Sub — prefix dependency along the row, per-pixel loop
-        for i in range(bpp, cur.shape[0]):
-            cur[i] = (cur[i] + cur[i - bpp]) % 256
-        return cur
+    if f == 1:  # Sub — recon[i] = (raw[i] + recon[i−bpp]) mod 256 is a
+        # per-channel-lane PREFIX SUM (mod 256 distributes over +), so it
+        # vectorizes: cumsum down each lane in int64, reduce once
+        lanes = cur.reshape(-1, bpp).astype(np.int64)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.int16).reshape(-1)
     if f == 3:  # Average
         for i in range(cur.shape[0]):
             left = cur[i - bpp] if i >= bpp else 0
