@@ -604,7 +604,15 @@ def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse, row/col transposition) diverges the sums."""
     from datacube_core_spark.functions.multimodal import decode_images, synth_png_media
 
-    m = synth_png_media(spark, sf_dir)
+    # documents.parquet is a single small file -> one input partition; the
+    # encode/decode kernels are the per-image Python cost this tier is
+    # DESIGNED to spread across executors, so fan out before them (the
+    # codec is ~1M px/s/core: at sf0.1's 78.5M decoded pixels one task
+    # serializes to ~72 s, 32 tasks to ~3 s)
+    par = spark.sparkContext.defaultParallelism
+    m = synth_png_media(
+        spark, sf_dir, pre_partition=par
+    )
     dec = decode_images(m.where(F.col("kind") == "image"), strict=True)
     pix = F.col("pixels")
     pix_sum = F.aggregate(

@@ -57,15 +57,25 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(d.alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta"))
 
 
-def synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_png_media(
+    spark: SparkSession, sf_dir: str, pre_partition: int = 0
+) -> DataFrame:
     """:func:`synth_media` with REAL PNG payloads on the image rows: a
     deterministic per-id pattern image (grayscale for even ids, RGB for
     odd) encoded by :func:`..functions.png.png_encode` on the executors,
     metadata updated to the true decoded dimensions.  Audio/video rows
-    keep the opaque byte payloads."""
+    keep the opaque byte payloads.
+
+    ``pre_partition`` > 0 repartitions the source FIRST so the encode
+    kernel (and everything downstream of it) fans out — the documents
+    table is a single small file, i.e. one input partition, and the
+    whole point of the mapInPandas codec tier is that its per-image
+    Python cost scales with executor count."""
     from .png import png_encode
 
     base = synth_media(spark, sf_dir)
+    if pre_partition:
+        base = base.repartition(pre_partition, "media_id")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
