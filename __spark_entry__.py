@@ -614,18 +614,16 @@ def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, pre_partition=par
     )
     dec = decode_images(m.where(F.col("kind") == "image"), strict=True)
-    pix = F.col("pixels")
-    pix_sum = F.aggregate(
-        pix, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    # positional checksums via posexplode + partial hash agg — stays in
+    # whole-stage codegen end to end.  (First cut used higher-order array
+    # lambdas: F.transform/F.aggregate evaluate the lambda INTERPRETED
+    # per element — 157M evals ≈ 9s at sf0.1, 30× the exploded plan.)
+    e = dec.select(
+        "media_id", "height", "width", F.posexplode("pixels").alias("pos", "pix")
     )
-    pos_sum = F.aggregate(
-        F.transform(pix, lambda x, i: x * ((i % 97) + F.lit(1))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long"),
-    )
-    return dec.select(
-        "media_id", "height", "width",
-        pix_sum.alias("pix_sum"), pos_sum.alias("pos_sum"),
+    return e.groupBy("media_id", "height", "width").agg(
+        F.sum("pix").cast("long").alias("pix_sum"),
+        F.sum(F.col("pix") * ((F.col("pos") % 97) + F.lit(1))).cast("long").alias("pos_sum"),
     )
 
 
