@@ -742,6 +742,27 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, cent, k=10, n_probe=2)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): cluster embeddings with the
+    deterministic shared-literal quantizer, drop every item with a
+    lower-id same-cluster neighbour at cosine ≥ 0.9, return the
+    survivors ``(vec_id, lst)``.  Runs over the planted near-twin corpus
+    (``sources/vectors.py`` — raw embeddings have no near pairs, so the
+    drop path would be dead code on the bare table); the twins land
+    above their originals' ids and get dropped.  The cluster bound keeps
+    the pair term at Σ|c_i|², the published algorithm's own scale
+    property; the DuckDB twin replays assignment and drop rule
+    bit-for-bit."""
+    from datacube_core_spark.operators.similarity import (
+        ivf_centroids_fixture,
+        semdedup_kept,
+    )
+
+    from datacube_core_spark.sources.vectors import neardup_embeddings
+
+    return semdedup_kept(neardup_embeddings(spark, sf_dir), ivf_centroids_fixture(), threshold=0.9)
+
+
 def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster↔vector round trip: rasterize the region patchwork at 1°
     pixels (pure Catalyst), then sample every page's snapped pixel center
@@ -1291,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "png_roundtrip": q_png_roundtrip,
         "token_budget_threshold": q_token_budget_threshold,
+        "semdedup": q_semdedup,
         "pip_s2": q_pip_s2,
         "albers_project": q_albers_project,
         "lcc_project": q_lcc_project,
@@ -1744,6 +1766,11 @@ SELECT qid, vec_id, cos_sim, rank FROM (
     from datacube_core_spark.operators.similarity import ivf_centroids_fixture, sql_ivf_topk
 
     sqls["ann_ivf"] = sql_ivf_topk(ivf_centroids_fixture(), k=10, n_probe=2, qmod=50)
+    from datacube_core_spark.operators.similarity import sql_semdedup
+    sqls["semdedup"] = sql_semdedup(
+        ivf_centroids_fixture(), threshold=0.9,
+        source_cte=NEARDUP_CTE, source_name="neardup",
+    )
     sqls["cos_neardup"] = sql_cosine_neardup(NEARDUP_CTE, "neardup", threshold=0.9, n_bits=8)
 
     sqls["dup_leniency"] = """

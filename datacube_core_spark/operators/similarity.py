@@ -413,3 +413,84 @@ def ivf_centroids_fixture(
                 cent[j] = x[m].mean(axis=0)
     _IVF_CACHE[key] = cent
     return cent
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023 shape): k-means
+# cluster the embedding space with the SAME deterministic coarse
+# quantizer the IVF path uses, then drop, within each cluster, every item
+# that has a kept-priority (lower-id) neighbour above a cosine threshold.
+# The cluster assignment bounds the quadratic pair term to per-cluster
+# populations — the published algorithm's own scale trick: at corpus
+# size n with k lists the join costs Σ|c_i|² ≪ n², and the operator
+# never forms a cross-cluster pair.  One shuffle on the list id
+# (co-located self-join); `dropped` is DISTINCT'd before the anti-join
+# so a many-duplicate item contributes one row, not one per witness.
+# ---------------------------------------------------------------------------
+
+
+def semdedup_kept(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rows that SURVIVE semantic dedup: ``(vec_id, lst)`` where ``lst``
+    is the 1-based quantizer list.  Drop rule (deterministic, engine-
+    twinnable): an item is dropped iff some SAME-CLUSTER item with a
+    smaller id has cosine ≥ ``threshold`` to it — the keep-one-
+    representative-per-semantic-group rule with id as the keep priority.
+    Same cosine op order as the IVF/LSH paths so the DuckDB twin is
+    bit-faithful."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
+    v = (
+        v.withColumn("lst", ivf_assign_col(F.col("v"), centroids))
+        .withColumn("n", norm_col(F.col("v")))
+    )
+    a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"), "lst")
+    b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "lst")
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
+    dropped = (
+        a.join(b, on="lst")
+        .where(F.col("a") < F.col("b"))
+        .where(cos >= F.lit(float(threshold)))
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return v.join(dropped, on="vec_id", how="left_anti").select("vec_id", "lst")
+
+
+def sql_semdedup(
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    source_cte: str = "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+    source_name: str = "base",
+) -> str:
+    """DuckDB twin of :func:`semdedup_kept` over a CTE exposing
+    ``(vec_id, e DOUBLE[])`` (defaults to the raw ``embeddings`` view)."""
+    def dists(e: str) -> str:
+        terms = []
+        for c in centroids:
+            arr = "[" + ", ".join(_sql_double(w) for w in c) + "]"
+            c2 = _sql_double(float(np.dot(c, c)))
+            terms.append(
+                f"list_dot_product({e}, {e}) - 2.0 * list_dot_product({e}, {arr}) + {c2}"
+            )
+        return "[" + ", ".join(terms) + "]"
+
+    cos = _sql_cos("a.e", "b.e")
+    return f"""WITH {source_cte.strip().rstrip(',')},
+v AS (
+  SELECT vec_id, e,
+         CAST(list_position({dists('e')}, list_min({dists('e')})) AS INT) AS lst
+  FROM {source_name}
+),
+drp AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.lst = b.lst AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_sql_double(float(threshold))}
+)
+SELECT v.vec_id, v.lst FROM v ANTI JOIN drp USING (vec_id)
+"""

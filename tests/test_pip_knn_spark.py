@@ -412,3 +412,64 @@ def test_pip_single_scan_tolerates_reserved_column_names(spark):
     rows_out = out.collect()
     assert len(rows_out) > 0
     assert all(r["level"] == 7 and r["sc_x"] == -1 for r in rows_out)
+
+
+def test_semdedup_drop_rule_and_plan(spark):
+    """SemDeDup (r6): within a cluster, an item is dropped iff a
+    LOWER-id item sits at cosine >= threshold.  Pinned semantics on a
+    hand-built chain a<b<c with cos(a,b)>=t, cos(b,c)>=t, cos(a,c)<t:
+    b drops (witness a), and c drops TOO — a dropped item still
+    witnesses (documented: the rule is 'has a lower-id near neighbour',
+    not 'has a KEPT lower-id near neighbour', which keeps the decision
+    join-local, one pass, engine-twinnable).  Plus: items in different
+    clusters are never paired, and the plan has no cartesian product."""
+    import numpy as np
+    from datacube_core_spark.operators.similarity import semdedup_kept
+
+    # one centroid at e1, one far at e2: a/b/c cluster 1, d/e cluster 2
+    cent = np.zeros((2, 4)); cent[0, 0] = 1.0; cent[1, 1] = 1.0
+    th = 0.95
+
+    def vec(x, y, z, w):
+        return [float(x), float(y), float(z), float(w)]
+
+    # chain in cluster 1: cos(a,b)=0.97, cos(b,c)=0.97; the second
+    # rotation is in an orthogonal plane, so cos(a,c)=0.97^2=0.9409 < th
+    a = np.array([1.0, 0.0, 0.0, 0.0])
+    def rot(v, ang, axis):
+        u = np.zeros(4); u[axis] = 1.0
+        return np.cos(ang) * v + np.sin(ang) * u
+    b = rot(a, np.arccos(0.97), 2)
+    c = rot(b, np.arccos(0.97), 3)
+    assert float(a @ c) < th < min(float(a @ b), float(b @ c))
+    # cluster 2: near-identical pair
+    d = np.array([0.0, 1.0, 0.0, 0.0])
+    e = np.array([0.0, 1.0, 1e-4, 0.0])
+    rows = [(1, vec(*a)), (2, vec(*b)), (3, vec(*c)), (4, vec(*d)), (5, vec(*e))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    out = semdedup_kept(df, cent, threshold=th)
+    kept = {int(r["vec_id"]): int(r["lst"]) for r in out.collect()}
+    assert set(kept) == {1, 4}          # b,c dropped by chain; e by d
+    assert kept[1] == 1 and kept[4] == 2
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_cross_cluster_twins_survive(spark):
+    """Cluster bound is REAL: two identical vectors assigned to
+    different clusters are both kept — the operator never forms a
+    cross-cluster pair (that is the published algorithm's cost contract,
+    and silent cross-cluster pairing would blow the Σ|c_i|² bound)."""
+    import numpy as np
+    from datacube_core_spark.operators.similarity import semdedup_kept
+
+    cent = np.zeros((2, 2)); cent[0, 0] = 1.0; cent[1, 1] = 1.0
+    # both exactly between the centroids but nudged to opposite sides:
+    # near-identical directions, different argmin lists
+    rows = [(1, [1.0, 0.999]), (2, [0.999, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    kept = {int(r["vec_id"]) for r in semdedup_kept(df, cent, threshold=0.9).collect()}
+    assert kept == {1, 2}
