@@ -742,6 +742,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, cent, k=10, n_probe=2)
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (dataloader-facing corpus op): epoch-2
+    pseudorandom permutation of the documents table into 16 shards with
+    in-shard positions — a pure function of (epoch, doc_id) via a
+    multiply-shift tabulation mix, so any engine / layout / retry
+    reproduces the permutation exactly (df.orderBy(rand()) does not).
+    Per-shard windows = per-output-file writer sorts, parallel across
+    shards; no global sort."""
+    from datacube_core_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return epoch_shuffle(docs, epoch=2, n_shards=16)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 shape): cluster embeddings with the
     deterministic shared-literal quantizer, drop every item with a
@@ -1313,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_roundtrip": q_png_roundtrip,
         "token_budget_threshold": q_token_budget_threshold,
         "semdedup": q_semdedup,
+        "epoch_shuffle": q_epoch_shuffle,
         "pip_s2": q_pip_s2,
         "albers_project": q_albers_project,
         "lcc_project": q_lcc_project,
@@ -1766,6 +1781,10 @@ SELECT qid, vec_id, cos_sim, rank FROM (
     from datacube_core_spark.operators.similarity import ivf_centroids_fixture, sql_ivf_topk
 
     sqls["ann_ivf"] = sql_ivf_topk(ivf_centroids_fixture(), k=10, n_probe=2, qmod=50)
+    from datacube_core_spark.operators.sampling import sql_epoch_shuffle
+    sqls["epoch_shuffle"] = (
+        "SELECT doc_id, lang, " + sql_epoch_shuffle(epoch=2, n_shards=16) + " FROM documents"
+    )
     from datacube_core_spark.operators.similarity import sql_semdedup
     sqls["semdedup"] = sql_semdedup(
         ivf_centroids_fixture(), threshold=0.9,

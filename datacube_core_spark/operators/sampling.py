@@ -241,3 +241,74 @@ def sql_hash_stratified_pred(rates: dict, key_col: str = "doc_id",
     thr = f"(CASE {cases} ELSE {int(round(float(default_rate) * 1_000_000))} END)"
     h = f"((({key_col} % 1000003) * 2654435761) % 4294967296)"
     return f"({h} % 1000000) < {thr}"
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle — the dataloader-facing corpus op:
+    every epoch draws a DIFFERENT pseudorandom permutation of the corpus,
+    yet the permutation is a pure function of (epoch, key), so any
+    engine, any partition layout, any retry reproduces it exactly
+    (unlike ``df.orderBy(rand())``, whose seed is per-partition-layout).
+
+    Shape: a multiply-shift tabulation mix of (key, epoch) — 16-bit key
+    chunks times per-chunk odd constants, mod 2³², the same
+    integer-arithmetic discipline as :func:`hash_stratified_sample`,
+    exact in int64 and SQL-expressible — gives each row a shuffle key;
+    rows land
+    in ``shard = mix % n_shards`` and take their epoch position from the
+    (mix, key) order within the shard.  At 100 TB each shard is one
+    output file written by one task in one pass: the per-shard window is
+    the file writer's sort, parallel across shards, and no global
+    total-order sort ever runs.  Output = input columns + ``epoch``,
+    ``shard``, ``pos`` (0-based position within the shard)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    k = F.col(key_col).cast("long")
+    # multiply-shift TABULATION mix: the key is split into 16-bit chunks,
+    # each chunk multiplied by its own odd 32-bit constant, summed with a
+    # mixed epoch term, all mod 2^32.  Every intermediate stays under
+    # 2^48 (chunk < 2^16 times constant < 2^32), so the arithmetic is
+    # exact in int64 and a SQL oracle reproduces it verbatim — the reason
+    # NOT to use xxhash64/rand(): no cross-engine twin.
+    c0, c1, c2, ce = 2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263
+    M32 = 4_294_967_296
+    t0 = ((k % 65_536) * F.lit(c0)) % F.lit(M32)
+    t1 = ((F.shiftright(k, 16) % 65_536) * F.lit(c1)) % F.lit(M32)
+    t2 = ((F.shiftright(k, 32) % 65_536) * F.lit(c2)) % F.lit(M32)
+    te = F.lit((int(epoch) * ce) % M32)
+    mixed = (t0 + t1 + t2 + te) % F.lit(M32)
+    out = df.withColumn("_mix", mixed)
+    w = Window.partitionBy(F.col("_mix") % F.lit(int(n_shards))).orderBy(
+        F.col("_mix").asc(), F.col(key_col).asc()
+    )
+    return (
+        out.withColumn("epoch", F.lit(int(epoch)).cast("int"))
+        .withColumn("shard", (F.col("_mix") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("_mix")
+    )
+
+
+def sql_epoch_shuffle(epoch: int, n_shards: int = 64, key_col: str = "doc_id") -> str:
+    """DuckDB twin of the :func:`epoch_shuffle` key/shard/pos arithmetic
+    (SELECT fragment over a relation exposing ``key_col``): returns the
+    expressions for ``epoch``, ``shard``, ``pos``."""
+    c0, c1, c2, ce = 2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263
+    M32 = 4_294_967_296
+    mix = (
+        f"((({key_col} % 65536) * {c0}) % {M32}"
+        f" + ((({key_col} // 65536) % 65536) * {c1}) % {M32}"
+        f" + ((({key_col} // {M32}) % 65536) * {c2}) % {M32}"
+        f" + {(int(epoch) * ce) % M32}) % {M32}"
+    )
+    return (
+        f"CAST({int(epoch)} AS INT) AS epoch, "
+        f"CAST(({mix}) % {int(n_shards)} AS INT) AS shard, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY ({mix}) % {int(n_shards)} "
+        f"ORDER BY {mix} ASC, {key_col} ASC) - 1 AS BIGINT) AS pos"
+    )

@@ -174,3 +174,49 @@ def test_null_token_prefix_distinct_priority(spark):
         assert _keyset(exact) == _keyset(fast), f"budget={budget}"
         # the NULL-cum prefix rows are dropped by BOTH plans
         assert not any(k[0] < 5 for k in _keyset(fast)), f"budget={budget}"
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    """Epoch shuffle (r6): (shard, pos) is a bijection over the corpus,
+    reproducible across partition layouts (unlike orderBy(rand())), and
+    different epochs give genuinely different permutations."""
+    from datacube_core_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id")
+    out = epoch_shuffle(docs, epoch=2, n_shards=16)
+    rows = {(int(r["shard"]), int(r["pos"])): int(r["doc_id"]) for r in out.collect()}
+    n = docs.count()
+    assert len(rows) == n  # (shard, pos) unique
+    # positions are dense 0..k-1 within each shard
+    from collections import Counter
+
+    per = Counter(s for s, _ in rows)
+    for s, cnt in per.items():
+        assert {p for sh, p in rows if sh == s} == set(range(cnt))
+    # layout-independence: a different partitioning produces the same map
+    rows2 = {
+        (int(r["shard"]), int(r["pos"])): int(r["doc_id"])
+        for r in epoch_shuffle(docs.repartition(7), epoch=2, n_shards=16).collect()
+    }
+    assert rows2 == rows
+    # a different epoch moves most documents
+    rows3 = {
+        (int(r["shard"]), int(r["pos"])): int(r["doc_id"])
+        for r in epoch_shuffle(docs, epoch=3, n_shards=16).collect()
+    }
+    same = sum(1 for k, v in rows.items() if rows3.get(k) == v)
+    assert same < n * 0.05
+    # shards are reasonably balanced (tabulation mix, 500 docs, 16 shards)
+    assert max(per.values()) < 3 * n / 16
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """Scale shape: the permutation must come from per-shard windows
+    (parallel writer sorts), never a single-partition global sort."""
+    from datacube_core_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id")
+    plan = epoch_shuffle(docs, epoch=1, n_shards=16)._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in head
+    assert "BatchEvalPython" not in head and "MapInPandas" not in head
