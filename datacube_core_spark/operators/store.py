@@ -18,9 +18,15 @@ catalog would also vacuum the data files; the log keeps the audit trail
 the reference keeps in Postgres).
 
 Scale notes: appends are blind writes (no read-modify-write); state
-resolution is one hash-shuffle by id, and a periodic compaction job
-(``compact()``) rewrites the log to its current state to bound read
-amplification — the Iceberg ``rewrite_data_files`` analog.
+resolution is one hash-shuffle by id.  Read amplification over a long
+event history is bounded by the MAINTENANCE pair (r6): ``checkpoint()``
+materializes the resolved state at the committed frontier (reads then
+resolve basis ∪ suffix, every snapshot still reachable — the
+non-destructive Iceberg ``rewrite_data_files`` analog) and
+``expire_log()`` deletes the checkpointed log prefix (the
+``expire_snapshots`` analog; time travel below the floor raises rather
+than answering wrong).  ``compact()`` remains the one-step destructive
+rewrite.
 """
 
 from __future__ import annotations
@@ -92,6 +98,7 @@ class DatasetStore:
         self.id_type = id_type  # SQL type of the id column (LONG, STRING/uuid, ...)
         self.log_path = f"{self.base}/dataset_log"
         self.commits_path = f"{self.base}/dataset_log_commits"
+        self.checkpoints_path = f"{self.base}/dataset_log_ckpt"
         # legacy max seq (pre-marker logs) — computed LAZILY on first
         # write: a read-only store (ProductCatalog.rules, CLI
         # product-list, ...) must not pay a cluster aggregation job just
@@ -132,6 +139,30 @@ class DatasetStore:
         if pending:
             return pending[0] - 1
         return max(done)
+
+    def _ckpt_seqs(self) -> list:
+        """Finalized checkpoint seqs (ascending).  A checkpoint is the
+        resolved state at a committed frontier, materialized under
+        ``<base>/dataset_log_ckpt/ckpt<seq>`` with a ``<seq>.done``
+        marker written AFTER the parquet lands (same marker discipline as
+        commits: a crashed checkpoint writer leaves no half-visible
+        basis)."""
+        try:
+            names = os.listdir(self.checkpoints_path)
+        except FileNotFoundError:
+            return []
+        return sorted(int(n[: -len(".done")]) for n in names if n.endswith(".done"))
+
+    def _expiry_floor(self) -> int:
+        """Lowest seq whose events are guaranteed retained; 0 when no
+        expiry has run.  Time-travel strictly below the floor raises
+        (the events are gone — answering from a partial log would be
+        silently wrong, the one thing a snapshot store must never do)."""
+        try:
+            with open(f"{self.checkpoints_path}/expired_upto") as fh:
+                return int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
 
     def _next_seq(self) -> int:
         """Claim the next seq via CAS on the marker dir: exclusive-create
@@ -306,8 +337,25 @@ class DatasetStore:
         commits parked behind another writer's in-flight claim — otherwise
         add() could double-add an id whose committed row is temporarily
         hidden.  Read paths always use the committed view."""
+        floor = self._expiry_floor()
+        if as_of is not None and as_of < floor:
+            raise ValueError(
+                f"time travel to seq {as_of} is below the expiry horizon "
+                f"{floor}: those log events were removed by expire_log() "
+                f"(Iceberg expire_snapshots analog)"
+            )
+        # checkpoint basis: the newest finalized checkpoint at or below
+        # the requested view replaces replaying the log prefix — read
+        # amplification is bounded by (one checkpoint + the log suffix)
+        # instead of the whole event history.  Correctness needs nothing
+        # special: checkpoint rows keep their original (_seq, _tie), so
+        # the same last-writer-wins window resolves basis ∪ suffix.
+        cks = [c for c in self._ckpt_seqs() if as_of is None or c <= as_of]
+        base = max(cks) if cks else None
         log = self._log()
-        if log is None:
+        if log is not None and base is not None:
+            log = log.where(F.col("_seq") > F.lit(int(base)))
+        if log is None and base is None:
             return None
         # clamp to the committed frontier: MARKER-PROTOCOL seqs above the
         # frontier (claimed-in-flight, or committed past a parked claim)
@@ -316,15 +364,19 @@ class DatasetStore:
         # pre-protocol rows and stay visible (no stability promise for
         # out-of-protocol writers).  The hidden list is tiny: in-flight
         # writers + commits parked behind a stale claim (bounded by the
-        # abort TTL).
+        # abort TTL).  (Checkpoint rows need no clamp: a checkpoint's
+        # basis is a committed frontier by construction.)
         frontier = self._committed_frontier() if committed_only else None
-        if frontier is not None:
+        if log is not None and frontier is not None:
             claims, done = self._scan_markers()
             hidden = sorted(s for s in (claims | done) if s > frontier)
             if hidden:
                 log = log.where(~F.col("_seq").isin(hidden))
-        if as_of is not None:
+        if log is not None and as_of is not None:
             log = log.where(F.col("_seq") <= F.lit(int(as_of)))
+        if base is not None:
+            bdf = self.spark.read.parquet(f"{self.checkpoints_path}/ckpt{base:020d}")
+            log = bdf if log is None else log.unionByName(bdf, allowMissingColumns=True)
         w = Window.partitionBy(self.id_col).orderBy(F.col("_seq").desc(), F.col("_tie").desc())
         return log.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
@@ -524,12 +576,85 @@ class DatasetStore:
 
     # -- maintenance ---------------------------------------------------------
 
+    def checkpoint(self) -> int:
+        """Materialize the resolved state at the committed frontier as a
+        CHECKPOINT — the non-destructive half of Iceberg's
+        ``rewrite_data_files``: reads thereafter resolve (checkpoint +
+        log suffix) instead of replaying the whole event history, while
+        every snapshot stays reachable (``current(as_of=...)`` below the
+        checkpoint still replays the retained log).  Safe under
+        concurrent writers: the basis is the committed frontier, which a
+        later in-flight commit cannot reach under (claim-before-data),
+        and the ``.done`` marker lands only after the parquet does.
+        Idempotent per frontier.  Returns the checkpoint seq (0 = empty
+        store, nothing to do)."""
+        n = self.latest_seq()
+        if n == 0:
+            return 0
+        if n in self._ckpt_seqs():
+            return n
+        # purge rows are RETAINED in the checkpoint: a purge is state
+        # ("this id is dead"), and dropping it would resurrect the id's
+        # older events on any time travel above the checkpoint
+        st = self._state(as_of=n)
+        os.makedirs(self.checkpoints_path, exist_ok=True)
+        st.write.mode("overwrite").parquet(f"{self.checkpoints_path}/ckpt{n:020d}")
+        with open(f"{self.checkpoints_path}/{n:020d}.done", "w") as fh:
+            fh.write(self._tie)
+        return n
+
+    def expire_log(self, upto: Optional[int] = None) -> int:
+        """Delete per-commit log directories at or below a CHECKPOINTED
+        seq — the Iceberg ``expire_snapshots`` analog, and the explicit
+        destructive step :meth:`checkpoint` is not.  ``upto`` must be a
+        finalized checkpoint seq (default: the newest); afterwards
+        ``current()``/``as_of ≥ upto`` are unchanged (served from the
+        checkpoint), while time travel and :meth:`history` strictly below
+        it raise / truncate.  Returns the number of commit dirs removed.
+        Like compact(), run it as a maintenance operation, not
+        concurrently with another expire/compact."""
+        import shutil
+
+        cks = self._ckpt_seqs()
+        if not cks:
+            raise ValueError("expire_log needs a finalized checkpoint; run checkpoint() first")
+        upto = max(cks) if upto is None else int(upto)
+        if upto not in cks:
+            raise ValueError(f"seq {upto} is not a finalized checkpoint (have {cks})")
+        removed = 0
+        if os.path.isdir(self.log_path):
+            for name in sorted(os.listdir(self.log_path)):
+                if not name.startswith("c"):
+                    continue
+                try:
+                    seq = int(name[1:])
+                except ValueError:
+                    continue
+                if seq <= upto:
+                    shutil.rmtree(f"{self.log_path}/{name}")
+                    removed += 1
+        floor = max(self._expiry_floor(), upto)
+        with open(f"{self.checkpoints_path}/expired_upto", "w") as fh:
+            fh.write(str(floor))
+        # checkpoints BELOW the floor are no longer reachable as a basis
+        # for any legal read (as_of < floor raises) — drop them too
+        for c in cks:
+            if c < floor:
+                shutil.rmtree(f"{self.checkpoints_path}/ckpt{c:020d}", ignore_errors=True)
+                try:
+                    os.remove(f"{self.checkpoints_path}/{c:020d}.done")
+                except FileNotFoundError:
+                    pass
+        return removed
+
     def compact(self) -> int:
         """Rewrite the log to current state only (drops superseded events
-        and purged ids) — the Iceberg rewrite_data_files analog.  Returns
-        surviving row count.  NOTE: like Iceberg snapshot expiry, this
-        discards history — ``current(as_of=...)`` and ``history()`` can
-        only see events at or after the compaction."""
+        and purged ids) — the DESTRUCTIVE full rewrite (Iceberg
+        rewrite_data_files + expire_snapshots in one step; prefer
+        :meth:`checkpoint` + :meth:`expire_log` to keep snapshots).
+        Returns surviving row count.  NOTE: discards history —
+        ``current(as_of=...)`` and ``history()`` can only see events at
+        or after the compaction."""
         st = self._state()
         if st is None:
             return 0
@@ -541,6 +666,8 @@ class DatasetStore:
 
         shutil.rmtree(self.log_path)
         os.rename(tmp, self.log_path)
+        # checkpoints/floor describe the pre-compaction log — stale now
+        shutil.rmtree(self.checkpoints_path, ignore_errors=True)
         return n
 
     # -- dedup-on-arrival integration ----------------------------------------
