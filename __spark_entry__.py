@@ -756,6 +756,25 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(docs, epoch=2, n_shards=16)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing composed on the epoch shuffle: documents are
+    shuffled (epoch 2, 16 shards), concatenated per shard, and split
+    into 512-token context windows — the LLM-pretraining batch layout
+    ("chunked concatenation", boundary-spanning docs flagged by
+    first_win < last_win).  Per-shard running sums only; the DuckDB twin
+    replays both stages with identical integer arithmetic."""
+    from datacube_core_spark.functions.text import token_count_col
+    from datacube_core_spark.operators.sampling import epoch_shuffle, pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("tokens")
+    )
+    sh = epoch_shuffle(docs, epoch=2, n_shards=16)
+    return pack_sequences(sh, window_tokens=512).select(
+        "doc_id", "tokens", "shard", "pos", "start_off", "first_win", "last_win"
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 shape): cluster embeddings with the
     deterministic shared-literal quantizer, drop every item with a
@@ -1328,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_threshold": q_token_budget_threshold,
         "semdedup": q_semdedup,
         "epoch_shuffle": q_epoch_shuffle,
+        "pack_sequences": q_pack_sequences,
         "pip_s2": q_pip_s2,
         "albers_project": q_albers_project,
         "lcc_project": q_lcc_project,
@@ -1784,6 +1804,12 @@ SELECT qid, vec_id, cos_sim, rank FROM (
     from datacube_core_spark.operators.sampling import sql_epoch_shuffle
     sqls["epoch_shuffle"] = (
         "SELECT doc_id, lang, " + sql_epoch_shuffle(epoch=2, n_shards=16) + " FROM documents"
+    )
+    from datacube_core_spark.operators.sampling import sql_pack_sequences
+    sqls["pack_sequences"] = (
+        "WITH t AS (SELECT doc_id, CAST(" + sql_token_count("text") + " AS BIGINT) AS tokens FROM documents),\n"
+        "sh AS (SELECT doc_id, tokens, " + sql_epoch_shuffle(epoch=2, n_shards=16) + " FROM t)\n"
+        "SELECT doc_id, tokens, shard, pos, " + sql_pack_sequences(512) + " FROM sh"
     )
     from datacube_core_spark.operators.similarity import sql_semdedup
     sqls["semdedup"] = sql_semdedup(

@@ -312,3 +312,72 @@ def sql_epoch_shuffle(epoch: int, n_shards: int = 64, key_col: str = "doc_id") -
         f"CAST(ROW_NUMBER() OVER (PARTITION BY ({mix}) % {int(n_shards)} "
         f"ORDER BY {mix} ASC, {key_col} ASC) - 1 AS BIGINT) AS pos"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    window_tokens: int,
+    token_col: str = "tokens",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing — the LLM-pretraining batch layout: documents are
+    concatenated in shard order and split into fixed ``window_tokens``
+    context windows ("chunked concatenation": no padding waste, documents
+    may span a window boundary).  Input rows carry a shard and a dense
+    in-shard position (:func:`epoch_shuffle` output composes directly);
+    output adds
+
+    * ``start_off`` — token offset of the document within its shard's
+      concatenated stream,
+    * ``first_win`` / ``last_win`` — the window ids the document touches
+      (``last_win > first_win`` iff it crosses a boundary).
+
+    One running sum per shard (the same parallel per-shard windows as the
+    shuffle itself — no global coordination), pure integer arithmetic,
+    so a SQL oracle replays it exactly.  A dataloader seeking window W of
+    shard S reads the rows with ``first_win <= W <= last_win`` — the
+    index this op exists to produce."""
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(pos_col).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col(token_col).cast("long")
+    end_off = F.sum(t).over(w)  # exclusive end of this doc's span
+    out = df.withColumn("start_off", end_off - t)
+    # `div`, not `/`: float division truncate-cast can miss the true
+    # floor on large offsets; integer div is exact at any magnitude and
+    # matches DuckDB's `//`
+    wt = int(window_tokens)
+    return (
+        out.withColumn("first_win", F.expr(f"start_off div {wt}"))
+        .withColumn(
+            "last_win",
+            F.expr(f"greatest(start_off, start_off + CAST({token_col} AS BIGINT) - 1) div {wt}"),
+        )
+    )
+
+
+def sql_pack_sequences(
+    window_tokens: int,
+    token_col: str = "tokens",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB twin expressions for :func:`pack_sequences` (SELECT
+    fragment over a relation carrying shard/pos/tokens)."""
+    end = (
+        f"SUM(CAST({token_col} AS BIGINT)) OVER (PARTITION BY {shard_col} "
+        f"ORDER BY {pos_col} ASC, {key_col} ASC ROWS UNBOUNDED PRECEDING)"
+    )
+    start = f"({end} - {token_col})"
+    return (
+        f"CAST({start} AS BIGINT) AS start_off, "
+        f"CAST({start} // {window_tokens} AS BIGINT) AS first_win, "
+        f"CAST(GREATEST({start}, {start} + {token_col} - 1) // {window_tokens} AS BIGINT) AS last_win"
+    )

@@ -220,3 +220,41 @@ def test_epoch_shuffle_no_global_sort(spark):
     head = plan.split("== Initial Plan ==")[0]
     assert "SinglePartition" not in head
     assert "BatchEvalPython" not in head and "MapInPandas" not in head
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing (r6): per shard the concatenated stream is gapless
+    (start_off of pos p = sum of tokens before p), windows are
+    consistent (first_win = start//W, last_win covers the doc's final
+    token), and a dataloader reading window W gets exactly the docs
+    whose spans intersect [W*Wt, (W+1)*Wt)."""
+    from datacube_core_spark.functions.text import token_count_col
+    from datacube_core_spark.operators.sampling import epoch_shuffle, pack_sequences
+
+    W = 512
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("tokens")
+    )
+    out = pack_sequences(epoch_shuffle(docs, epoch=1, n_shards=8), window_tokens=W).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(int(r["shard"]), []).append(r)
+    assert len(by_shard) > 1
+    for s, rows in by_shard.items():
+        rows.sort(key=lambda r: int(r["pos"]))
+        off = 0
+        for r in rows:
+            assert int(r["start_off"]) == off           # gapless stream
+            assert int(r["first_win"]) == off // W
+            end = off + int(r["tokens"])
+            assert int(r["last_win"]) == max(off, end - 1) // W
+            off = end
+        # window readback: every token of window 0 accounted for exactly once
+        w0 = [r for r in rows if int(r["first_win"]) <= 0 <= int(r["last_win"])]
+        covered = sum(
+            min(int(r["start_off"]) + int(r["tokens"]), W) - int(r["start_off"])
+            for r in w0
+        )
+        assert covered == min(off, W)
+    # boundary-spanning docs exist at this window size (the flag works)
+    assert any(int(r["last_win"]) > int(r["first_win"]) for r in out)
