@@ -562,6 +562,28 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction over the ``html:binary`` column, pure
+    Catalyst (functions/html.py): strip script/style/comment blocks,
+    collect ``<p>`` main content, strip inline tags, decode entities.
+    The north rule's per-row invariant — byte-identical extracted text
+    per url — is returned as the ``identical`` column (asserted all-true
+    in tests/test_html_extract.py; the oracle twin replays the same RE2
+    pipeline in DuckDB and cross-checks an md5 of the extracted bytes).
+    Reference analog: eo3 canonical-column normalization before indexing
+    (``datacube/index/eo3.py:77-157``)."""
+    from datacube_core_spark.functions.html import extract_text_col
+
+    p = pages(spark, sf_dir, repl=1)
+    ext = extract_text_col(F.col("html"))
+    return p.select(
+        "doc_id",
+        F.length(ext).alias("n_chars"),
+        (ext == F.col("text")).alias("identical"),
+        F.md5(F.encode(ext, "UTF-8")).alias("fp"),
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline, Catalyst-only tier: per-lang
     stats over the opaque ``html:binary`` payload (byte lengths, a
@@ -1343,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "extract_text": q_extract_text,
         "png_roundtrip": q_png_roundtrip,
         "token_budget_threshold": q_token_budget_threshold,
         "semdedup": q_semdedup,
@@ -1636,12 +1659,15 @@ SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper, MAX(doc_id) AS dup_
 FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
+    from datacube_core_spark.functions.html import sql_extract_text
+    from datacube_core_spark.sources.pages import sql_html_expr
+
     _P1 = pages_cte(1)
     # the SQL pages CTE prunes html (column-pruning mirror!) — derive it
     # inline exactly as the Spark source does; strlen = UTF-8 byte length
     sqls["media_stats"] = f"""{_P1},
 m AS (
-  SELECT lang, '<html><body>' || text || '</body></html>' AS h FROM pages
+  SELECT lang, {sql_html_expr()} AS h FROM pages
 )
 SELECT lang,
        CASE WHEN h LIKE '<html>%' THEN 'html' ELSE 'other' END AS fmt,
@@ -1651,6 +1677,25 @@ SELECT lang,
        CAST(MAX(strlen(h)) AS INT) AS max_bytes,
        COUNT(DISTINCT md5(h)) AS n_distinct_payloads
 FROM m GROUP BY 1, 2
+"""
+
+    # extract_text twin: derive html exactly as the Spark source does,
+    # then replay the same RE2 extraction pipeline (script/style/comment
+    # strip → <p> main content → inline-tag strip → entity decode) and
+    # hash the extracted bytes.  Spark F.length(varchar) counts chars;
+    # DuckDB length(varchar) too — the corpus is UTF-8 either way.
+    sqls["extract_text"] = f"""{_P1},
+m AS (
+  SELECT doc_id, text, {sql_html_expr()} AS h FROM pages
+),
+e AS (
+  SELECT doc_id, text, {sql_extract_text('h')} AS ext FROM m
+)
+SELECT doc_id,
+       CAST(length(ext) AS INT) AS n_chars,
+       ext = text AS identical,
+       md5(ext) AS fp
+FROM e
 """
 
     # png_roundtrip twin: NO codec — the generator pattern is closed-form

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datacube_core_spark.functions.html import escape_html_col, sql_escape_html
+
 # --- geocode constants (single source of truth; mirrored in SQL below) ---
 LON_MULT = 2654435761  # Knuth multiplicative hash constant
 LAT_MULT = 1103515245  # glibc LCG constant
@@ -37,6 +39,22 @@ HOT_LAT = (48.0, 40.0, 39.0)
 # per-page bbox half-size (pages get a small footprint for bbox→tiles tests)
 BBOX_W_BASE = 0.05
 BBOX_W_STEP = 0.01
+
+# --- html payload template (single source of truth for the Spark builder
+# and the DuckDB twin below).  A realistic page: head with title, a style
+# block, a script block whose content contains '<' '&' and quotes (so a
+# naive tag-stripper fails), a comment, boilerplate (h1 + nav anchor), and
+# the page text ENTITY-ESCAPED inside the main <p> — which is what makes
+# functions/html.extract_text_col's round-trip byte-exact for ANY text.
+# Must start with b"<html>": media_stats sniffs the first 6 bytes.
+HTML_P1 = "<html><head><title>page "  # + doc_id
+HTML_P2 = (
+    '</title><style>p.main{margin:0}</style>'
+    '<script type="text/javascript">var n=1;if(n<2){n="&x";}</script>'
+    '</head><body><!-- crawl snapshot --><h1>crawl</h1><p class="main">'
+)  # + escape_html(text)
+HTML_P3 = '</p><a href="'  # + url
+HTML_P4 = '">next</a></body></html>'
 
 
 def _base_lon(doc_id: Column) -> Column:
@@ -100,14 +118,23 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_ST
         d = F.col("rep").cast("long") * F.lit(stride) + F.col("doc_id")
     else:
         d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 97).cast("string"), F.lit(".example/"),
+        F.col("lang"), F.lit("/page/"), d.cast("string"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit(HTML_P1), d.cast("string"), F.lit(HTML_P2),
+            escape_html_col(F.col("text")),
+            F.lit(HTML_P3), url, F.lit(HTML_P4),
+        ),
+        "UTF-8",
+    )
     return docs.select(
         d.alias("doc_id"),
-        F.concat(
-            F.lit("https://site"), (d % 97).cast("string"), F.lit(".example/"),
-            F.col("lang"), F.lit("/page/"), d.cast("string"),
-        ).alias("url"),
+        url.alias("url"),
         F.timestamp_seconds(F.lit(TS_EPOCH) + (d * TS_MULT) % TS_MOD).alias("warc_ts"),
-        F.encode(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "UTF-8").alias("html"),
+        html.alias("html"),
         F.col("text"),
         F.col("lang"),
         lon_expr(d).alias("lon"),
@@ -167,3 +194,18 @@ WITH pages AS (
 
 
 PAGES_CTE = pages_cte(1)
+
+
+def sql_html_expr(text_col: str = "text", url_col: str = "url",
+                  docid_col: str = "doc_id") -> str:
+    """DuckDB expression for the html payload (VARCHAR — the binary
+    encode step is a no-op for the comparison since both engines hash
+    the UTF-8 bytes).  Mirrors the Spark builder in :func:`pages`
+    term-for-term from the same HTML_P* constants."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return (
+        f"{q(HTML_P1)} || CAST({docid_col} AS VARCHAR) || {q(HTML_P2)} || "
+        f"{sql_escape_html(text_col)} || {q(HTML_P3)} || {url_col} || {q(HTML_P4)}"
+    )
