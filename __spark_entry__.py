@@ -562,6 +562,34 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-interop cell keys (geom/cellkeys.py): geohash (base32 Morton
+    interleave, published Niemeyer construction — verified against an
+    independent bisection reference + known vectors in
+    tests/test_cellkeys.py) and slippy/Bing quadkey at zoom 12, both
+    pure 64-bit Catalyst arithmetic.  Makes joins against external
+    geohash-/quadkey-bucketed tables plain equi-joins on computed
+    columns — the string-key twin of the s2_cells integer-key interop
+    entry.  Reference analog: PostGIS spatial-key candidate columns
+    (``drivers/postgis/_spatial.py:62-97``)."""
+    from datacube_core_spark.geom.cellkeys import (
+        geohash_col,
+        quadkey_col,
+        tile_xy_cols,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    tx, ty = tile_xy_cols(F.col("lon"), F.col("lat"), 12)
+    return p.select(
+        "doc_id",
+        geohash_col(F.col("lon"), F.col("lat"), 8).alias("gh8"),
+        geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh5"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        quadkey_col(tx, ty, 12).alias("quadkey"),
+    )
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction over the ``html:binary`` column, pure
     Catalyst (functions/html.py): strip script/style/comment blocks,
@@ -1365,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "cell_keys": q_cell_keys,
         "extract_text": q_extract_text,
         "png_roundtrip": q_png_roundtrip,
         "token_budget_threshold": q_token_budget_threshold,
@@ -1677,6 +1706,23 @@ SELECT lang,
        CAST(MAX(strlen(h)) AS INT) AS max_bytes,
        COUNT(DISTINCT md5(h)) AS n_distinct_payloads
 FROM m GROUP BY 1, 2
+"""
+
+    from datacube_core_spark.geom.cellkeys import (
+        sql_geohash,
+        sql_quadkey,
+        sql_tile_xy,
+    )
+
+    _ck_tx, _ck_ty = sql_tile_xy("lon", "lat", 12)
+    sqls["cell_keys"] = f"""{pages_cte(Q_REPL)}
+SELECT doc_id,
+       {sql_geohash('lon', 'lat', 8)} AS gh8,
+       {sql_geohash('lon', 'lat', 5)} AS gh5,
+       {_ck_tx} AS tile_x,
+       {_ck_ty} AS tile_y,
+       {sql_quadkey(_ck_tx, _ck_ty, 12)} AS quadkey
+FROM pages
 """
 
     # extract_text twin: derive html exactly as the Spark source does,
