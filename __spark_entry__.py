@@ -562,6 +562,40 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each crawled page picks up the
+    latest event of its user at-or-before crawl time via the union +
+    running-window construction — one shuffle, NO join node (plan-
+    asserted in tests/test_asof.py), with a bucketed skew path whose
+    equivalence is pytest-proven.  The oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — a fully independent implementation of the
+    semantics.  Timestamps compared at whole-second precision on both
+    sides ((user_id, second) is unique in events)."""
+    from datacube_core_spark.operators.asof import asof_join
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select(
+        "doc_id",
+        (F.col("doc_id") % 150).alias("user_id"),
+        F.unix_timestamp("warc_ts").alias("wts"),
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ets"),
+        "event_id",
+        "value",
+    )
+    out = asof_join(p, e, ["user_id"], "wts", "ets", ["event_id", "value"])
+    # no-match sentinel (-1) instead of NULL: DuckDB's fetchdf() widens a
+    # nullable BIGINT to float64, which would break the cross-engine hash
+    return out.select(
+        "doc_id",
+        "user_id",
+        F.coalesce(F.col("event_id"), F.lit(-1)).alias("event_id"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("value"),
+        F.coalesce(F.col("wts") - F.col("ets_matched"), F.lit(-1)).alias("lag_s"),
+    )
+
+
 def q_cell_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-interop cell keys (geom/cellkeys.py): geohash (base32 Morton
     interleave, published Niemeyer construction — verified against an
@@ -1393,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "asof_events": q_asof_events,
         "cell_keys": q_cell_keys,
         "extract_text": q_extract_text,
         "png_roundtrip": q_png_roundtrip,
@@ -1706,6 +1741,24 @@ SELECT lang,
        CAST(MAX(strlen(h)) AS INT) AS max_bytes,
        COUNT(DISTINCT md5(h)) AS n_distinct_payloads
 FROM m GROUP BY 1, 2
+"""
+
+    # asof_events twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    # implementation of the semantics (not a replay of the Spark plan).
+    sqls["asof_events"] = f"""{pages_cte(Q_REPL)},
+p AS (
+  SELECT doc_id, doc_id % 150 AS user_id, CAST(epoch(warc_ts) AS BIGINT) AS wts
+  FROM pages
+),
+ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets, event_id, value
+  FROM events
+)
+SELECT p.doc_id, p.user_id,
+       COALESCE(e.event_id, -1) AS event_id,
+       COALESCE(e.value, -1.0) AS value,
+       COALESCE(p.wts - e.ets, -1) AS lag_s
+FROM p ASOF LEFT JOIN ev e ON p.user_id = e.user_id AND p.wts >= e.ets
 """
 
     from datacube_core_spark.geom.cellkeys import (
