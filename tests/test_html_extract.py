@@ -125,6 +125,58 @@ SELECT doc_id, md5({sql_extract_text('h')}) AS fp FROM m
     assert duck_fp == spark_fp
 
 
+def _fuzz_texts(n=120):
+    """Deterministic adversarial corpus: entity look-alikes, literal tags,
+    unicode, whitespace variants — everything the escape→extract round
+    trip must survive byte-exactly."""
+    import random
+
+    rng = random.Random(20260817)
+    frags = [
+        "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&", "<", ">", '"', "'",
+        "<p>", "</p>", "<script>", "</script>", "<!--", "-->", "plain",
+        "wörds", "中文字", "🙂", "é", "\n", "\r\n", "\t", "  ", "a&b<c>d",
+        "&amp;lt;", "&&&", "<<>>", "x" * 50,
+    ]
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 12)
+        out.append("".join(rng.choice(frags) for _ in range(k)))
+    return out
+
+
+def test_fuzz_roundtrip_spark_and_duckdb(spark):
+    """escape(text) embedded in the full page template, extracted back:
+    byte identity must hold for arbitrary text in BOTH engines."""
+    texts = _fuzz_texts()
+    rows = [Row(i=i, t=t) for i, t in enumerate(texts)]
+    html = F.concat(
+        F.lit('<html><head><title>x</title><script>if(1<2){var q="&";}</script>'
+              '</head><body><!-- c --><h1>h</h1><p class="m">'),
+        escape_html_col(F.col("t")),
+        F.lit('</p><a href="u">n</a></body></html>'),
+    )
+    got = (
+        spark.createDataFrame(rows)
+        .select("i", "t", extract_text_col(F.encode(html, "UTF-8")).alias("e"))
+        .collect()
+    )
+    for r in got:
+        assert r.e == r.t, f"spark roundtrip broke on {r.t!r}"
+    from datacube_core_spark.functions.html import sql_escape_html
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE txts (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO txts VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)])
+    h = ("'<html><head><title>x</title><script>if(1<2){var q=\"&\";}</script>"
+         "</head><body><!-- c --><h1>h</h1><p class=\"m\">' || "
+         f"{sql_escape_html('t')} || '</p><a href=\"u\">n</a></body></html>'")
+    bad = con.execute(
+        f"SELECT count(*) FROM txts WHERE {sql_extract_text(h)} <> t"
+    ).fetchone()[0]
+    assert bad == 0
+
+
 def test_extraction_is_catalyst_only(spark):
     plan = (
         pages(spark, SF_TINY, repl=1)
