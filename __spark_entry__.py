@@ -562,6 +562,38 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph PageRank over edges parsed from the ACTUAL html anchors
+    (operators/graph.py): pages carry 3 deterministic outlink anchors;
+    the Spark side extracts them with a regexp over the html column and
+    runs 5 exact-INTEGER PageRank rounds (uniform outdegree 3 + damping
+    17/20 make the recurrence A' = 9·60^i + 17·Σ A int64-exact — no
+    float summation-order sensitivity, engines agree bit-for-bit).  The
+    oracle re-derives the anchors arithmetically and replays the
+    recurrence as unrolled CTEs — a corrupted extraction OR a wrong
+    join/agg diverges the integers.  At 100 TB: persist the edge list
+    instead of re-extracting per round; each round is the canonical
+    join + groupBy(dst) plan (indegree skew = plain agg skew, AQE)."""
+    from datacube_core_spark.operators.graph import page_edges, pagerank_exact
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    edges = page_edges(p)
+    nodes = p.select("doc_id")
+    pr = pagerank_exact(edges, nodes, iters=5)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    n = Q_REPL * 500
+    denom = float(n) * float(60**5)
+    return (
+        pr.join(indeg, pr["doc_id"] == indeg["dst"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("indeg"), F.lit(0)).alias("indeg"),
+            F.col("a"),
+            (F.col("a") / F.lit(denom)).alias("rank"),
+        )
+    )
+
+
 def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each crawled page picks up the
     latest event of its user at-or-before crawl time via the union +
@@ -1427,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "pagerank": q_pagerank,
         "asof_events": q_asof_events,
         "cell_keys": q_cell_keys,
         "extract_text": q_extract_text,
@@ -1741,6 +1774,32 @@ SELECT lang,
        CAST(MAX(strlen(h)) AS INT) AS max_bytes,
        COUNT(DISTINCT md5(h)) AS n_distinct_payloads
 FROM m GROUP BY 1, 2
+"""
+
+    # pagerank twin: re-derive the outlink anchors arithmetically (the
+    # Spark side EXTRACTS them from html — divergence catches extraction
+    # bugs), then replay the exact-integer recurrence as unrolled CTEs.
+    from datacube_core_spark.functions.html import sql_extract_outlinks
+    from datacube_core_spark.operators.graph import sql_pagerank_levels
+    from datacube_core_spark.sources.pages import sql_html_expr as _she
+
+    _pr_n = Q_REPL * 500
+    _pr_denom = float(_pr_n) * float(60**5)
+    sqls["pagerank"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
+edges AS (
+  SELECT doc_id AS src, UNNEST({sql_extract_outlinks('h')}) AS dst FROM m
+),
+nodes AS (SELECT doc_id FROM pages),
+{sql_pagerank_levels('edges', 'nodes', 5)}
+SELECT n.doc_id,
+       COALESCE(i.indeg, 0) AS indeg,
+       p.a,
+       p.a / {_pr_denom!r} AS rank
+FROM nodes n
+JOIN pr5 p ON p.v = n.doc_id
+LEFT JOIN (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst) i
+  ON i.dst = n.doc_id
 """
 
     # asof_events twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent

@@ -123,6 +123,33 @@ def sql_extract_text(col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# link extraction (web-graph edges come from the ACTUAL html anchors)
+# ---------------------------------------------------------------------------
+
+_OUTLINK_RE = r'href="https://site[0-9]+\.example/out/([0-9]+)"'
+
+
+def extract_outlinks_col(html_bin: Column) -> Column:
+    """Array of outlink target uids (long) parsed from the page's
+    ``<a href=".../out/<uid>">`` anchors — the edge list of the web
+    graph is extracted from the html payload itself, not re-derived
+    arithmetically (the oracle twin re-derives it, which is exactly
+    what makes the extraction verifiable)."""
+    h = F.decode(html_bin, "UTF-8")
+    return F.transform(
+        F.regexp_extract_all(h, F.lit(_OUTLINK_RE), F.lit(1)),
+        lambda s: s.cast("long"),
+    )
+
+
+def sql_extract_outlinks(col: str) -> str:
+    return (
+        f"list_transform(regexp_extract_all({col}, {_sql_quote(_OUTLINK_RE)}, 1),"
+        f" s -> CAST(s AS BIGINT))"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pure-Python reference (tests only — the independent third implementation
 # the byte-identity test compares both engines against).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,143 @@
+"""Web-graph analytics: link extraction → edge list → exact PageRank.
+
+Large-scale corpus curation uses link-graph signals (Common Crawl ranks
+hosts by harmonic centrality; PageRank-family scores feed crawl
+frontiers and quality filters).  This module builds the edge list from
+the ACTUAL ``html`` anchors (``functions/html.extract_outlinks_col`` —
+not re-derived arithmetically; the DuckDB oracle re-derives it, which is
+what makes the extraction verifiable) and computes PageRank.
+
+Exact integer arithmetic (the cross-engine trick): the synthetic graph
+has UNIFORM outdegree 3 and no dangling nodes, so with damping
+d = 17/20 the iteration
+
+    r_{i+1}(v) = (1-d)/N + (d/3) · Σ_{u→v} r_i(u)
+
+scales to integers via  r_i = A_i / (N · 60^i),  A_0 = 1:
+
+    A_{i+1}(v) = 9 · 60^i + 17 · Σ_{u→v} A_i(u)
+
+Σ_v A_i = 60^i · N, so A stays far inside int64 for the iteration
+depths used (60^6·N ≈ 4e14 at N = 8000) and every engine produces the
+IDENTICAL integers — no float summation-order sensitivity, no tolerance.
+The float rank is one final divide by the constant N·60^i (bit-identical
+everywhere).  A general-outdegree float PageRank exists alongside for
+real graphs (``pagerank_float``), sharing the same join/agg plan.
+
+Scale shape: each iteration is one shuffle (groupBy dst) plus a
+broadcast-or-shuffle join of ranks onto edges — the canonical Spark
+PageRank plan.  Hot pages (high indegree) are plain aggregation skew,
+handled by AQE/salting like any groupBy; iterations are a fixed small
+count, so no lineage blow-up (checkpoint hooks not needed below ~20
+rounds; ``operators/lineage.py`` shows the truncation pattern if more).
+
+Reference analog: none — ODC has no graph ops; this is webtext-axis
+capability (SURVEY §2's training-data-pipeline extension family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMP_NUM, DAMP_DEN = 17, 20  # d = 0.85 as an exact rational
+OUTDEG = 3
+SCALE = OUTDEG * DAMP_DEN  # 60: per-iteration denominator growth
+
+
+def page_edges(pages_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(src, dst) edge list parsed from the html outlink anchors."""
+    from datacube_core_spark.functions.html import extract_outlinks_col
+
+    return pages_df.select(
+        F.col(id_col).alias("src"),
+        F.explode(extract_outlinks_col(F.col("html"))).alias("dst"),
+    )
+
+
+def pagerank_exact(edges: DataFrame, nodes: DataFrame, iters: int = 5,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Integer PageRank over a uniform-outdegree-3 dangling-free graph.
+
+    Returns (id_col, a) with a = A_iters(v); rank(v) = a / (N·60^iters).
+    Every value is exact int64 — engines agree bit-for-bit.
+    """
+    ranks = nodes.select(F.col(id_col).alias("v"), F.lit(1).cast("long").alias("a"))
+    for i in range(iters):
+        base = 9 * SCALE**i
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["v"], "inner")
+            .groupBy("dst")
+            .agg(F.sum("a").alias("s"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("v"))
+            .join(contrib, F.col("v") == contrib["dst"], "left")
+            .select(
+                "v",
+                (F.lit(base) + F.lit(DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0))).alias("a"),
+            )
+        )
+    return ranks.select(F.col("v").alias(id_col), "a")
+
+
+def sql_pagerank_exact(edges_cte: str, nodes_cte: str, iters: int = 5,
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin: the same recurrence unrolled as ``iters`` CTE levels.
+    ``edges_cte``/``nodes_cte`` are CTE names providing (src, dst) and
+    (id_col).  Returns SQL for the final (id_col, a) relation (use after
+    a WITH prefix defining those CTEs and appending the ``pr*`` levels
+    via :func:`sql_pagerank_levels`)."""
+    return f"SELECT {id_col}, a FROM pr{iters}"
+
+
+def sql_pagerank_levels(edges_cte: str, nodes_cte: str, iters: int = 5,
+                        id_col: str = "doc_id") -> str:
+    """The chained CTE levels pr0..pr{iters} for the integer recurrence."""
+    parts = [f"pr0 AS (SELECT {id_col} AS v, CAST(1 AS BIGINT) AS a FROM {nodes_cte})"]
+    for i in range(iters):
+        base = 9 * SCALE**i
+        parts.append(
+            # CAST the SUM: DuckDB's SUM(BIGINT) yields HUGEINT, which
+            # fetchdf() widens to float64 and breaks the integer contract
+            f"pr{i + 1} AS (SELECT n.{id_col} AS v, "
+            f"CAST({base} AS BIGINT) + {DAMP_NUM} * CAST(COALESCE(SUM(p.a), 0) AS BIGINT) AS a "
+            f"FROM {nodes_cte} n LEFT JOIN {edges_cte} e ON e.dst = n.{id_col} "
+            f"LEFT JOIN pr{i} p ON p.v = e.src "
+            f"GROUP BY n.{id_col})"
+        )
+    return ",\n".join(parts)
+
+
+def pagerank_float(edges: DataFrame, nodes: DataFrame, iters: int = 10,
+                   damping: float = 0.85, id_col: str = "doc_id") -> DataFrame:
+    """General float PageRank (arbitrary outdegree; dangling mass
+    redistributed uniformly) — the operator real graphs use; same plan
+    shape as the exact variant, verified against it on the uniform
+    graph (tests/test_graph.py) and against a pure-python reference."""
+    n_b = nodes.count()
+    out = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e = edges.join(out, "src")
+    ranks = nodes.select(F.col(id_col).alias("v"), F.lit(1.0 / n_b).alias("r"))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(out, ranks["v"] == out["src"], "left_anti")
+            .agg(F.sum("r"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["v"], "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("s"))
+        )
+        base = (1.0 - damping) / n_b + damping * dangling / n_b
+        ranks = (
+            nodes.select(F.col(id_col).alias("v"))
+            .join(contrib, F.col("v") == contrib["dst"], "left")
+            .select(
+                "v",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+            )
+        )
+    return ranks.select(F.col("v").alias(id_col), "r")

@@ -54,7 +54,17 @@ HTML_P2 = (
     '</head><body><!-- crawl snapshot --><h1>crawl</h1><p class="main">'
 )  # + escape_html(text)
 HTML_P3 = '</p><a href="'  # + url
-HTML_P4 = '">next</a></body></html>'
+HTML_P4 = '">next</a>'  # + outlink anchors + HTML_P5
+HTML_P5 = "</body></html>"
+
+# --- deterministic outlink graph (3 anchors per page) ---------------------
+# Every page links to exactly 3 other pages (uniform outdegree — the
+# exact-integer PageRank in operators/graph.py depends on it).  Targets
+# are valid uids: index j ∈ [0, repl·500) → uid = (j // 500)·stride +
+# (j % 500), with j = (doc_id · M_k + k) % (repl·500).  The '/out/' path
+# segment distinguishes outlinks from the self 'next' anchor.
+OUTLINK_MULTS = (7919, 104729, 15485863)
+DOCS_PER_REP = 500
 
 
 def _base_lon(doc_id: Column) -> Column:
@@ -122,11 +132,23 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_ST
         F.lit("https://site"), (d % 97).cast("string"), F.lit(".example/"),
         F.col("lang"), F.lit("/page/"), d.cast("string"),
     )
+    anchors = []
+    n_uid = repl * DOCS_PER_REP
+    for k, m in enumerate(OUTLINK_MULTS):
+        j = (d * F.lit(m) + F.lit(k)) % F.lit(n_uid)
+        tgt = F.floor(j / F.lit(DOCS_PER_REP)) * F.lit(stride) + (j % F.lit(DOCS_PER_REP))
+        anchors += [
+            F.lit('<a href="https://site'), (tgt % 97).cast("string"),
+            F.lit(".example/out/"), tgt.cast("string"),
+            F.lit(f'">o{k}</a>'),
+        ]
     html = F.encode(
         F.concat(
             F.lit(HTML_P1), d.cast("string"), F.lit(HTML_P2),
             escape_html_col(F.col("text")),
             F.lit(HTML_P3), url, F.lit(HTML_P4),
+            *anchors,
+            F.lit(HTML_P5),
         ),
         "UTF-8",
     )
@@ -197,15 +219,28 @@ PAGES_CTE = pages_cte(1)
 
 
 def sql_html_expr(text_col: str = "text", url_col: str = "url",
-                  docid_col: str = "doc_id") -> str:
+                  docid_col: str = "doc_id", repl: int = 1,
+                  stride: int = REPL_STRIDE) -> str:
     """DuckDB expression for the html payload (VARCHAR — the binary
     encode step is a no-op for the comparison since both engines hash
     the UTF-8 bytes).  Mirrors the Spark builder in :func:`pages`
-    term-for-term from the same HTML_P* constants."""
+    term-for-term from the same HTML_P*/OUTLINK_* constants; ``repl``
+    must match the ``pages()`` call the oracle replays."""
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
+    n_uid = repl * DOCS_PER_REP
+    anchors = []
+    for k, m in enumerate(OUTLINK_MULTS):
+        j = f"(({docid_col} * {m} + {k}) % {n_uid})"
+        tgt = f"(CAST(FLOOR({j} / {DOCS_PER_REP}) AS BIGINT) * {stride} + ({j} % {DOCS_PER_REP}))"
+        anchors.append(
+            f"'<a href=\"https://site' || CAST({tgt} % 97 AS VARCHAR) || "
+            f"'.example/out/' || CAST({tgt} AS VARCHAR) || '\">o{k}</a>'"
+        )
     return (
         f"{q(HTML_P1)} || CAST({docid_col} AS VARCHAR) || {q(HTML_P2)} || "
-        f"{sql_escape_html(text_col)} || {q(HTML_P3)} || {url_col} || {q(HTML_P4)}"
+        f"{sql_escape_html(text_col)} || {q(HTML_P3)} || {url_col} || {q(HTML_P4)} || "
+        + " || ".join(anchors)
+        + f" || {q(HTML_P5)}"
     )
