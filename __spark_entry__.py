@@ -562,6 +562,18 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the extracted link graph
+    (operators/graph.hits_exact): unnormalized power iteration — pure
+    integer sums, so the cross-engine compare is exact (normalization
+    is a display-time divide; rankings identical).  Same edge source
+    and scale shape as ``pagerank``."""
+    from datacube_core_spark.operators.graph import hits_exact, page_edges
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    return hits_exact(page_edges(p), p.select("doc_id"), iters=3)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-graph PageRank over edges parsed from the ACTUAL html anchors
     (operators/graph.py): pages carry 3 deterministic outlink anchors;
@@ -1459,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "hits": q_hits,
         "pagerank": q_pagerank,
         "asof_events": q_asof_events,
         "cell_keys": q_cell_keys,
@@ -1800,6 +1813,22 @@ FROM nodes n
 JOIN pr5 p ON p.v = n.doc_id
 LEFT JOIN (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst) i
   ON i.dst = n.doc_id
+"""
+
+    # hits twin: same re-derived edges, unrolled a/h CTE levels
+    from datacube_core_spark.operators.graph import sql_hits_levels
+
+    sqls["hits"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
+edges AS (
+  SELECT doc_id AS src, UNNEST({sql_extract_outlinks('h')}) AS dst FROM m
+),
+nodes AS (SELECT doc_id FROM pages),
+{sql_hits_levels('edges', 'nodes', 3)}
+SELECT n.doc_id, a3.a, h3.h
+FROM nodes n
+JOIN a3 ON a3.v = n.doc_id
+JOIN h3 ON h3.v = n.doc_id
 """
 
     # asof_events twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent

@@ -109,6 +109,65 @@ def sql_pagerank_levels(edges_cte: str, nodes_cte: str, iters: int = 5,
     return ",\n".join(parts)
 
 
+def hits_exact(edges: DataFrame, nodes: DataFrame, iters: int = 3,
+               id_col: str = "doc_id") -> DataFrame:
+    """Unnormalized HITS power iteration in exact integers.
+
+    h_0 = a_0 = 1;  a_{i+1}(v) = Σ_{u→v} h_i(u);  h_{i+1}(v) =
+    Σ_{v→w} a_{i+1}(w).  Without per-round normalization every value is
+    an integer (the usual L2 normalization is a display-time divide —
+    rankings are identical), so engines agree bit-for-bit.  Growth per
+    round is bounded by (outdeg · max_indeg); the synthetic graph's
+    outdeg 3 / indeg ≲ 20 keeps 3 rounds far inside int64 — callers on
+    real graphs should check ``iters · log2(outdeg·indeg)`` < 60 or use
+    a float variant with normalization.
+    """
+    h = nodes.select(F.col(id_col).alias("v"), F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a = (
+            edges.join(h, edges["src"] == h["v"], "inner")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        a = (
+            nodes.select(F.col(id_col).alias("v"))
+            .join(a, F.col("v") == a["dst"], "left")
+            .select("v", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("a"))
+        )
+        h = (
+            edges.join(a, edges["dst"] == a["v"], "inner")
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+        )
+        h = (
+            nodes.select(F.col(id_col).alias("v"))
+            .join(h, F.col("v") == h["src"], "left")
+            .select("v", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("h"))
+        )
+    return a.join(h, "v").select(F.col("v").alias(id_col), "a", "h")
+
+
+def sql_hits_levels(edges_cte: str, nodes_cte: str, iters: int = 3,
+                    id_col: str = "doc_id") -> str:
+    """DuckDB twin CTE chain h0, a1, h1, ..., a{iters}, h{iters}."""
+    parts = [f"h0 AS (SELECT {id_col} AS v, CAST(1 AS BIGINT) AS h FROM {nodes_cte})"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT n.{id_col} AS v, "
+            f"CAST(COALESCE(SUM(p.h), 0) AS BIGINT) AS a "
+            f"FROM {nodes_cte} n LEFT JOIN {edges_cte} e ON e.dst = n.{id_col} "
+            f"LEFT JOIN h{i - 1} p ON p.v = e.src GROUP BY n.{id_col})"
+        )
+        parts.append(
+            f"h{i} AS (SELECT n.{id_col} AS v, "
+            f"CAST(COALESCE(SUM(p.a), 0) AS BIGINT) AS h "
+            f"FROM {nodes_cte} n LEFT JOIN {edges_cte} e ON e.src = n.{id_col} "
+            f"LEFT JOIN a{i} p ON p.v = e.dst GROUP BY n.{id_col})"
+        )
+    return ",\n".join(parts)
+
+
 def pagerank_float(edges: DataFrame, nodes: DataFrame, iters: int = 10,
                    damping: float = 0.85, id_col: str = "doc_id") -> DataFrame:
     """General float PageRank (arbitrary outdegree; dangling mass

@@ -97,6 +97,31 @@ def test_float_pagerank_matches_exact_on_uniform_graph(spark):
     assert abs(sum(flt.values()) - 1.0) < 1e-9
 
 
+def _py_hits(edges, nodes, iters):
+    h = {v: 1 for v in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {v: 0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+    return a, h
+
+
+def test_hits_exact(spark):
+    from datacube_core_spark.operators.graph import hits_exact
+
+    p = pages(spark, SF_TINY, repl=1)
+    edges = page_edges(p)
+    out = {r.doc_id: (r.a, r.h) for r in
+           hits_exact(edges, p.select("doc_id"), iters=3).collect()}
+    e = [(r.src, r.dst) for r in edges.collect()]
+    ra, rh = _py_hits(e, list(range(DOCS_PER_REP)), 3)
+    assert out == {v: (ra[v], rh[v]) for v in ra}
+
+
 def test_float_pagerank_dangling(spark):
     # node 2 has no outlinks: its mass redistributes uniformly
     ndf = spark.createDataFrame([Row(doc_id=v) for v in range(3)])
