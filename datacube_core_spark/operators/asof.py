@@ -35,6 +35,12 @@ and requires a NUMERIC ts (it runs the backward core on negated ts).
 ``tolerance`` (same units as ts; numeric ts only) nulls out matches
 farther than ``tolerance`` from the left ts.  ``ts_bucket`` also
 requires a numeric ts.
+
+The match is ATOMIC: the scan carries one (ts, payload...) struct per
+right row, so a matched row's payload NULLs are preserved as NULLs — a
+per-column scan would instead splice non-null values from OLDER right
+rows into the newest match (tests/test_asof.py::test_null_payload_atomic
+pins this).
 """
 
 from __future__ import annotations
@@ -44,11 +50,12 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_TS, _LR, _MTS = "__asof_ts", "__asof_lr", "__asof_mts"
+_TS, _LR, _M = "__asof_ts", "__asof_lr", "__asof_m"
+_MT = "__t"  # match-struct ts field (payload columns keep their names)
 
 
-def _running_last(cols, over):
-    return [F.last(c, ignorenulls=True).over(over).alias(a) for c, a in cols]
+def _last(col, over):
+    return F.last(col, ignorenulls=True).over(over)
 
 
 def asof_join(
@@ -93,9 +100,19 @@ def asof_join(
         *[F.col(c).alias(f"__p_{c}") for c in payload],
     )
     u = l.unionByName(r)
-    scan_cols = [(F.when(F.col(_LR) == 0, F.col(_TS)), _MTS)] + [
-        (F.col(f"__p_{c}"), f"__m_{c}") for c in payload
-    ]
+    # the atomic match value: ONE struct per right row (ts + payload), so
+    # the scan can never mix fields from different right rows — a matched
+    # row's payload NULLs stay NULL instead of falling through to an
+    # older row's value
+    if _MT in payload:
+        raise ValueError(f"payload column name {_MT!r} is reserved")
+    mval = F.when(
+        F.col(_LR) == 0,
+        F.struct(
+            F.col(_TS).alias(_MT),
+            *[F.col(f"__p_{c}").alias(c) for c in payload],
+        ),
+    )
 
     if ts_bucket is None:
         w = (
@@ -103,7 +120,7 @@ def asof_join(
             .orderBy(F.col(_TS).asc(), F.col(_LR).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = u.select("*", *_running_last(scan_cols, w))
+        out = u.select("*", _last(mval, w).alias(_M))
     else:
         u = u.withColumn("__b", F.floor(F.col(_TS) / F.lit(float(ts_bucket))))
         win = (
@@ -111,19 +128,16 @@ def asof_join(
             .orderBy(F.col(_TS).asc(), F.col(_LR).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        ib = [(c, a.replace("__m_", "__ib_").replace(_MTS, "__ib_ts")) for c, a in scan_cols]
-        u = u.select("*", *_running_last(ib, win))
+        u = u.select("*", _last(mval, win).alias("__ib"))
         # one row per (key, bucket) that contains right rows: the bucket's
         # tail (latest right row) — the prefix scan below runs over these
         # tiny per-key sequences, so a hot key costs O(#buckets), not O(rows)
         tails = (
             u.where(F.col(_LR) == 0)
             .groupBy(*on, "__b")
-            .agg(
-                F.max(F.col(_TS)).alias("__c_ts"),
-                *[F.max_by(F.col(f"__p_{c}"), F.col(_TS)).alias(f"__c_{c}") for c in payload],
-            )
+            .agg(F.max_by(mval, F.col(_TS)).alias("__c"))
         )
+        ctype = tails.schema["__c"].dataType
         # carry-in for bucket b = scan of tails over buckets < b; bridge
         # bucket gaps with the same union+running-last trick at bucket
         # granularity: tail rows sort before bucket-marker rows of LATER
@@ -133,8 +147,7 @@ def asof_join(
             *on,
             (F.col("__b") + 1).alias("__eb"),
             F.lit(0).alias("__glr"),
-            F.col("__c_ts"),
-            *[F.col(f"__c_{c}") for c in payload],
+            F.col("__c"),
         )
         grows = (
             u.select(*on, "__b")
@@ -143,8 +156,7 @@ def asof_join(
                 *on,
                 F.col("__b").alias("__eb"),
                 F.lit(1).alias("__glr"),
-                F.lit(None).cast(ts_type).alias("__c_ts"),
-                *[F.lit(None).cast(rtypes[c]).alias(f"__c_{c}") for c in payload],
+                F.lit(None).cast(ctype).alias("__c"),
             )
         )
         gw = (
@@ -154,31 +166,15 @@ def asof_join(
         )
         bridged = (
             grows.unionByName(gvals)
-            .select(
-                *on,
-                "__eb",
-                "__glr",
-                *_running_last(
-                    [(F.col("__c_ts"), "__ci_ts")]
-                    + [(F.col(f"__c_{c}"), f"__ci_{c}") for c in payload],
-                    gw,
-                ),
-            )
+            .select(*on, "__eb", "__glr", _last(F.col("__c"), gw).alias("__ci"))
             .where(F.col("__glr") == 1)
-            .select(*on, F.col("__eb").alias("__b"), "__ci_ts", *[f"__ci_{c}" for c in payload])
+            .select(*on, F.col("__eb").alias("__b"), "__ci")
         )
         u = u.join(bridged, on=on + ["__b"], how="left")
-        out = u.select(
-            "*",
-            F.coalesce(F.col("__ib_ts"), F.col("__ci_ts")).alias(_MTS),
-            *[
-                F.coalesce(F.col(f"__ib_{c}"), F.col(f"__ci_{c}")).alias(f"__m_{c}")
-                for c in payload
-            ],
-        )
+        out = u.select("*", F.coalesce(F.col("__ib"), F.col("__ci")).alias(_M))
 
     out = out.where(F.col(_LR) == 1)
-    mts = F.col(_MTS)
+    mts = F.col(_M)[_MT]
     keep = None if tolerance is None else (mts >= F.col(_TS) - F.lit(float(tolerance)))
     def _gate(col):
         return col if keep is None else F.when(keep, col)
@@ -189,6 +185,6 @@ def asof_join(
         *on,
         lts.alias(left_ts),
         *[F.col(c) for c in lcols],
-        *[_gate(F.col(f"__m_{c}")).alias(c) for c in payload],
+        *[_gate(F.col(_M)[c]).alias(c) for c in payload],
         mts_out.alias(right_ts + suffix),
     )

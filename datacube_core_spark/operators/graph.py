@@ -176,9 +176,13 @@ def pagerank_float(edges: DataFrame, nodes: DataFrame, iters: int = 10,
     graph (tests/test_graph.py) and against a pure-python reference."""
     n_b = nodes.count()
     out = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e = edges.join(out, "src")
+    e = edges.join(out, "src").localCheckpoint(eager=False)
     ranks = nodes.select(F.col(id_col).alias("v"), F.lit(1.0 / n_b).alias("r"))
     for _ in range(iters):
+        # truncate lineage each round: the dangling-mass collect below
+        # otherwise replays the whole rank history (O(iters^2) work),
+        # and ranks is referenced twice per round (dangling + contrib)
+        ranks = ranks.localCheckpoint(eager=True)
         dangling = (
             ranks.join(out, ranks["v"] == out["src"], "left_anti")
             .agg(F.sum("r"))

@@ -142,6 +142,36 @@ def test_duckdb_asof_parity(spark):
     assert got == duck
 
 
+@pytest.mark.parametrize("bucket", [None, 7])
+def test_null_payload_atomic(spark, bucket):
+    # the NEWEST match carries a NULL payload; a per-column scan would
+    # splice in 50 from the older row — the match must stay atomic
+    lrows = [(1, 20, "a"), (1, 6, "b"), (1, 3, "c")]
+    rrows = [(1, 5, 50), (1, 15, None)]
+    l = spark.createDataFrame(
+        [Row(k=k, lts=ts, lv=v) for k, ts, v in lrows]
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, rts=ts, pv=v) for k, ts, v in rrows],
+        schema="k int, rts int, pv int",
+    )
+    got = {
+        (row.k, row.lts): (row.pv, row.rts_matched)
+        for row in asof_join(
+            l, r, ["k"], "lts", "rts", ["pv"], ts_bucket=bucket
+        ).collect()
+    }
+    assert got[(1, 20)] == (None, 15)  # matched row's NULL preserved
+    assert got[(1, 6)] == (50, 5)
+    assert got[(1, 3)] == (None, None)  # no match at all
+
+
+def test_reserved_payload_name(spark):
+    l, r = _dfs(spark, LROWS, RROWS)
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l, r.withColumnRenamed("pv", "__t"), ["k"], "lts", "rts", ["__t"])
+
+
 def test_plain_path_has_no_join_node(spark):
     l, r = _dfs(spark, LROWS, RROWS)
     plan = (
