@@ -562,6 +562,27 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius harmonic centrality (operators/graph.py) — the
+    Common-Crawl host-ranking signal, truncated at d ≤ 4 so the score
+    12·H(v) = Σ 12/d(u,v) is an exact int64 (12 = lcm(1..4)): engines
+    agree bit-for-bit.  Distances come from a frontier-deduplicated BFS
+    (per level: one equi-join + one anti-join, work ∝ reachable pairs,
+    never walk count, localCheckpoint-truncated lineage); the oracle
+    re-derives the edges arithmetically and replays the neighborhood via
+    a WITH RECURSIVE BFS + MIN(d) — an independent formulation.  At
+    100 TB: radius ≳ 6 on a dense graph switches to HyperBall-style HLL
+    neighborhood sketches (documented in the operator docstring)."""
+    from datacube_core_spark.operators.graph import harmonic_centrality, page_edges
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    hc = harmonic_centrality(page_edges(p), p.select("doc_id"), radius=4)
+    return hc.select(
+        "doc_id", "reach", F.col("hc_num").alias("hc_x12"),
+        (F.col("hc_num") / F.lit(12.0)).alias("hc"),
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the extracted link graph
     (operators/graph.hits_exact): unnormalized power iteration — pure
@@ -1471,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "harmonic": q_harmonic,
         "hits": q_hits,
         "pagerank": q_pagerank,
         "asof_events": q_asof_events,
@@ -1829,6 +1851,21 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # harmonic twin: same re-derived edges; the bounded neighborhood is
+    # computed by a genuinely different construction (WITH RECURSIVE BFS
+    # with set-semantics dedup + MIN(d), vs Spark's frontier anti-joins).
+    from datacube_core_spark.operators.graph import sql_harmonic
+
+    sqls["harmonic"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
+edges AS (
+  SELECT doc_id AS src, UNNEST({sql_extract_outlinks('h')}) AS dst FROM m
+),
+nodes AS (SELECT doc_id FROM pages)
+SELECT doc_id, reach, hc_num AS hc_x12, hc_num / 12.0 AS hc
+FROM ({sql_harmonic('edges', 'nodes', 4)})
 """
 
     # asof_events twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent

@@ -37,6 +37,8 @@ capability (SURVEY §2's training-data-pipeline extension family).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,6 +168,98 @@ def sql_hits_levels(edges_cte: str, nodes_cte: str, iters: int = 3,
             f"LEFT JOIN a{i} p ON p.v = e.dst GROUP BY n.{id_col})"
         )
     return ",\n".join(parts)
+
+
+def harmonic_centrality(edges: DataFrame, nodes: DataFrame, radius: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Bounded-radius harmonic centrality in exact integers.
+
+    Common Crawl's published host ranking uses harmonic centrality
+    H(v) = Σ_{u≠v} 1/d(u, v); the unbounded sum needs approximate
+    neighborhood sketches (HyperBall-style HLL unions) at web scale, but
+    the bounded-radius variant — sum over u with d(u, v) ≤ radius — is
+    both the common production truncation and EXACTLY computable:
+    distances come from a frontier-deduplicated BFS (each level joins the
+    frontier to the edge list and anti-joins already-known pairs, so work
+    is proportional to REACHABLE PAIRS, never to walk count), and with
+    S = lcm(1..radius) the score S·H(v) = Σ S/d is an int64 — engines
+    agree bit-for-bit, no float summation-order sensitivity.
+
+    Returns (id_col, reach, hc_num): ``reach`` = |{u ≠ v : d(u,v) ≤ radius}|,
+    ``hc_num`` = Σ S // d; H(v) = hc_num / S (one display-time divide).
+
+    Scale shape: per level ONE equi-join frontier×edges + ONE anti-join
+    vs known pairs (both shuffles on s/v keys; high-indegree hubs are
+    plain join/agg skew → AQE).  Frontiers are localCheckpoint-truncated
+    so lineage stays O(1) per level.  Memory is bounded by the pair set;
+    for radius ≳ 6 on a dense web graph switch to the sketch variant.
+    """
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    known = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("v"))
+        .distinct()
+        .withColumn("d", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    frontier = known.select("s", "v")
+    for lvl in range(2, radius + 1):
+        nxt = (
+            frontier.join(
+                edges.select(F.col("src").alias("__fv"), "dst"),
+                frontier["v"] == F.col("__fv"),
+            )
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(known.select("s", "v"), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt
+        known = known.unionByName(nxt.withColumn("d", F.lit(lvl)))
+    scale = math.lcm(*range(1, radius + 1))
+    hc = (
+        known.where(F.col("s") != F.col("v"))
+        .groupBy("v")
+        .agg(
+            F.count("*").alias("reach"),
+            F.sum(F.expr(f"{scale} div d")).alias("hc_num"),
+        )
+    )
+    return (
+        nodes.select(F.col(id_col).alias("v"))
+        .join(hc, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce(F.col("reach"), F.lit(0)).cast("long").alias("reach"),
+            F.coalesce(F.col("hc_num"), F.lit(0)).cast("long").alias("hc_num"),
+        )
+    )
+
+
+def sql_harmonic(edges_cte: str, nodes_cte: str, radius: int = 4,
+                 id_col: str = "doc_id") -> str:
+    """DuckDB twin: min distances via a WITH RECURSIVE BFS (set-semantics
+    UNION dedups (s, v, d) triples, the d < radius guard bounds depth,
+    MIN(d) picks the first level a pair is seen) — an independent
+    formulation of the same bounded neighborhood.  Returns a complete
+    WITH RECURSIVE ... SELECT statement (usable as a subquery; the
+    edges/nodes CTEs resolve from the caller's outer WITH scope)."""
+    scale = math.lcm(*range(1, radius + 1))
+    return f"""WITH RECURSIVE bfs AS (
+  SELECT src AS s, dst AS v, 1 AS d FROM {edges_cte}
+  UNION
+  SELECT b.s, e.dst, b.d + 1 FROM bfs b JOIN {edges_cte} e ON e.src = b.v
+  WHERE b.d < {radius}
+)
+SELECT n.{id_col},
+       CAST(COALESCE(h.reach, 0) AS BIGINT) AS reach,
+       CAST(COALESCE(h.hc_num, 0) AS BIGINT) AS hc_num
+FROM {nodes_cte} n
+LEFT JOIN (
+  SELECT v, COUNT(*) AS reach, CAST(SUM({scale} // md) AS BIGINT) AS hc_num
+  FROM (SELECT s, v, MIN(d) AS md FROM bfs WHERE s <> v GROUP BY s, v)
+  GROUP BY v
+) h ON h.v = n.{id_col}"""
 
 
 def pagerank_float(edges: DataFrame, nodes: DataFrame, iters: int = 10,

@@ -129,3 +129,59 @@ def test_float_pagerank_dangling(spark):
     got = {r.doc_id: r.r for r in pagerank_float(edf, ndf, iters=20).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] > got[0] == got[1]
+
+
+def _brute_harmonic(edges, nodes, radius):
+    """Brute-force: BFS from every source, sum lcm(1..R)//d into targets."""
+    import math
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, t in edges:
+        adj[s].append(t)
+    scale = math.lcm(*range(1, radius + 1))
+    reach, hc = defaultdict(int), defaultdict(int)
+    for s in nodes:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= radius:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            if v != s and d >= 1:
+                reach[v] += 1
+                hc[v] += scale // d
+    return {v: (reach[v], hc[v]) for v in nodes}
+
+
+@pytest.mark.parametrize("radius", [1, 2, 4])
+def test_harmonic_vs_brute_force(spark, radius):
+    from datacube_core_spark.operators.graph import harmonic_centrality
+
+    # arbitrary graph: non-uniform outdegree, cycles, self-loop, sinks
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (3, 3), (4, 5),
+             (5, 6), (6, 7), (7, 4), (8, 0), (8, 1), (8, 2), (8, 9)]
+    nodes = list(range(11))  # node 10 isolated
+    edf = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    ndf = spark.createDataFrame([Row(doc_id=v) for v in nodes])
+    got = {
+        r.doc_id: (r.reach, r.hc_num)
+        for r in harmonic_centrality(edf, ndf, radius=radius).collect()
+    }
+    assert got == _brute_harmonic(edges, nodes, radius)
+
+
+def test_harmonic_radius1_is_distinct_indegree(spark):
+    from datacube_core_spark.operators.graph import harmonic_centrality
+
+    edges = [(0, 1), (2, 1), (2, 1), (1, 1), (3, 1), (1, 0)]
+    edf = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    ndf = spark.createDataFrame([Row(doc_id=v) for v in range(4)])
+    got = {r.doc_id: r.reach for r in harmonic_centrality(edf, ndf, radius=1).collect()}
+    # distinct in-neighbors excluding the self-loop
+    assert got == {0: 1, 1: 3, 2: 0, 3: 0}
