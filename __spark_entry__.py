@@ -562,6 +562,38 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization at ingest (functions/unicode.py):
+    crawled text arrives in mixed forms (decomposed accents, singleton
+    signs, Hangul jamo) — fingerprints and exact-dedup joins need ONE
+    canonical form.  Each page gets a deterministic adversarial suffix
+    (variants[uid % 8]: combining sequences, a singleton, precomposed +
+    empty controls) and is normalized by an Arrow-batched pandas UDF
+    over CPython's unicodedata; the oracle builds the identical input
+    and normalizes with DuckDB's OWN nfc_normalize (utf8proc) — two
+    independent Unicode implementations agreeing per-row.  Scale: pure
+    map stage, no shuffle; ArrowEvalPython (vectorized), never
+    row-at-a-time."""
+    from datacube_core_spark.functions.unicode import (
+        decomposed_suffix_col,
+        normalize_col,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 40), decomposed_suffix_col(F.col("doc_id"))
+    )
+    d = p.select("doc_id", raw.alias("raw"))
+    n = d.select("doc_id", "raw", normalize_col(F.col("raw")).alias("nfc"))
+    return n.select(
+        "doc_id",
+        "nfc",
+        F.length("raw").alias("raw_cp"),
+        F.length("nfc").alias("nfc_cp"),
+        (F.col("nfc") != F.col("raw")).alias("changed"),
+    )
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-radius harmonic centrality (operators/graph.py) — the
     Common-Crawl host-ranking signal, truncated at d ≤ 4 so the score
@@ -1492,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "nfc_normalize": q_nfc_normalize,
         "harmonic": q_harmonic,
         "hits": q_hits,
         "pagerank": q_pagerank,
@@ -1851,6 +1884,24 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # nfc_normalize twin: identical adversarial input, normalized by
+    # DuckDB's OWN nfc_normalize (utf8proc) vs Spark's unicodedata UDF —
+    # two independent Unicode implementations.
+    from datacube_core_spark.functions.unicode import sql_decomposed_suffix
+
+    sqls["nfc_normalize"] = f"""{pages_cte(Q_REPL)},
+raw AS (
+  SELECT doc_id, substr(text, 1, 40) || {sql_decomposed_suffix('doc_id')} AS raw
+  FROM pages
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS nfc,
+       length(raw) AS raw_cp,
+       length(nfc_normalize(raw)) AS nfc_cp,
+       nfc_normalize(raw) <> raw AS changed
+FROM raw
 """
 
     # harmonic twin: same re-derived edges; the bounded neighborhood is
