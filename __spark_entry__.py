@@ -608,7 +608,8 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datacube_core_spark.operators.graph import harmonic_centrality, page_edges
 
     p = pages(spark, sf_dir, repl=Q_REPL)
-    hc = harmonic_centrality(page_edges(p), p.select("doc_id"), radius=4)
+    edges = page_edges(p).localCheckpoint(eager=False)  # extract once, not per level
+    hc = harmonic_centrality(edges, p.select("doc_id"), radius=4)
     return hc.select(
         "doc_id", "reach", F.col("hc_num").alias("hc_x12"),
         (F.col("hc_num") / F.lit(12.0)).alias("hc"),
@@ -624,7 +625,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datacube_core_spark.operators.graph import hits_exact, page_edges
 
     p = pages(spark, sf_dir, repl=Q_REPL)
-    return hits_exact(page_edges(p), p.select("doc_id"), iters=3)
+    edges = page_edges(p).localCheckpoint(eager=False)  # extract once, not 6x
+    return hits_exact(edges, p.select("doc_id"), iters=3)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,18 +638,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     float summation-order sensitivity, engines agree bit-for-bit).  The
     oracle re-derives the anchors arithmetically and replays the
     recurrence as unrolled CTEs — a corrupted extraction OR a wrong
-    join/agg diverges the integers.  At 100 TB: persist the edge list
-    instead of re-extracting per round; each round is the canonical
-    join + groupBy(dst) plan (indegree skew = plain agg skew, AQE)."""
+    join/agg diverges the integers.  The edge list is extracted ONCE
+    (localCheckpoint) and reused across rounds; each round is the
+    canonical join + groupBy(dst) plan (indegree skew = plain agg skew,
+    AQE)."""
     from datacube_core_spark.operators.graph import page_edges, pagerank_exact
 
-    p = pages(spark, sf_dir, repl=Q_REPL)
-    edges = page_edges(p)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    p = pages(spark, sf_dir, repl=Q_REPL, n_docs=n_docs)
+    # extract ONCE: the iteration references edges 5x + indeg once; an
+    # unmaterialized edge list would replay the html regex per reference
+    edges = page_edges(p).localCheckpoint(eager=False)
     nodes = p.select("doc_id")
     pr = pagerank_exact(edges, nodes, iters=5)
     indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
-    n = Q_REPL * 500
-    denom = float(n) * float(60**5)
+    denom = float(Q_REPL * n_docs) * float(60**5)
     return (
         pr.join(indeg, pr["doc_id"] == indeg["dst"], "left")
         .select(
@@ -666,8 +671,12 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_asof.py), with a bucketed skew path whose
     equivalence is pytest-proven.  The oracle is DuckDB's NATIVE
     ``ASOF LEFT JOIN`` — a fully independent implementation of the
-    semantics.  Timestamps compared at whole-second precision on both
-    sides ((user_id, second) is unique in events)."""
+    semantics.  Timestamps are compared at whole-second precision, so
+    events are first pre-aggregated to UNIQUE (user_id, second) — the
+    operator's right-side contract — keeping the max-event_id row
+    (identically on both sides: max/max_by vs MAX/arg_max); sf0.1 really
+    does carry same-second collisions, so skipping this would make the
+    match partition-order nondeterministic."""
     from datacube_core_spark.operators.asof import asof_join
 
     p = pages(spark, sf_dir, repl=Q_REPL).select(
@@ -675,11 +684,14 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 150).alias("user_id"),
         F.unix_timestamp("warc_ts").alias("wts"),
     )
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.unix_timestamp("ts").alias("ets"),
-        "event_id",
-        "value",
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.unix_timestamp("ts").alias("ets"), "event_id", "value")
+        .groupBy("user_id", "ets")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
     )
     out = asof_join(p, e, ["user_id"], "wts", "ets", ["event_id", "value"])
     # no-match sentinel (-1) instead of NULL: DuckDB's fetchdf() widens a
@@ -1851,8 +1863,12 @@ FROM m GROUP BY 1, 2
     from datacube_core_spark.operators.graph import sql_pagerank_levels
     from datacube_core_spark.sources.pages import sql_html_expr as _she
 
-    _pr_n = Q_REPL * 500
-    _pr_denom = float(_pr_n) * float(60**5)
+    # denominator = Q_REPL * |documents| * 60^5, derived from the data on
+    # BOTH sides (left-assoc double product is bit-identical: each factor
+    # and partial product is exactly representable)
+    from datacube_core_spark.sources.pages import SQL_N_DOCS
+
+    _pr_denom = f"(CAST({Q_REPL} AS DOUBLE) * {SQL_N_DOCS} * {float(60**5)!r})"
     sqls["pagerank"] = f"""{pages_cte(Q_REPL)},
 m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
 edges AS (
@@ -1863,7 +1879,7 @@ nodes AS (SELECT doc_id FROM pages),
 SELECT n.doc_id,
        COALESCE(i.indeg, 0) AS indeg,
        p.a,
-       p.a / {_pr_denom!r} AS rank
+       p.a / {_pr_denom} AS rank
 FROM nodes n
 JOIN pr5 p ON p.v = n.doc_id
 LEFT JOIN (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst) i
@@ -1927,8 +1943,10 @@ p AS (
   FROM pages
 ),
 ev AS (
-  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets, event_id, value
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets,
+         MAX(event_id) AS event_id, arg_max(value, event_id) AS value
   FROM events
+  GROUP BY 1, 2
 )
 SELECT p.doc_id, p.user_id,
        COALESCE(e.event_id, -1) AS event_id,

@@ -52,6 +52,9 @@ from pyspark.sql import functions as F
 
 _TS, _LR, _M = "__asof_ts", "__asof_lr", "__asof_m"
 _MT = "__t"  # match-struct ts field (payload columns keep their names)
+# internal working columns — user columns with these names (or a __p_
+# prefix) would be silently overwritten mid-plan, so they are rejected
+_RESERVED = frozenset({_TS, _LR, _M, _MT, "__b", "__ib", "__c", "__ci", "__eb", "__glr"})
 
 
 def _last(col, over):
@@ -76,6 +79,10 @@ def asof_join(
         raise ValueError(direction)
     on = list(on)
     payload = list(payload)
+    user_cols = set(on) | set(payload) | set(left.columns)
+    bad = sorted(user_cols & _RESERVED | {c for c in user_cols if c.startswith("__p_")})
+    if bad:
+        raise ValueError(f"column names reserved by asof_join: {bad}")
     forward = direction == "forward"
     if forward:
         left = left.withColumn(left_ts, -F.col(left_ts))
@@ -103,9 +110,7 @@ def asof_join(
     # the atomic match value: ONE struct per right row (ts + payload), so
     # the scan can never mix fields from different right rows — a matched
     # row's payload NULLs stay NULL instead of falling through to an
-    # older row's value
-    if _MT in payload:
-        raise ValueError(f"payload column name {_MT!r} is reserved")
+    # older row's value (payload named _MT is caught by _RESERVED above)
     mval = F.when(
         F.col(_LR) == 0,
         F.struct(

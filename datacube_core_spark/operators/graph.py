@@ -63,7 +63,13 @@ def pagerank_exact(edges: DataFrame, nodes: DataFrame, iters: int = 5,
 
     Returns (id_col, a) with a = A_iters(v); rank(v) = a / (N·60^iters).
     Every value is exact int64 — engines agree bit-for-bit.
+
+    ``edges`` is referenced once per round in one job — pass a
+    materialized DataFrame (``localCheckpoint``) when it is derived from
+    an expensive extraction, or the extraction replays every round.
     """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
     ranks = nodes.select(F.col(id_col).alias("v"), F.lit(1).cast("long").alias("a"))
     for i in range(iters):
         base = 9 * SCALE**i
@@ -81,16 +87,6 @@ def pagerank_exact(edges: DataFrame, nodes: DataFrame, iters: int = 5,
             )
         )
     return ranks.select(F.col("v").alias(id_col), "a")
-
-
-def sql_pagerank_exact(edges_cte: str, nodes_cte: str, iters: int = 5,
-                       id_col: str = "doc_id") -> str:
-    """DuckDB twin: the same recurrence unrolled as ``iters`` CTE levels.
-    ``edges_cte``/``nodes_cte`` are CTE names providing (src, dst) and
-    (id_col).  Returns SQL for the final (id_col, a) relation (use after
-    a WITH prefix defining those CTEs and appending the ``pr*`` levels
-    via :func:`sql_pagerank_levels`)."""
-    return f"SELECT {id_col}, a FROM pr{iters}"
 
 
 def sql_pagerank_levels(edges_cte: str, nodes_cte: str, iters: int = 5,
@@ -122,8 +118,11 @@ def hits_exact(edges: DataFrame, nodes: DataFrame, iters: int = 3,
     round is bounded by (outdeg · max_indeg); the synthetic graph's
     outdeg 3 / indeg ≲ 20 keeps 3 rounds far inside int64 — callers on
     real graphs should check ``iters · log2(outdeg·indeg)`` < 60 or use
-    a float variant with normalization.
+    a float variant with normalization.  As with :func:`pagerank_exact`,
+    pass a materialized ``edges`` (it is referenced twice per round).
     """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     h = nodes.select(F.col(id_col).alias("v"), F.lit(1).cast("long").alias("h"))
     a = None
     for _ in range(iters):

@@ -60,11 +60,18 @@ HTML_P5 = "</body></html>"
 # --- deterministic outlink graph (3 anchors per page) ---------------------
 # Every page links to exactly 3 other pages (uniform outdegree — the
 # exact-integer PageRank in operators/graph.py depends on it).  Targets
-# are valid uids: index j ∈ [0, repl·500) → uid = (j // 500)·stride +
-# (j % 500), with j = (doc_id · M_k + k) % (repl·500).  The '/out/' path
-# segment distinguishes outlinks from the self 'next' anchor.
+# are valid uids: with D = |documents| (dynamic — 500 at sf0.001/0.01,
+# 5000 at sf0.1; doc_ids are contiguous 0..D-1 at every SF), index
+# j ∈ [0, repl·D) → uid = (j // D)·stride + (j % D), with
+# j = (doc_id · M_k + k) % (repl·D).  D MUST come from the data, not a
+# constant: a stale constant smaller than the table silently starves
+# most nodes of indegree and skews every graph entry at that SF.  The
+# Spark side counts the parquet (footer-only, ~ms); the SQL twin embeds
+# a (SELECT COUNT(*) FROM documents) scalar subquery so both engines
+# derive the SAME D at any SF.  The '/out/' path segment distinguishes
+# outlinks from the self 'next' anchor.
 OUTLINK_MULTS = (7919, 104729, 15485863)
-DOCS_PER_REP = 500
+SQL_N_DOCS = "(SELECT COUNT(*) FROM documents)"
 
 
 def _base_lon(doc_id: Column) -> Column:
@@ -100,13 +107,19 @@ REPL_STRIDE = 100_000  # uid = rep * REPL_STRIDE + doc_id; requires doc_id < str
 MAX_REPL = 34_000
 
 
-def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_STRIDE) -> DataFrame:
+def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_STRIDE,
+          n_docs: int | None = None) -> DataFrame:
     """Load documents parquet and derive the full pages table.
 
     ``repl`` replicates each document deterministically (uid = rep *
     REPL_STRIDE + doc_id) so page volume can scale past the small
     driver-provided documents table; every derived column is a pure
     function of uid, so any replication level stays oracle-checkable.
+
+    ``n_docs`` sizes the outlink target space (repl·n_docs uids); by
+    default it is counted from the parquet footer (~ms) so the link
+    graph covers the WHOLE table at every SF — pass it only to avoid
+    the count when the value is already known.
 
     Column pruning matters at scale: ``html`` is built lazily from ``text``
     and Catalyst drops it unless a query asks for it (SURVEY §4: the
@@ -115,6 +128,11 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_ST
     # uid*LON_MULT must stay within int64: uid < 2^63 / LON_MULT ≈ 3.47e9
     assert repl >= 1 and repl * stride < 3_400_000_000, "repl*stride too large (int64 overflow)"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if n_docs is None:
+        n_docs = docs.count()
+    # doc_ids must be contiguous [0, n_docs) and fit under the stride for
+    # the uid arithmetic to be a bijection (true of every driver SF)
+    assert 0 < n_docs <= stride, (n_docs, stride)
     if repl > 1:
         # The documents parquet is one small file -> one input split; the
         # replication explode would otherwise fan out inside a SINGLE task
@@ -133,10 +151,10 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_ST
         F.col("lang"), F.lit("/page/"), d.cast("string"),
     )
     anchors = []
-    n_uid = repl * DOCS_PER_REP
+    n_uid = repl * n_docs
     for k, m in enumerate(OUTLINK_MULTS):
         j = (d * F.lit(m) + F.lit(k)) % F.lit(n_uid)
-        tgt = F.floor(j / F.lit(DOCS_PER_REP)) * F.lit(stride) + (j % F.lit(DOCS_PER_REP))
+        tgt = F.floor(j / F.lit(n_docs)) * F.lit(stride) + (j % F.lit(n_docs))
         anchors += [
             F.lit('<a href="https://site'), (tgt % 97).cast("string"),
             F.lit(".example/out/"), tgt.cast("string"),
@@ -220,20 +238,23 @@ PAGES_CTE = pages_cte(1)
 
 def sql_html_expr(text_col: str = "text", url_col: str = "url",
                   docid_col: str = "doc_id", repl: int = 1,
-                  stride: int = REPL_STRIDE) -> str:
+                  stride: int = REPL_STRIDE,
+                  n_docs: str | int = SQL_N_DOCS) -> str:
     """DuckDB expression for the html payload (VARCHAR — the binary
     encode step is a no-op for the comparison since both engines hash
     the UTF-8 bytes).  Mirrors the Spark builder in :func:`pages`
     term-for-term from the same HTML_P*/OUTLINK_* constants; ``repl``
-    must match the ``pages()`` call the oracle replays."""
+    must match the ``pages()`` call the oracle replays.  ``n_docs``
+    defaults to the COUNT(*) scalar subquery so the twin derives the
+    SAME dynamic target-space size as the Spark side at any SF."""
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    n_uid = repl * DOCS_PER_REP
+    n_uid = f"({repl} * {n_docs})"
     anchors = []
     for k, m in enumerate(OUTLINK_MULTS):
         j = f"(({docid_col} * {m} + {k}) % {n_uid})"
-        tgt = f"(CAST(FLOOR({j} / {DOCS_PER_REP}) AS BIGINT) * {stride} + ({j} % {DOCS_PER_REP}))"
+        tgt = f"(CAST(FLOOR({j} / {n_docs}) AS BIGINT) * {stride} + ({j} % {n_docs}))"
         anchors.append(
             f"'<a href=\"https://site' || CAST({tgt} % 97 AS VARCHAR) || "
             f"'.example/out/' || CAST({tgt} AS VARCHAR) || '\">o{k}</a>'"

@@ -166,10 +166,15 @@ def test_null_payload_atomic(spark, bucket):
     assert got[(1, 3)] == (None, None)  # no match at all
 
 
-def test_reserved_payload_name(spark):
+def test_reserved_column_names(spark):
     l, r = _dfs(spark, LROWS, RROWS)
     with pytest.raises(ValueError, match="reserved"):
         asof_join(l, r.withColumnRenamed("pv", "__t"), ["k"], "lts", "rts", ["__t"])
+    with pytest.raises(ValueError, match="reserved"):
+        # internal bucket column on the LEFT would be silently overwritten
+        asof_join(l.withColumnRenamed("lv", "__b"), r, ["k"], "lts", "rts", ["pv"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l.withColumnRenamed("lv", "__p_pv"), r, ["k"], "lts", "rts", ["pv"])
 
 
 def test_plain_path_has_no_join_node(spark):

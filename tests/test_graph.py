@@ -11,7 +11,6 @@ from datacube_core_spark.operators.graph import (
     pagerank_float,
 )
 from datacube_core_spark.sources.pages import (
-    DOCS_PER_REP,
     OUTLINK_MULTS,
     REPL_STRIDE,
     pages,
@@ -19,12 +18,18 @@ from datacube_core_spark.sources.pages import (
 
 from .conftest import SF_TINY
 
+# the outlink target space is sized from the DATA (dynamic n_docs) —
+# derive the same value here from the parquet footer
+import pyarrow.parquet as _pq
 
-def _expected_targets(uid, repl, stride=REPL_STRIDE):
+N_DOCS = _pq.read_metadata(f"{SF_TINY}/documents.parquet").num_rows
+
+
+def _expected_targets(uid, repl, stride=REPL_STRIDE, n_docs=N_DOCS):
     out = []
     for k, m in enumerate(OUTLINK_MULTS):
-        j = (uid * m + k) % (repl * DOCS_PER_REP)
-        out.append((j // DOCS_PER_REP) * stride + (j % DOCS_PER_REP))
+        j = (uid * m + k) % (repl * n_docs)
+        out.append((j // n_docs) * stride + (j % n_docs))
     return out
 
 
@@ -35,7 +40,7 @@ def test_edges_extracted_match_arithmetic(spark, repl):
     by_src = {}
     for e in edges:
         by_src.setdefault(e.src, []).append(e.dst)
-    n_nodes = repl * DOCS_PER_REP
+    n_nodes = repl * N_DOCS
     assert len(by_src) == n_nodes
     uids = set(by_src)
     for uid, dsts in by_src.items():
@@ -73,10 +78,10 @@ def test_exact_pagerank_on_pages_graph(spark):
     nodes = p.select("doc_id")
     out = pagerank_exact(edges, nodes, iters=5)
     total = out.agg(F.sum("a")).collect()[0][0]
-    assert total == DOCS_PER_REP * SCALE**5
+    assert total == N_DOCS * SCALE**5
     # python replay over the extracted edges
     e = [(r.src, r.dst) for r in edges.collect()]
-    ref = _py_pagerank_exact(e, list(range(DOCS_PER_REP)), 5)
+    ref = _py_pagerank_exact(e, list(range(N_DOCS)), 5)
     got = {r.doc_id: r.a for r in out.collect()}
     assert got == ref
 
@@ -86,7 +91,7 @@ def test_float_pagerank_matches_exact_on_uniform_graph(spark):
     edges = page_edges(p)
     nodes = p.select("doc_id")
     exact = {
-        r.doc_id: r.a / (DOCS_PER_REP * float(SCALE) ** 5)
+        r.doc_id: r.a / (N_DOCS * float(SCALE) ** 5)
         for r in pagerank_exact(edges, nodes, iters=5).collect()
     }
     flt = {
@@ -118,7 +123,7 @@ def test_hits_exact(spark):
     out = {r.doc_id: (r.a, r.h) for r in
            hits_exact(edges, p.select("doc_id"), iters=3).collect()}
     e = [(r.src, r.dst) for r in edges.collect()]
-    ra, rh = _py_hits(e, list(range(DOCS_PER_REP)), 3)
+    ra, rh = _py_hits(e, list(range(N_DOCS)), 3)
     assert out == {v: (ra[v], rh[v]) for v in ra}
 
 
@@ -185,3 +190,16 @@ def test_harmonic_radius1_is_distinct_indegree(spark):
     got = {r.doc_id: r.reach for r in harmonic_centrality(edf, ndf, radius=1).collect()}
     # distinct in-neighbors excluding the self-loop
     assert got == {0: 1, 1: 3, 2: 0, 3: 0}
+
+
+def test_iteration_validation(spark):
+    from datacube_core_spark.operators.graph import harmonic_centrality, hits_exact
+
+    edf = spark.createDataFrame([Row(src=0, dst=1)])
+    ndf = spark.createDataFrame([Row(doc_id=0), Row(doc_id=1)])
+    with pytest.raises(ValueError):
+        hits_exact(edf, ndf, iters=0)
+    with pytest.raises(ValueError):
+        pagerank_exact(edf, ndf, iters=-1)
+    with pytest.raises(ValueError):
+        harmonic_centrality(edf, ndf, radius=0)
