@@ -562,6 +562,36 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) record build + parse round trip
+    (sources/warc.py): each page's html is framed as a WARC/1.0 response
+    record (fixed header order, Content-Length in OCTETS) and parsed
+    back — both pure Catalyst; the payload byte-slice uses binary
+    substr so multi-byte UTF-8 (zh pages) survives exactly.  The oracle
+    re-derives every expected field arithmetically (strftime date,
+    octet_length, md5 of the html expr, record length as fixed
+    scaffolding + value lengths) — a build OR parse defect anywhere
+    diverges.  Scale: shuffle-free map; the stream tier
+    (read_warc_streams, Content-Length-driven segmentation) is
+    pytest-verified against an independent reference builder."""
+    from datacube_core_spark.sources.warc import parse_warc_record, warc_record_col
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    rec = warc_record_col(F.col("url"), F.col("warc_ts"), F.col("html"))
+    d = p.select("doc_id", "url", "html", rec.alias("rec"))
+    d = d.select("doc_id", "url", "html", "rec", parse_warc_record(F.col("rec")).alias("pr"))
+    return d.select(
+        "doc_id",
+        F.col("pr.target_uri").alias("target_uri"),
+        F.col("pr.date").alias("warc_date"),
+        F.col("pr.content_length").alias("content_length"),
+        F.md5(F.col("pr.payload")).alias("payload_md5"),
+        F.length(F.col("rec")).alias("rec_len"),
+        (F.col("pr.target_uri") == F.col("url")).alias("uri_ok"),
+        (F.md5(F.col("pr.payload")) == F.md5(F.col("html"))).alias("payload_ok"),
+    )
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization at ingest (functions/unicode.py):
     crawled text arrives in mixed forms (decomposed accents, singleton
@@ -1536,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "warc_roundtrip": q_warc_roundtrip,
         "nfc_normalize": q_nfc_normalize,
         "harmonic": q_harmonic,
         "hits": q_hits,
@@ -1900,6 +1931,27 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # warc_roundtrip twin: every expected field re-derived arithmetically
+    # from the pages derivation — the SQL never sees the WARC bytes, so
+    # agreement proves the Spark build+parse round trip field-for-field.
+    from datacube_core_spark.sources.warc import (
+        sql_warc_date,
+        sql_warc_record_length,
+    )
+
+    sqls["warc_roundtrip"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, url, warc_ts, {_she(repl=Q_REPL)} AS h FROM pages)
+SELECT doc_id,
+       url AS target_uri,
+       {sql_warc_date('warc_ts')} AS warc_date,
+       strlen(h) AS content_length,
+       md5(h) AS payload_md5,
+       {sql_warc_record_length('url', 'warc_ts', 'strlen(h)')} AS rec_len,
+       TRUE AS uri_ok,
+       TRUE AS payload_ok
+FROM m
 """
 
     # nfc_normalize twin: identical adversarial input, normalized by

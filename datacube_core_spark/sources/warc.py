@@ -1,0 +1,184 @@
+"""WARC (ISO 28500) record build / parse — the web-archive format.
+
+Common-Crawl-style corpora arrive as WARC files: concatenated records,
+each ``WARC/1.0`` + CRLF-terminated named headers + CRLF CRLF + a
+Content-Length-sized block + CRLF CRLF.  Two tiers here:
+
+* **Per-record Catalyst tier** — :func:`warc_record_col` builds the full
+  record bytes for a page row and :func:`parse_warc_record` recovers the
+  headers and payload, both as pure Catalyst expressions (JVM-side,
+  whole-stage codegen; no UDF).  Byte-exactness trick: the header region
+  is ASCII by construction (URLs and dates carry no CR/LF or non-ASCII),
+  so the FIRST ``\\r\\n\\r\\n`` found in the string cast sits at the same
+  offset in characters and bytes — the payload is then sliced from the
+  BINARY column at that byte offset for Content-Length octets, which
+  stays correct for multi-byte UTF-8 payloads (zh pages) where char
+  slicing would corrupt.
+* **Stream tier** — :func:`read_warc_streams` segments whole WARC FILES
+  (many records back-to-back) with an Arrow ``mapInPandas`` kernel that
+  walks Content-Length jumps; delimiter scanning would break on payloads
+  that themselves contain ``WARC/1.0`` or CRLF CRLF bytes (tested).
+
+Scale shape: both tiers are embarrassingly parallel maps (no shuffle).
+At 100 TB, files land one-per-task via the binaryFile source or an
+Iceberg binary column; segmentation cost is linear in bytes.  The
+DuckDB oracle for the round-trip entry re-derives the EXPECTED parsed
+fields arithmetically (octet lengths, md5s, formatted dates) — a build
+or parse defect anywhere diverges the hashes.
+
+Reference analog: none in ODC (raster IO); webtext-axis source family
+(SURVEY §2.1 extension) alongside ``sources/pages.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CRLF = "\r\n"
+_SEP = CRLF + CRLF
+VERSION = "WARC/1.0"
+DATE_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+DATE_FMT_DUCK = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def warc_record_col(uri: Column, date_ts: Column, payload_bin: Column,
+                    warc_type: str = "response") -> Column:
+    """Full WARC record bytes (binary) for one page.
+
+    Header order is fixed (Type, Target-URI, Date, Content-Length) so
+    the bytes are deterministic; Content-Length counts payload OCTETS.
+    """
+    head = F.concat(
+        F.lit(VERSION + CRLF),
+        F.lit(f"WARC-Type: {warc_type}" + CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(CRLF),
+        F.lit("WARC-Date: "), F.date_format(date_ts, DATE_FMT_SPARK), F.lit(CRLF),
+        F.lit("Content-Length: "), F.length(payload_bin).cast("string"),
+        F.lit(_SEP),
+    )
+    return F.concat(F.encode(head, "UTF-8"), payload_bin, F.encode(F.lit(_SEP), "UTF-8"))
+
+
+def _header(rec_str: Column, name: str) -> Column:
+    return F.regexp_extract(rec_str, rf"(?m)^{name}: ([^\r\n]*)", 1)
+
+
+def parse_warc_record(rec_bin: Column) -> Column:
+    """Parse ONE record's bytes → struct(version, warc_type, target_uri,
+    date, content_length, payload:binary).
+
+    The header block is ASCII, so char offset of the first CRLF CRLF in
+    the string cast == byte offset; the payload is sliced from the
+    BINARY column (byte semantics) for Content-Length octets.
+    """
+    s = F.decode(rec_bin, "UTF-8")
+    hdr_end = F.locate(_SEP, s)  # 1-based start of CRLF CRLF
+    cl = _header(s, "Content-Length").cast("long")
+    # Column.substr on BinaryType slices BYTES — correct for multi-byte
+    # UTF-8 payloads where char slicing would corrupt
+    payload = rec_bin.substr(hdr_end + F.lit(4), cl)
+    return F.struct(
+        F.substring(s, 1, len(VERSION)).alias("version"),
+        _header(s, "WARC-Type").alias("warc_type"),
+        _header(s, "WARC-Target-URI").alias("target_uri"),
+        _header(s, "WARC-Date").alias("date"),
+        cl.alias("content_length"),
+        payload.alias("payload"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream tier: whole WARC files (records back-to-back)
+# --------------------------------------------------------------------------
+
+_STREAM_SCHEMA = (
+    "stream_id long, rec_index int, warc_type string, target_uri string, "
+    "date string, content_length long, payload binary"
+)
+
+
+def segment_warc_bytes(buf: bytes):
+    """Walk one WARC stream by Content-Length jumps (pure python, used
+    inside the Arrow kernel and directly testable).  Yields dicts.
+    Raises ValueError on malformed framing — corrupt archives must fail
+    loudly, not resync silently."""
+    pos, idx = 0, 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos:pos + len(VERSION)] != VERSION.encode():
+            raise ValueError(f"bad record start at byte {pos}")
+        hdr_end = buf.index(b"\r\n\r\n", pos)
+        head = buf[pos:hdr_end].decode("utf-8")
+        fields = {}
+        for line in head.split(CRLF)[1:]:
+            k, _, v = line.partition(": ")
+            fields[k] = v
+        cl = int(fields["Content-Length"])
+        body_start = hdr_end + 4
+        payload = buf[body_start:body_start + cl]
+        if len(payload) != cl or buf[body_start + cl:body_start + cl + 4] != b"\r\n\r\n":
+            raise ValueError(f"truncated record at byte {pos}")
+        yield {
+            "rec_index": idx,
+            "warc_type": fields.get("WARC-Type", ""),
+            "target_uri": fields.get("WARC-Target-URI", ""),
+            "date": fields.get("WARC-Date", ""),
+            "content_length": cl,
+            "payload": payload,
+        }
+        pos = body_start + cl + 4
+        idx += 1
+
+
+def read_warc_streams(df: DataFrame, stream_id_col: str = "stream_id",
+                      bytes_col: str = "content") -> DataFrame:
+    """(stream_id, content:binary) → one row per WARC record.
+
+    Arrow-batched mapInPandas; segmentation is Content-Length-driven so
+    payloads containing 'WARC/1.0' or CRLF CRLF bytes cannot split a
+    record (delimiter scanning would).  One task per stream chunk — the
+    100-TB layout is one file per task via binaryFile/Iceberg."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for sid, buf in zip(pdf[stream_id_col], pdf[bytes_col]):
+                for rec in segment_warc_bytes(bytes(buf)):
+                    rec["stream_id"] = sid
+                    out.append(rec)
+            cols = ["stream_id", "rec_index", "warc_type", "target_uri",
+                    "date", "content_length", "payload"]
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+                {c: [] for c in cols})
+
+    return df.select(stream_id_col, bytes_col).mapInPandas(kernel, _STREAM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# DuckDB twins (expected-field re-derivation for the round-trip oracle)
+# --------------------------------------------------------------------------
+
+def sql_warc_date(ts_expr: str) -> str:
+    return f"strftime({ts_expr}, '{DATE_FMT_DUCK}')"
+
+
+def sql_warc_record_length(uri_expr: str, ts_expr: str, payload_octets: str,
+                           warc_type: str = "response") -> str:
+    """Total record octet length, re-derived arithmetically: fixed header
+    scaffolding + value lengths + payload + trailer."""
+    fixed = (
+        len(VERSION + CRLF)
+        + len(f"WARC-Type: {warc_type}" + CRLF)
+        + len("WARC-Target-URI: ") + len(CRLF)
+        + len("WARC-Date: ") + 20 + len(CRLF)  # ISO basic Z date = 20 chars
+        + len("Content-Length: ") + len(_SEP)
+        + len(_SEP)
+    )
+    return (
+        f"({fixed} + strlen({uri_expr}) "
+        f"+ length(CAST({payload_octets} AS VARCHAR)) + {payload_octets})"
+    )

@@ -1,0 +1,138 @@
+"""WARC source: build/parse round trip, stream segmentation, plan shape."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datacube_core_spark.sources.warc import (
+    parse_warc_record,
+    read_warc_streams,
+    segment_warc_bytes,
+    warc_record_col,
+)
+
+# adversarial payloads: empty, CRLF CRLF inside, a fake record header
+# inside, multi-byte UTF-8, long run
+PAYLOADS = [
+    b"",
+    b"plain body",
+    b"a\r\n\r\nb",
+    b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake",
+    "中文内容 and mixed ascii".encode("utf-8"),
+    b"x" * 10_000,
+]
+
+
+def _reference_record(uri: str, date: str, payload: bytes) -> bytes:
+    """Independent builder written from the spec (NOT warc_record_col)."""
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\nContent-Length: {len(payload)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def _df(spark):
+    rows = [
+        Row(i=i, uri=f"https://h{i}.example/p?q={i}", pb=bytearray(p))
+        for i, p in enumerate(PAYLOADS)
+    ]
+    return spark.createDataFrame(rows, schema="i int, uri string, pb binary")
+
+
+def test_build_matches_independent_reference(spark):
+    df = _df(spark).select(
+        "i", "uri", "pb",
+        warc_record_col(
+            F.col("uri"), F.timestamp_seconds(F.lit(1704067200)), F.col("pb")
+        ).alias("rec"),
+    )
+    for r in df.collect():
+        want = _reference_record(r.uri, "2024-01-01T00:00:00Z", bytes(r.pb))
+        assert bytes(r.rec) == want, r.i
+
+
+def test_parse_roundtrip_all_payloads(spark):
+    df = _df(spark).select(
+        "i", "uri", "pb",
+        warc_record_col(
+            F.col("uri"), F.timestamp_seconds(F.lit(1704067200)), F.col("pb")
+        ).alias("rec"),
+    )
+    got = df.select("i", "uri", "pb", parse_warc_record(F.col("rec")).alias("p")).collect()
+    for r in got:
+        assert r.p.version == "WARC/1.0"
+        assert r.p.warc_type == "response"
+        assert r.p.target_uri == r.uri
+        assert r.p.date == "2024-01-01T00:00:00Z"
+        assert r.p.content_length == len(bytes(r.pb))
+        assert bytes(r.p.payload) == bytes(r.pb), r.i
+
+
+def test_segmenter_matches_reference_stream():
+    date = "2024-06-05T04:03:02Z"
+    stream = b"".join(
+        _reference_record(f"https://s.example/{i}", date, p)
+        for i, p in enumerate(PAYLOADS)
+    )
+    recs = list(segment_warc_bytes(stream))
+    assert [r["rec_index"] for r in recs] == list(range(len(PAYLOADS)))
+    assert [r["payload"] for r in recs] == PAYLOADS
+    assert all(r["date"] == date for r in recs)
+    assert list(segment_warc_bytes(b"")) == []
+
+
+def test_segmenter_rejects_malformed():
+    good = _reference_record("https://a/x", "2024-01-01T00:00:00Z", b"body")
+    with pytest.raises(ValueError, match="bad record start"):
+        list(segment_warc_bytes(b"GARBAGE" + good))
+    # truncated payload (cut inside the block)
+    with pytest.raises(ValueError, match="truncated"):
+        list(segment_warc_bytes(good[:-5]))
+    # wrong Content-Length (points past the trailer)
+    bad = good.replace(b"Content-Length: 4", b"Content-Length: 6")
+    with pytest.raises(ValueError, match="truncated"):
+        list(segment_warc_bytes(bad))
+
+
+def test_stream_reader_distributed(spark):
+    date = "2024-06-05T04:03:02Z"
+    streams = []
+    for sid in range(4):
+        payloads = [p + bytes([65 + sid]) for p in PAYLOADS]
+        streams.append(
+            Row(
+                stream_id=sid,
+                content=bytearray(
+                    b"".join(
+                        _reference_record(f"https://s{sid}.example/{i}", date, p)
+                        for i, p in enumerate(payloads)
+                    )
+                ),
+            )
+        )
+    df = spark.createDataFrame(streams, schema="stream_id long, content binary")
+    out = read_warc_streams(df).collect()
+    assert len(out) == 4 * len(PAYLOADS)
+    by_key = {(r.stream_id, r.rec_index): r for r in out}
+    for sid in range(4):
+        for i, p in enumerate(PAYLOADS):
+            r = by_key[(sid, i)]
+            assert bytes(r.payload) == p + bytes([65 + sid])
+            assert r.target_uri == f"https://s{sid}.example/{i}"
+    plan = read_warc_streams(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_catalyst_parse_plan_has_no_python(spark):
+    df = _df(spark).select(
+        warc_record_col(
+            F.col("uri"), F.timestamp_seconds(F.lit(1704067200)), F.col("pb")
+        ).alias("rec")
+    )
+    plan = (
+        df.select(parse_warc_record(F.col("rec")).alias("p"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
