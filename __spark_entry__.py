@@ -562,6 +562,38 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end .warc.gz archive pipeline (sources/warc.py): records
+    built in Catalyst, grouped into one gzip-member-per-record stream
+    per bucket (the Common Crawl layout — members independently
+    seekable; deterministic zlib bytes), then segmented + decompressed
+    back by the Arrow stream reader.  rec_index verifies the writer's
+    in-stream ordering (sorted by doc_id within bucket) — the oracle
+    replays it as ROW_NUMBER over the bucket, and payload md5 / octet
+    length are re-derived arithmetically.  Scale: one shuffle to group,
+    then shuffle-free kernels; one stream per task is the archive-writer
+    shape."""
+    from datacube_core_spark.sources.warc import (
+        build_warc_gz_streams,
+        read_warc_gz_streams,
+        warc_record_col,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    rec = warc_record_col(F.col("url"), F.col("warc_ts"), F.col("html"))
+    d = p.select(
+        (F.col("doc_id") % 64).alias("stream_id"), "doc_id", rec.alias("rec")
+    )
+    recs = read_warc_gz_streams(build_warc_gz_streams(d))
+    return recs.select(
+        F.regexp_extract("target_uri", r"/page/(\d+)$", 1).cast("long").alias("doc_id"),
+        "stream_id",
+        "rec_index",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) record build + parse round trip
     (sources/warc.py): each page's html is framed as a WARC/1.0 response
@@ -1566,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "warc_gz": q_warc_gz,
         "warc_roundtrip": q_warc_roundtrip,
         "nfc_normalize": q_nfc_normalize,
         "harmonic": q_harmonic,
@@ -1931,6 +1964,20 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # warc_gz twin: the full archive pipeline's observable output —
+    # per-record fields re-derived arithmetically, in-stream ordering
+    # replayed as ROW_NUMBER over the bucket.
+    sqls["warc_gz"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages)
+SELECT doc_id,
+       doc_id % 64 AS stream_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) - 1 AS INT)
+         AS rec_index,
+       strlen(h) AS content_length,
+       md5(h) AS payload_md5
+FROM m
 """
 
     # warc_roundtrip twin: every expected field re-derived arithmetically

@@ -159,6 +159,80 @@ def read_warc_streams(df: DataFrame, stream_id_col: str = "stream_id",
 
 
 # --------------------------------------------------------------------------
+# .warc.gz tier: ONE GZIP MEMBER PER RECORD (the Common Crawl layout —
+# members are independently seekable, so a byte-range fetch decompresses
+# one record without reading the file prefix)
+# --------------------------------------------------------------------------
+
+def gzip_member(data: bytes, level: int = 6) -> bytes:
+    """Deterministic gzip member (zlib wbits=31: mtime=0, no name — the
+    same bytes on every run, unlike the gzip module's default mtime)."""
+    import zlib
+
+    c = zlib.compressobj(level, zlib.DEFLATED, 31)
+    return c.compress(data) + c.flush()
+
+
+def gunzip_members(buf: bytes):
+    """Yield the decompressed payload of each gzip member in ``buf``."""
+    import zlib
+
+    pos_left = bytes(buf)
+    while pos_left:
+        d = zlib.decompressobj(31)
+        out = d.decompress(pos_left)
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        yield out + d.flush()
+        pos_left = d.unused_data
+
+
+def build_warc_gz_streams(df: DataFrame, group_col: str = "stream_id",
+                          order_col: str = "doc_id",
+                          rec_col: str = "rec") -> DataFrame:
+    """(group, order, record-bytes) → one .warc.gz stream per group:
+    records sorted by ``order_col``, each wrapped as its own gzip member
+    and concatenated — the distributed archive-writer shape (one output
+    file per task/group).  Arrow applyInPandas kernel."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        blob = b"".join(gzip_member(bytes(r)) for r in pdf[rec_col])
+        return pd.DataFrame(
+            {"stream_id": [pdf[group_col].iloc[0]], "content": [blob]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        kernel, "stream_id long, content binary"
+    )
+
+
+def read_warc_gz_streams(df: DataFrame, stream_id_col: str = "stream_id",
+                         bytes_col: str = "content") -> DataFrame:
+    """(stream_id, content:binary .warc.gz) → one row per record.  Each
+    gzip member is decompressed independently and segmented; rec_index
+    numbers records across the whole stream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for sid, buf in zip(pdf[stream_id_col], pdf[bytes_col]):
+                idx = 0
+                for member in gunzip_members(bytes(buf)):
+                    for rec in segment_warc_bytes(member):
+                        rec["rec_index"] = idx
+                        rec["stream_id"] = sid
+                        out.append(rec)
+                        idx += 1
+            cols = ["stream_id", "rec_index", "warc_type", "target_uri",
+                    "date", "content_length", "payload"]
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+                {c: [] for c in cols})
+
+    return df.select(stream_id_col, bytes_col).mapInPandas(kernel, _STREAM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # DuckDB twins (expected-field re-derivation for the round-trip oracle)
 # --------------------------------------------------------------------------
 

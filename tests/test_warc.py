@@ -136,3 +136,44 @@ def test_catalyst_parse_plan_has_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_gzip_member_roundtrip_and_determinism():
+    from datacube_core_spark.sources.warc import gunzip_members, gzip_member
+
+    datas = [b"", b"abc", b"x" * 50_000, "中文".encode()]
+    members = [gzip_member(d) for d in datas]
+    assert members == [gzip_member(d) for d in datas]  # byte-deterministic
+    stream = b"".join(members)
+    assert list(gunzip_members(stream)) == datas
+    assert list(gunzip_members(b"")) == []
+    with pytest.raises(ValueError, match="truncated gzip"):
+        list(gunzip_members(stream[:-3]))
+
+
+def test_warc_gz_pipeline_matches_plain(spark):
+    from datacube_core_spark.sources.warc import (
+        build_warc_gz_streams,
+        read_warc_gz_streams,
+    )
+
+    base = _df(spark).select(
+        "i", "uri", "pb",
+        warc_record_col(
+            F.col("uri"), F.timestamp_seconds(F.lit(1704067200)), F.col("pb")
+        ).alias("rec"),
+    )
+    d = base.select((F.col("i") % 2).cast("long").alias("stream_id"),
+                    F.col("i").alias("doc_id"), "rec")
+    out = read_warc_gz_streams(build_warc_gz_streams(d)).collect()
+    assert len(out) == len(PAYLOADS)
+    by_uri = {r.target_uri: r for r in out}
+    for r in base.collect():
+        g = by_uri[r.uri]
+        assert bytes(g.payload) == bytes(r.pb)
+        assert g.content_length == len(bytes(r.pb))
+    # in-stream ordering: rec_index == rank of doc_id within its bucket
+    for r in out:
+        doc_id = int(r.target_uri.rsplit("=", 1)[1])
+        rank = sum(1 for j in range(len(PAYLOADS)) if j % 2 == doc_id % 2 and j < doc_id)
+        assert r.rec_index == rank
