@@ -562,6 +562,48 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-domain robots.txt rule sets (host site{k}: set = k % 5) — exercise
+# full-block + allow-override, wildcard-vs-longer-allow tie, empty file,
+# plain prefix, and mid-wildcard + $ end anchor
+ROBOTS_RULESETS = [
+    [(False, "/"), (True, "/en/")],
+    [(False, "/*/page/"), (True, "/zh/page/")],
+    [],
+    [(False, "/de/")],
+    [(False, "/es/page/*7$"), (False, "/fr/page/1*")],
+]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-politeness filter (functions/robots.py): REP /
+    RFC-9309 semantics — prefix patterns with * and $ wildcards, longest
+    pattern wins, Allow wins length ties, no match ⇒ allowed — compiled
+    to ONE greatest() fold over per-rule anchored regexes (identical
+    strings in Java regex and RE2, so the oracle runs the SAME regexes
+    through DuckDB's engine).  Five deterministic per-domain rule sets
+    cover full-block+allow-override, wildcard-vs-longer-allow, empty
+    file, plain prefix, and mid-wildcard+$ anchor.  Pure Catalyst, no
+    shuffle; a python reference implementation is fuzz-tested against
+    the Catalyst fold in tests/test_robots.py."""
+    from datacube_core_spark.functions.robots import robots_allowed, robots_best_score
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    k5 = (F.col("doc_id") % 97) % 5
+    path = F.regexp_extract(F.col("url"), r"example(/.*)$", 1)
+    d = p.select("doc_id", k5.alias("k5"), path.alias("path"))
+    allowed = F.lit(None).cast("boolean")
+    best = F.lit(None).cast("int")
+    expr_a, expr_b = None, None
+    for i, rules in enumerate(ROBOTS_RULESETS):
+        a_i = robots_allowed(F.col("path"), rules)
+        b_i = robots_best_score(F.col("path"), rules).cast("int")
+        cond = F.col("k5") == i
+        expr_a = F.when(cond, a_i) if expr_a is None else expr_a.when(cond, a_i)
+        expr_b = F.when(cond, b_i) if expr_b is None else expr_b.when(cond, b_i)
+    return d.select("doc_id", "k5", "path", expr_a.alias("allowed"),
+                    expr_b.alias("best_score"))
+
+
 def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end .warc.gz archive pipeline (sources/warc.py): records
     built in Catalyst, grouped into one gzip-member-per-record stream
@@ -1598,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "robots_filter": q_robots_filter,
         "warc_gz": q_warc_gz,
         "warc_roundtrip": q_warc_roundtrip,
         "nfc_normalize": q_nfc_normalize,
@@ -1964,6 +2007,31 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # robots_filter twin: the SAME anchored regexes and score fold, run
+    # through DuckDB's RE2 engine — regex-dialect drift would diverge.
+    from datacube_core_spark.functions.robots import (
+        sql_robots_allowed,
+        sql_robots_best_score,
+    )
+
+    _rb_a = "CASE " + " ".join(
+        f"WHEN (doc_id % 97) % 5 = {i} THEN {sql_robots_allowed('path', rules)}"
+        for i, rules in enumerate(ROBOTS_RULESETS)
+    ) + " END"
+    _rb_b = "CASE " + " ".join(
+        f"WHEN (doc_id % 97) % 5 = {i} THEN CAST({sql_robots_best_score('path', rules)} AS INT)"
+        for i, rules in enumerate(ROBOTS_RULESETS)
+    ) + " END"
+    sqls["robots_filter"] = f"""{pages_cte(Q_REPL)},
+d AS (
+  SELECT doc_id, (doc_id % 97) % 5 AS k5,
+         regexp_extract(url, 'example(/.*)$', 1) AS path
+  FROM pages
+)
+SELECT doc_id, k5, path, {_rb_a} AS allowed, {_rb_b} AS best_score
+FROM d
 """
 
     # warc_gz twin: the full archive pipeline's observable output —

@@ -1,0 +1,98 @@
+"""robots.txt REP matching: spec vectors, python-reference fuzz, plan."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datacube_core_spark.functions.robots import (
+    robots_allowed,
+    robots_allowed_py,
+    rule_regex,
+    sql_robots_allowed,
+)
+
+# Google REP documentation examples (allow/disallow match table)
+SPEC_CASES = [
+    # (rules, path, expected_allowed)
+    ([(False, "/")], "/anything", False),
+    ([(False, "/")], "/", False),
+    ([(False, "/fish")], "/fish.html", False),          # prefix
+    ([(False, "/fish")], "/fishheads/yummy.html", False),
+    ([(False, "/fish")], "/Fish.asp", True),            # case-sensitive
+    ([(False, "/fish*")], "/fish/salmon.html", False),  # trailing * = prefix
+    ([(False, "/fish/")], "/fish", True),               # dir slash matters
+    ([(False, "/*.php")], "/folder/filename.php", False),
+    ([(False, "/*.php")], "/windows.PHP", True),
+    ([(False, "/*.php$")], "/filename.php", False),
+    ([(False, "/*.php$")], "/filename.php?parameters", True),  # $ anchor
+    ([(False, "/fish*.php")], "/fish.php", False),
+    ([(False, "/fish*.php")], "/fishheads/catfish.php?parameters", False),
+    # longest match wins; allow wins exact ties
+    ([(True, "/p"), (False, "/")], "/page", True),
+    ([(True, "/folder/"), (False, "/folder")], "/folder/page", True),
+    ([(True, "/page"), (False, "/*.htm")], "/page.htm", False),
+    ([(True, "/$"), (False, "/")], "/", True),
+    ([(True, "/$"), (False, "/")], "/page.htm", False),
+    ([], "/whatever", True),
+]
+
+
+@pytest.mark.parametrize("rules,path,want", SPEC_CASES)
+def test_python_reference_matches_spec(rules, path, want):
+    assert robots_allowed_py(path, rules) is want
+
+
+def test_catalyst_and_duckdb_match_reference_fuzz(spark):
+    rng = random.Random(20260817)
+    pieces = ["/", "fish", "page", "*", ".php", "p", "folder", "7", "1",
+              "salmon", ".htm", "?x=1", "a"]
+    rulesets = []
+    for _ in range(12):
+        n = rng.randint(0, 4)
+        rules = []
+        for _ in range(n):
+            pat = "/" + "".join(rng.choice(pieces[1:]) for _ in range(rng.randint(1, 3)))
+            if rng.random() < 0.3:
+                pat += "$"
+            rules.append((rng.random() < 0.5, pat))
+        rulesets.append(rules)
+    paths = []
+    for _ in range(120):
+        paths.append("/" + "/".join(
+            "".join(rng.choice(pieces[1:]) for _ in range(rng.randint(1, 2)))
+            for _ in range(rng.randint(0, 3))
+        ))
+    df = spark.createDataFrame([Row(i=i, p=p) for i, p in enumerate(paths)])
+    con = duckdb.connect()
+    for rules in rulesets:
+        got = {
+            r.i: r.a
+            for r in df.select("i", robots_allowed(F.col("p"), rules).alias("a")).collect()
+        }
+        want = {i: robots_allowed_py(p, rules) for i, p in enumerate(paths)}
+        assert got == want, rules
+        # DuckDB twin on the same paths
+        sql = sql_robots_allowed("p", rules)
+        for i, p in enumerate(paths):
+            (duck,) = con.execute(
+                f"SELECT {sql} FROM (SELECT ? AS p)", [p]
+            ).fetchone()
+            assert bool(duck) is want[i], (rules, p)
+
+
+def test_rule_regex_shape():
+    assert rule_regex("/fish*.php$") == "^/fish.*\\.php$"
+    assert rule_regex("/a?b") == "^/a\\?b"
+
+
+def test_entry_plan_pure_jvm(spark):
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_TINY
+
+    df = entry_mod.queries()["robots_filter"](spark, SF_TINY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
