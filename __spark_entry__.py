@@ -591,8 +591,6 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     k5 = (F.col("doc_id") % 97) % 5
     path = F.regexp_extract(F.col("url"), r"example(/.*)$", 1)
     d = p.select("doc_id", k5.alias("k5"), path.alias("path"))
-    allowed = F.lit(None).cast("boolean")
-    best = F.lit(None).cast("int")
     expr_a, expr_b = None, None
     for i, rules in enumerate(ROBOTS_RULESETS):
         a_i = robots_allowed(F.col("path"), rules)
@@ -777,10 +775,12 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ASOF LEFT JOIN`` — a fully independent implementation of the
     semantics.  Timestamps are compared at whole-second precision, so
     events are first pre-aggregated to UNIQUE (user_id, second) — the
-    operator's right-side contract — keeping the max-event_id row
-    (identically on both sides: max/max_by vs MAX/arg_max); sf0.1 really
-    does carry same-second collisions, so skipping this would make the
-    match partition-order nondeterministic."""
+    operator's right-side contract — keeping the max-event_id ROW
+    atomically via a struct max on BOTH sides (max_by/arg_max would
+    diverge on a NULL value: Spark keeps the max row's NULL, DuckDB's
+    arg_max skips it and falls back to an older row); sf0.1 really does
+    carry same-second collisions, so skipping the pre-agg would make
+    the match partition-order nondeterministic."""
     from datacube_core_spark.operators.asof import asof_join
 
     p = pages(spark, sf_dir, repl=Q_REPL).select(
@@ -792,9 +792,11 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("user_id", F.unix_timestamp("ts").alias("ets"), "event_id", "value")
         .groupBy("user_id", "ets")
-        .agg(
-            F.max("event_id").alias("event_id"),
-            F.max_by("value", "event_id").alias("value"),
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select(
+            "user_id", "ets",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.value").alias("value"),
         )
     )
     out = asof_join(p, e, ["user_id"], "wts", "ets", ["event_id", "value"])
@@ -2063,7 +2065,7 @@ SELECT doc_id,
        {sql_warc_date('warc_ts')} AS warc_date,
        strlen(h) AS content_length,
        md5(h) AS payload_md5,
-       {sql_warc_record_length('url', 'warc_ts', 'strlen(h)')} AS rec_len,
+       {sql_warc_record_length('url', 'strlen(h)')} AS rec_len,
        TRUE AS uri_ok,
        TRUE AS payload_ok
 FROM m
@@ -2110,10 +2112,12 @@ p AS (
   FROM pages
 ),
 ev AS (
-  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets,
-         MAX(event_id) AS event_id, arg_max(value, event_id) AS value
-  FROM events
-  GROUP BY 1, 2
+  SELECT user_id, ets, m.e AS event_id, m.v AS value FROM (
+    SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets,
+           MAX(struct_pack(e := event_id, v := value)) AS m
+    FROM events
+    GROUP BY 1, 2
+  )
 )
 SELECT p.doc_id, p.user_id,
        COALESCE(e.event_id, -1) AS event_id,

@@ -32,17 +32,29 @@ from pyspark.sql import functions as F
 Rule = Tuple[bool, str]  # (is_allow, pattern)
 
 
-def rule_regex(pattern: str) -> str:
-    """REP pattern → anchored regex, valid in BOTH Java regex and RE2.
+def rule_regex(pattern: str, dialect: str = "re2java") -> str:
+    """REP pattern → anchored regex.
 
     ``*`` → ``.*``; a trailing ``$`` anchors the end; everything else is
     escaped literally.  Prefix semantics: anchored at path start only.
+
+    The end anchor is emitted as ``\\z`` (absolute end of text), NOT
+    ``$``: Java regex matches ``$`` BEFORE a trailing newline while RE2
+    matches only at end-of-text, so ``$`` would silently diverge the
+    engines on a path with a trailing ``\\n`` (e.g. percent-decoded
+    %0A).  ``\\z`` means absolute-end in both Java and RE2; Python's
+    ``re`` spells the same thing ``\\Z``, hence the dialect switch for
+    the pure-python reference.
     """
+    if dialect not in ("re2java", "python"):
+        raise ValueError(dialect)
     end_anchor = pattern.endswith("$")
     body = pattern[:-1] if end_anchor else pattern
     parts = [re.escape(p) for p in body.split("*")]
     rx = "^" + ".*".join(parts)
-    return rx + "$" if end_anchor else rx
+    if not end_anchor:
+        return rx
+    return rx + (r"\Z" if dialect == "python" else r"\z")
 
 
 def _scores(path: Column, rules: Sequence[Rule]):
@@ -71,7 +83,7 @@ def robots_allowed_py(path: str, rules: Sequence[Rule]) -> bool:
     """Pure-python reference of the same semantics (for tests/fuzz)."""
     best = -1
     for is_allow, pattern in rules:
-        if re.search(rule_regex(pattern), path):
+        if re.search(rule_regex(pattern, dialect="python"), path):
             best = max(best, len(pattern) * 2 + (1 if is_allow else 0))
     return best == -1 or best % 2 == 1
 

@@ -72,6 +72,7 @@ HTML_P5 = "</body></html>"
 # outlinks from the self 'next' anchor.
 OUTLINK_MULTS = (7919, 104729, 15485863)
 SQL_N_DOCS = "(SELECT COUNT(*) FROM documents)"
+_N_DOCS_CACHE: dict = {}
 
 
 def _base_lon(doc_id: Column) -> Column:
@@ -129,7 +130,13 @@ def pages(spark: SparkSession, sf_dir: str, repl: int = 1, stride: int = REPL_ST
     assert repl >= 1 and repl * stride < 3_400_000_000, "repl*stride too large (int64 overflow)"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if n_docs is None:
-        n_docs = docs.count()
+        # memoized per sf_dir: testdata is immutable, and ~70 entry
+        # queries call pages() — one footer-count job total, not one per
+        # query build
+        n_docs = _N_DOCS_CACHE.get(sf_dir)
+        if n_docs is None:
+            n_docs = docs.count()
+            _N_DOCS_CACHE[sf_dir] = n_docs
     # doc_ids must be contiguous [0, n_docs) and fit under the stride for
     # the uid arithmetic to be a bijection (true of every driver SF)
     assert 0 < n_docs <= stride, (n_docs, stride)

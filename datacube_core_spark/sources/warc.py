@@ -111,12 +111,17 @@ def segment_warc_bytes(buf: bytes):
     while pos < n:
         if buf[pos:pos + len(VERSION)] != VERSION.encode():
             raise ValueError(f"bad record start at byte {pos}")
-        hdr_end = buf.index(b"\r\n\r\n", pos)
+        try:
+            hdr_end = buf.index(b"\r\n\r\n", pos)
+        except ValueError:
+            raise ValueError(f"unterminated header block at byte {pos}") from None
         head = buf[pos:hdr_end].decode("utf-8")
         fields = {}
         for line in head.split(CRLF)[1:]:
             k, _, v = line.partition(": ")
             fields[k] = v
+        if "Content-Length" not in fields:
+            raise ValueError(f"record at byte {pos} has no Content-Length header")
         cl = int(fields["Content-Length"])
         body_start = hdr_end + 4
         payload = buf[body_start:body_start + cl]
@@ -134,6 +139,27 @@ def segment_warc_bytes(buf: bytes):
         idx += 1
 
 
+def _stream_reader(df: DataFrame, stream_id_col: str, bytes_col: str,
+                   records_fn) -> DataFrame:
+    """Shared Arrow mapInPandas scaffolding for both stream tiers:
+    ``records_fn(bytes) -> iterator of record dicts`` does the framing
+    (plain segmentation, or gunzip + segmentation)."""
+    cols = ["stream_id", "rec_index", "warc_type", "target_uri",
+            "date", "content_length", "payload"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for sid, buf in zip(pdf[stream_id_col], pdf[bytes_col]):
+                for rec in records_fn(bytes(buf)):
+                    rec["stream_id"] = sid
+                    out.append(rec)
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+                {c: [] for c in cols})
+
+    return df.select(stream_id_col, bytes_col).mapInPandas(kernel, _STREAM_SCHEMA)
+
+
 def read_warc_streams(df: DataFrame, stream_id_col: str = "stream_id",
                       bytes_col: str = "content") -> DataFrame:
     """(stream_id, content:binary) → one row per WARC record.
@@ -142,20 +168,7 @@ def read_warc_streams(df: DataFrame, stream_id_col: str = "stream_id",
     payloads containing 'WARC/1.0' or CRLF CRLF bytes cannot split a
     record (delimiter scanning would).  One task per stream chunk — the
     100-TB layout is one file per task via binaryFile/Iceberg."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for sid, buf in zip(pdf[stream_id_col], pdf[bytes_col]):
-                for rec in segment_warc_bytes(bytes(buf)):
-                    rec["stream_id"] = sid
-                    out.append(rec)
-            cols = ["stream_id", "rec_index", "warc_type", "target_uri",
-                    "date", "content_length", "payload"]
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
-                {c: [] for c in cols})
-
-    return df.select(stream_id_col, bytes_col).mapInPandas(kernel, _STREAM_SCHEMA)
+    return _stream_reader(df, stream_id_col, bytes_col, segment_warc_bytes)
 
 
 # --------------------------------------------------------------------------
@@ -174,13 +187,18 @@ def gzip_member(data: bytes, level: int = 6) -> bytes:
 
 
 def gunzip_members(buf: bytes):
-    """Yield the decompressed payload of each gzip member in ``buf``."""
+    """Yield the decompressed payload of each gzip member in ``buf``.
+    All framing defects raise ValueError (the module's malformed-input
+    contract), including corrupt DEFLATE data (zlib.error is wrapped)."""
     import zlib
 
     pos_left = bytes(buf)
     while pos_left:
         d = zlib.decompressobj(31)
-        out = d.decompress(pos_left)
+        try:
+            out = d.decompress(pos_left)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from None
         if not d.eof:
             raise ValueError("truncated gzip member")
         yield out + d.flush()
@@ -207,29 +225,22 @@ def build_warc_gz_streams(df: DataFrame, group_col: str = "stream_id",
     )
 
 
+def _gz_records(buf: bytes):
+    """gunzip each member, segment, renumber rec_index across the stream."""
+    idx = 0
+    for member in gunzip_members(buf):
+        for rec in segment_warc_bytes(member):
+            rec["rec_index"] = idx
+            yield rec
+            idx += 1
+
+
 def read_warc_gz_streams(df: DataFrame, stream_id_col: str = "stream_id",
                          bytes_col: str = "content") -> DataFrame:
     """(stream_id, content:binary .warc.gz) → one row per record.  Each
     gzip member is decompressed independently and segmented; rec_index
     numbers records across the whole stream."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for sid, buf in zip(pdf[stream_id_col], pdf[bytes_col]):
-                idx = 0
-                for member in gunzip_members(bytes(buf)):
-                    for rec in segment_warc_bytes(member):
-                        rec["rec_index"] = idx
-                        rec["stream_id"] = sid
-                        out.append(rec)
-                        idx += 1
-            cols = ["stream_id", "rec_index", "warc_type", "target_uri",
-                    "date", "content_length", "payload"]
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
-                {c: [] for c in cols})
-
-    return df.select(stream_id_col, bytes_col).mapInPandas(kernel, _STREAM_SCHEMA)
+    return _stream_reader(df, stream_id_col, bytes_col, _gz_records)
 
 
 # --------------------------------------------------------------------------
@@ -240,7 +251,11 @@ def sql_warc_date(ts_expr: str) -> str:
     return f"strftime({ts_expr}, '{DATE_FMT_DUCK}')"
 
 
-def sql_warc_record_length(uri_expr: str, ts_expr: str, payload_octets: str,
+# every date this module emits is exactly this long (probed, not assumed)
+_DATE_LEN = len("2024-01-01T00:00:00Z")
+
+
+def sql_warc_record_length(uri_expr: str, payload_octets: str,
                            warc_type: str = "response") -> str:
     """Total record octet length, re-derived arithmetically: fixed header
     scaffolding + value lengths + payload + trailer."""
@@ -248,7 +263,7 @@ def sql_warc_record_length(uri_expr: str, ts_expr: str, payload_octets: str,
         len(VERSION + CRLF)
         + len(f"WARC-Type: {warc_type}" + CRLF)
         + len("WARC-Target-URI: ") + len(CRLF)
-        + len("WARC-Date: ") + 20 + len(CRLF)  # ISO basic Z date = 20 chars
+        + len("WARC-Date: ") + _DATE_LEN + len(CRLF)
         + len("Content-Length: ") + len(_SEP)
         + len(_SEP)
     )

@@ -47,14 +47,15 @@ def test_python_reference_matches_spec(rules, path, want):
 
 def test_catalyst_and_duckdb_match_reference_fuzz(spark):
     rng = random.Random(20260817)
-    pieces = ["/", "fish", "page", "*", ".php", "p", "folder", "7", "1",
+    pieces = ["fish", "page", "*", ".php", "p", "folder", "7", "1",
               "salmon", ".htm", "?x=1", "a"]
+    path_pieces = pieces + ["\n"]  # newline paths pin the \z anchor parity
     rulesets = []
     for _ in range(12):
         n = rng.randint(0, 4)
         rules = []
         for _ in range(n):
-            pat = "/" + "".join(rng.choice(pieces[1:]) for _ in range(rng.randint(1, 3)))
+            pat = "/" + "".join(rng.choice(pieces) for _ in range(rng.randint(1, 3)))
             if rng.random() < 0.3:
                 pat += "$"
             rules.append((rng.random() < 0.5, pat))
@@ -62,7 +63,7 @@ def test_catalyst_and_duckdb_match_reference_fuzz(spark):
     paths = []
     for _ in range(120):
         paths.append("/" + "/".join(
-            "".join(rng.choice(pieces[1:]) for _ in range(rng.randint(1, 2)))
+            "".join(rng.choice(path_pieces) for _ in range(rng.randint(1, 2)))
             for _ in range(rng.randint(0, 3))
         ))
     df = spark.createDataFrame([Row(i=i, p=p) for i, p in enumerate(paths)])
@@ -84,8 +85,28 @@ def test_catalyst_and_duckdb_match_reference_fuzz(spark):
 
 
 def test_rule_regex_shape():
-    assert rule_regex("/fish*.php$") == "^/fish.*\\.php$"
+    # \z (absolute end), NOT $: Java matches $ before a trailing newline,
+    # RE2 does not — \z is end-of-text in both; python dialect spells \Z
+    assert rule_regex("/fish*.php$") == "^/fish.*\\.php\\z"
+    assert rule_regex("/fish*.php$", dialect="python") == "^/fish.*\\.php\\Z"
     assert rule_regex("/a?b") == "^/a\\?b"
+    with pytest.raises(ValueError):
+        rule_regex("/x", dialect="pcre")
+
+
+def test_end_anchor_trailing_newline_three_engines(spark):
+    # the dialect-divergence shape: a path with a trailing newline must
+    # NOT match an end-anchored rule in ANY engine
+    rules = [(False, "/fish$")]
+    for path, want in [("/fish", False), ("/fish\n", True), ("/fishx", True)]:
+        assert robots_allowed_py(path, rules) is want, path
+    df = spark.createDataFrame([Row(i=0, p="/fish"), Row(i=1, p="/fish\n")])
+    got = {r.i: r.a for r in df.select(
+        "i", robots_allowed(F.col("p"), rules).alias("a")).collect()}
+    assert got == {0: False, 1: True}
+    con = duckdb.connect()
+    sql = sql_robots_allowed("p", rules)
+    assert con.execute(f"SELECT {sql} FROM (SELECT '/fish' || chr(10) AS p)").fetchone()[0]
 
 
 def test_entry_plan_pure_jvm(spark):

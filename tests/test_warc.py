@@ -17,7 +17,9 @@ PAYLOADS = [
     b"",
     b"plain body",
     b"a\r\n\r\nb",
-    b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake",
+    # fake embedded record with a DIFFERENT type value, so a last-match
+    # (or payload-first) header-extraction regression is actually caught
+    b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://evil/\r\n\r\nfake",
     "中文内容 and mixed ascii".encode("utf-8"),
     b"x" * 10_000,
 ]
