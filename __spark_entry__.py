@@ -574,6 +574,55 @@ ROBOTS_RULESETS = [
 ]
 
 
+# raw robots.txt FILE texts encoding the same five rule sets for agent
+# 'dcsbot' — plus parsing adversaria: a badbot group that must be
+# skipped, exact-agent-preferred-over-star, mixed-case keys/agent
+# tokens, inline and whole-line comments, blank lines
+ROBOTS_TXT_FILES = [
+    "User-agent: *\nDisallow: /\nAllow: /en/\n",
+    "User-agent: badbot\nDisallow: /\n\nUser-Agent: *\nDisallow: /*/page/\nAllow: /zh/page/\n",
+    "# crawl-all file: only a badbot group, nothing applies to us\nUser-agent: badbot\nDisallow: /\n",
+    "user-agent: DCSBot\nDisallow: /de/ # staging mirror\n\nUser-agent: *\nDisallow: /\n",
+    "User-agent: *\nDisallow: /es/page/*7$\nDisallow: /fr/page/1*\n",
+]
+
+ROBOTS_AGENT = "dcsbot"
+
+
+def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt FILE parsing, fully relational (functions/robots.py
+    parse_robots_df): lines via posexplode, comment strip, a running-SUM
+    window assigns lines to User-agent groups, exact-agent-token groups
+    preferred over '*' (case-insensitive, RFC 9309), and rule patterns
+    compile to DATA-DEPENDENT regexes (validated subset; raise_error
+    otherwise) applied with a broadcast join + per-page max fold — no
+    UDF anywhere.  The five per-host files encode the SAME rule sets as
+    ``robots_filter``, so the two paths (compile-time rules vs parsed
+    raw files) must agree row-for-row (pinned in tests); the oracle
+    re-parses the raw text in SQL (string_split + window + dynamic
+    regex), an independent replay of the whole pipeline."""
+    from datacube_core_spark.functions.robots import (
+        parse_robots_df,
+        robots_decisions_df,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    k = F.col("doc_id") % 97
+    d = p.select(
+        "doc_id",
+        k.alias("host"),
+        F.regexp_extract(F.col("url"), r"example(/.*)$", 1).alias("path"),
+    )
+    hosts = d.select("host").distinct()
+    txt = None
+    for i, t in enumerate(ROBOTS_TXT_FILES):
+        c = F.col("host") % 5 == i
+        txt = F.when(c, F.lit(t)) if txt is None else txt.when(c, F.lit(t))
+    files = hosts.select("host", txt.alias("txt"))
+    rules = parse_robots_df(files, ROBOTS_AGENT)
+    return robots_decisions_df(d, rules, id_cols=("doc_id",))
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl-politeness filter (functions/robots.py): REP /
     RFC-9309 semantics — prefix patterns with * and $ wildcards, longest
@@ -1642,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "robots_txt": q_robots_txt,
         "robots_filter": q_robots_filter,
         "warc_gz": q_warc_gz,
         "warc_roundtrip": q_warc_roundtrip,
@@ -2009,6 +2059,32 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # robots_txt twin: re-parse the SAME raw file texts in SQL
+    # (string_split + running-SUM group window + dynamic regex build) —
+    # an independent replay of the whole relational parse.
+    from datacube_core_spark.functions.robots import (
+        sql_parse_robots,
+        sql_robots_decisions,
+    )
+
+    _rt_files = "CASE host % 5 " + " ".join(
+        f"WHEN {i} THEN '{t.replace(chr(39), chr(39) * 2)}'"
+        for i, t in enumerate(ROBOTS_TXT_FILES)
+    ) + " END"
+    sqls["robots_txt"] = f"""{pages_cte(Q_REPL)},
+rb_p AS (
+  SELECT doc_id, doc_id % 97 AS host,
+         regexp_extract(url, 'example(/.*)$', 1) AS path
+  FROM pages
+),
+rb_files AS (
+  SELECT host, {_rt_files} AS txt
+  FROM (SELECT DISTINCT host FROM rb_p)
+),
+{sql_parse_robots('rb_files', ROBOTS_AGENT)}
+{sql_robots_decisions('rb_p')}
 """
 
     # robots_filter twin: the SAME anchored regexes and score fold, run

@@ -117,3 +117,64 @@ def test_entry_plan_pure_jvm(spark):
     df = entry_mod.queries()["robots_filter"](spark, SF_TINY)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_parse_robots_df_group_selection(spark):
+    from datacube_core_spark.functions.robots import parse_robots_df
+
+    files = spark.createDataFrame(
+        [
+            # exact group preferred over star; case-insensitive agent
+            Row(host=0, txt="user-agent: MyBot\nDisallow: /a/\n\nUser-agent: *\nDisallow: /\n"),
+            # only unrelated group -> no rules
+            Row(host=1, txt="User-agent: other\nDisallow: /\n"),
+            # star group with comments, blank and junk lines
+            Row(host=2, txt="# hi\nUser-agent: *\nnoise line\nAllow: /ok/ # trail\nDisallow: /no/\n"),
+            # multi-agent group header (two UA lines open ONE group) —
+            # both orders must give mybot the group's rules (RFC 9309)
+            Row(host=3, txt="User-agent: other\nUser-agent: mybot\nDisallow: /x/\n"),
+            Row(host=4, txt="User-agent: mybot\nUser-agent: other\nDisallow: /y/\n"),
+        ]
+    )
+    rules = {
+        (r.host, r.is_allow, r.pattern): r.rx
+        for r in parse_robots_df(files, "mybot").collect()
+    }
+    assert set(rules) == {
+        (0, False, "/a/"),
+        (2, True, "/ok/"),
+        (2, False, "/no/"),
+        (3, False, "/x/"),
+        (4, False, "/y/"),
+    }
+    assert rules[(0, False, "/a/")] == "^/a/"
+
+
+def test_parse_robots_df_rejects_regex_specials(spark):
+    from datacube_core_spark.functions.robots import parse_robots_df
+
+    files = spark.createDataFrame(
+        [Row(host=0, txt="User-agent: *\nDisallow: /a(b)/\n")]
+    )
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="unsupported robots.txt pattern"):
+        parse_robots_df(files, "mybot").collect()
+
+
+def test_robots_txt_entry_equals_compiled_rules(spark):
+    """The parsed-raw-file path and the compile-time-rule path must make
+    identical decisions — the file texts encode the same rule sets."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_TINY
+
+    rt = {
+        r.doc_id: (r.allowed, r.best_score)
+        for r in entry_mod.queries()["robots_txt"](spark, SF_TINY).collect()
+    }
+    rf = {
+        r.doc_id: (r.allowed, r.best_score)
+        for r in entry_mod.queries()["robots_filter"](spark, SF_TINY).collect()
+    }
+    assert rt == rf
