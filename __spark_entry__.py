@@ -579,14 +579,53 @@ ROBOTS_RULESETS = [
 # skipped, exact-agent-preferred-over-star, mixed-case keys/agent
 # tokens, inline and whole-line comments, blank lines
 ROBOTS_TXT_FILES = [
-    "User-agent: *\nDisallow: /\nAllow: /en/\n",
-    "User-agent: badbot\nDisallow: /\n\nUser-Agent: *\nDisallow: /*/page/\nAllow: /zh/page/\n",
+    "User-agent: *\nDisallow: /\nAllow: /en/\nCrawl-delay: 2\n",
+    "User-agent: badbot\nDisallow: /\nCrawl-delay: 99\n\n"
+    "User-Agent: *\nDisallow: /*/page/\nAllow: /zh/page/\nCrawl-delay: 5\n",
     "# crawl-all file: only a badbot group, nothing applies to us\nUser-agent: badbot\nDisallow: /\n",
-    "user-agent: DCSBot\nDisallow: /de/ # staging mirror\n\nUser-agent: *\nDisallow: /\n",
+    "user-agent: DCSBot\nDisallow: /de/ # staging mirror\ncrawl-delay: 3\n\n"
+    "User-agent: *\nDisallow: /\nCrawl-delay: 9\n",
     "User-agent: *\nDisallow: /es/page/*7$\nDisallow: /fr/page/1*\n",
 ]
 
 ROBOTS_AGENT = "dcsbot"
+
+
+def _robots_files_df(hosts_df) -> DataFrame:
+    """(host) → (host, txt): the deterministic per-host robots.txt."""
+    txt = None
+    for i, t in enumerate(ROBOTS_TXT_FILES):
+        c = F.col("host") % 5 == i
+        txt = F.when(c, F.lit(t)) if txt is None else txt.when(c, F.lit(t))
+    return hosts_df.select("host", txt.alias("txt"))
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness schedule (functions/robots.py): Crawl-delay
+    parsed from the SAME raw robots.txt files through the shared RFC-
+    9309 group machinery (a badbot group's delay must NOT apply; the
+    exact-agent group's delay beats the star group's; non-directive
+    hosts default to 1s; MAX = most polite wins within the applicable
+    groups), then each host's pages are ordered by (crawl ts, doc_id)
+    and spaced one fetch per delay — fetch_offset_s = rank·delay.  One
+    window per host mirrors the real constraint (politeness is
+    inherently per-host sequential); delays broadcast.  The oracle
+    re-parses the files in SQL and replays the schedule with
+    ROW_NUMBER."""
+    from datacube_core_spark.functions.robots import (
+        crawl_schedule_df,
+        parse_crawl_delay_df,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    d = p.select(
+        "doc_id",
+        (F.col("doc_id") % 97).alias("host"),
+        F.unix_timestamp("warc_ts").alias("ts"),
+    )
+    files = _robots_files_df(d.select("host").distinct())
+    delays = parse_crawl_delay_df(files, ROBOTS_AGENT)
+    return crawl_schedule_df(d, delays)
 
 
 def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,12 +652,7 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("host"),
         F.regexp_extract(F.col("url"), r"example(/.*)$", 1).alias("path"),
     )
-    hosts = d.select("host").distinct()
-    txt = None
-    for i, t in enumerate(ROBOTS_TXT_FILES):
-        c = F.col("host") % 5 == i
-        txt = F.when(c, F.lit(t)) if txt is None else txt.when(c, F.lit(t))
-    files = hosts.select("host", txt.alias("txt"))
+    files = _robots_files_df(d.select("host").distinct())
     rules = parse_robots_df(files, ROBOTS_AGENT)
     return robots_decisions_df(d, rules, id_cols=("doc_id",))
 
@@ -1691,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "crawl_schedule": q_crawl_schedule,
         "robots_txt": q_robots_txt,
         "robots_filter": q_robots_filter,
         "warc_gz": q_warc_gz,
@@ -2059,6 +2094,41 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # crawl_schedule twin: same SQL re-parse of the files, then the
+    # delay extraction over the chosen groups + a ROW_NUMBER schedule.
+    from datacube_core_spark.functions.robots import sql_parse_robots as _spr
+
+    _cs_files = "CASE host % 5 " + " ".join(
+        f"WHEN {i} THEN '{t.replace(chr(39), chr(39) * 2)}'"
+        for i, t in enumerate(ROBOTS_TXT_FILES)
+    ) + " END"
+    sqls["crawl_schedule"] = f"""{pages_cte(Q_REPL)},
+rb_p AS (
+  SELECT doc_id, doc_id % 97 AS host, CAST(epoch(warc_ts) AS BIGINT) AS ts
+  FROM pages
+),
+rb_files AS (
+  SELECT host, {_cs_files} AS txt
+  FROM (SELECT DISTINCT host FROM rb_p)
+),
+{_spr('rb_files', ROBOTS_AGENT)},
+rb_delay AS (
+  SELECT gr.host, MAX(CAST(gr.val AS BIGINT)) AS delay_s
+  FROM rb_grp gr JOIN rb_chosen c ON c.host = gr.host AND c.g = gr.g
+  WHERE gr.key = 'crawl-delay' AND regexp_matches(gr.val, '^[0-9]+$')
+  GROUP BY 1
+),
+sched AS (
+  SELECT p.doc_id, p.host,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.host ORDER BY p.ts, p.doc_id) - 1 AS INT) AS rank,
+         COALESCE(d.delay_s, 1) AS delay_s
+  FROM rb_p p LEFT JOIN rb_delay d USING (host)
+)
+SELECT doc_id, host, rank, delay_s,
+       CAST(rank AS BIGINT) * delay_s AS fetch_offset_s
+FROM sched
 """
 
     # robots_txt twin: re-parse the SAME raw file texts in SQL

@@ -111,9 +111,9 @@ def robots_allowed_py(path: str, rules: Sequence[Rule]) -> bool:
 _PATTERN_OK = r"^[A-Za-z0-9_\-./*]*\$?$"
 
 
-def parse_robots_df(files_df, agent: str, host_col: str = "host",
-                    txt_col: str = "txt"):
-    """(host, txt) → (host, is_allow, pattern, rx) applicable to ``agent``."""
+def _chosen_lines(files_df, agent: str, host_col: str, txt_col: str):
+    """(host, txt) → the key/value lines of the group(s) applicable to
+    ``agent`` (shared by rule and crawl-delay extraction)."""
     from pyspark.sql import Window
 
     ln = files_df.select(
@@ -150,8 +150,14 @@ def parse_robots_df(files_df, agent: str, host_col: str = "host",
         .where(F.when(F.col("he") == 1, F.col("x") == 1).otherwise(F.col("s") == 1))
         .select(host_col, "g")
     )
+    return ln.join(chosen, [host_col, "g"])
+
+
+def parse_robots_df(files_df, agent: str, host_col: str = "host",
+                    txt_col: str = "txt"):
+    """(host, txt) → (host, is_allow, pattern, rx) applicable to ``agent``."""
     rules = (
-        ln.join(chosen, [host_col, "g"])
+        _chosen_lines(files_df, agent, host_col, txt_col)
         .where(F.col("key").isin("allow", "disallow") & (F.col("val") != ""))
         .select(
             host_col,
@@ -174,6 +180,46 @@ def parse_robots_df(files_df, agent: str, host_col: str = "host",
         )
     )
     return rules.withColumn("rx", guarded)
+
+
+def parse_crawl_delay_df(files_df, agent: str, default_s: int = 1,
+                         host_col: str = "host", txt_col: str = "txt"):
+    """(host, txt) → (host, delay_s) from the applicable group's
+    ``Crawl-delay`` directive (a de-facto-standard extension honored by
+    most crawlers; not in RFC 9309).  When the applicable groups carry
+    several, the MAX (most polite) wins; non-numeric values are ignored;
+    hosts without one get ``default_s``.  Consumers must re-join hosts
+    for the default — this returns only directive-bearing hosts."""
+    return (
+        _chosen_lines(files_df, agent, host_col, txt_col)
+        .where((F.col("key") == "crawl-delay") & F.col("val").rlike(r"^\d+$"))
+        .groupBy(host_col)
+        .agg(F.max(F.col("val").cast("long")).alias("delay_s"))
+    )
+
+
+def crawl_schedule_df(pages_df, delays_df, default_s: int = 1,
+                      host_col: str = "host", ts_col: str = "ts",
+                      id_col: str = "doc_id"):
+    """Politeness schedule: within each host, pages fetch in (ts, id)
+    order, one fetch per ``delay_s`` — fetch_offset_s = rank·delay.
+
+    Scale shape: ONE window per host; politeness is inherently per-host
+    sequential, so the window partition mirrors the real-world
+    constraint (a host with millions of queued pages IS the crawl
+    bottleneck — no plan can parallelize politeness away, only the
+    per-host stream order matters).  Delays are a broadcast dimension.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    j = pages_df.join(F.broadcast(delays_df), on=host_col, how="left")
+    return j.select(
+        id_col,
+        host_col,
+        (F.row_number().over(w) - 1).alias("rank"),
+        F.coalesce(F.col("delay_s"), F.lit(default_s)).alias("delay_s"),
+    ).withColumn("fetch_offset_s", F.col("rank") * F.col("delay_s"))
 
 
 def robots_decisions_df(pages_df, rules_df, host_col: str = "host",

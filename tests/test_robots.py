@@ -178,3 +178,43 @@ def test_robots_txt_entry_equals_compiled_rules(spark):
         for r in entry_mod.queries()["robots_filter"](spark, SF_TINY).collect()
     }
     assert rt == rf
+
+
+def test_parse_crawl_delay_group_selection(spark):
+    from datacube_core_spark.functions.robots import parse_crawl_delay_df
+
+    files = spark.createDataFrame(
+        [
+            # badbot's delay must not apply; star group's 5 does
+            Row(host=0, txt="User-agent: badbot\nCrawl-delay: 99\n\nUser-agent: *\nCrawl-delay: 5\n"),
+            # exact group's delay beats star's
+            Row(host=1, txt="User-agent: mybot\ncrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 9\n"),
+            # non-numeric ignored; MAX of several in applicable groups
+            Row(host=2, txt="User-agent: *\nCrawl-delay: abc\nCrawl-delay: 2\nCrawl-delay: 4\n"),
+            # no directive -> absent from output (caller defaults)
+            Row(host=3, txt="User-agent: *\nDisallow: /x/\n"),
+        ]
+    )
+    got = {r.host: r.delay_s for r in parse_crawl_delay_df(files, "mybot").collect()}
+    assert got == {0: 5, 1: 3, 2: 4}
+
+
+def test_crawl_schedule_invariants(spark):
+    from datacube_core_spark.functions.robots import crawl_schedule_df
+
+    pages_rows = [Row(doc_id=i, host=i % 3, ts=1000 - i) for i in range(30)]
+    pdf = spark.createDataFrame(pages_rows)
+    delays = spark.createDataFrame([Row(host=0, delay_s=7)])
+    out = crawl_schedule_df(pdf, delays, default_s=2).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+        assert r.fetch_offset_s == r.rank * r.delay_s
+        assert r.delay_s == (7 if r.host == 0 else 2)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(len(rows)))
+        # rank order == (ts, doc_id) order: ts here is strictly decreasing
+        # in doc_id, so rank must be decreasing-doc_id order
+        ids = [r.doc_id for r in rows]
+        assert ids == sorted(ids, reverse=True)
