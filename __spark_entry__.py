@@ -591,6 +591,32 @@ ROBOTS_TXT_FILES = [
 ROBOTS_AGENT = "dcsbot"
 
 
+def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml build + parse round trip (sources/sitemap.py): one
+    sitemap per host assembled by an ORDERED string aggregation
+    (collect_list of sort-keyed structs → array_sort → array_join — no
+    per-host python, no global sort), parsed back with paired
+    regexp_extract_all + posexplode.  The oracle never builds XML: it
+    replays the in-document order as ROW_NUMBER per host and re-derives
+    loc/lastmod arithmetically — a build OR parse defect diverges.
+    Completes the crawl-source family (WARC archives, robots policy,
+    sitemap discovery).  Scale: one shuffle to group by host, then
+    shuffle-free maps."""
+    from datacube_core_spark.sources.sitemap import build_sitemaps, parse_sitemaps
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select(
+        (F.col("doc_id") % 97).alias("host"), "doc_id", "url", "warc_ts"
+    )
+    parsed = parse_sitemaps(build_sitemaps(p))
+    return parsed.select(
+        "host",
+        "pos",
+        "loc",
+        "lastmod",
+        F.regexp_extract("loc", r"/page/(\d+)$", 1).cast("long").alias("doc_id"),
+    )
+
+
 def _robots_files_df(hosts_df) -> DataFrame:
     """(host) → (host, txt): the deterministic per-host robots.txt."""
     txt = None
@@ -1725,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "sitemap_roundtrip": q_sitemap_roundtrip,
         "crawl_schedule": q_crawl_schedule,
         "robots_txt": q_robots_txt,
         "robots_filter": q_robots_filter,
@@ -2094,6 +2121,20 @@ SELECT n.doc_id, a3.a, h3.h
 FROM nodes n
 JOIN a3 ON a3.v = n.doc_id
 JOIN h3 ON h3.v = n.doc_id
+"""
+
+    # sitemap_roundtrip twin: never builds XML — in-document order is
+    # ROW_NUMBER per host over doc_id, loc/lastmod re-derived directly.
+    from datacube_core_spark.sources.sitemap import LASTMOD_FMT_DUCK
+
+    sqls["sitemap_roundtrip"] = f"""{pages_cte(Q_REPL)}
+SELECT doc_id % 97 AS host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INT)
+         AS pos,
+       url AS loc,
+       strftime(warc_ts, '{LASTMOD_FMT_DUCK}') AS lastmod,
+       doc_id
+FROM pages
 """
 
     # crawl_schedule twin: same SQL re-parse of the files, then the
