@@ -827,6 +827,33 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level connected components (operators/graph.connected_components):
+    undirected components of the INTRA-HOST link subgraph — the level at
+    which crawl keep-lists group mirrored/templated page clusters.  Edges
+    come from the actual html anchors (same extraction as ``pagerank``),
+    restricted to links whose target lands on the source's host
+    (uid % 97 identifies the host in the synthetic url scheme).  Labels
+    are exact int64 node ids (min of component), so the cross-engine
+    compare is exact; the oracle computes the same components by full
+    recursive transitive closure — an independent formulation.  Scale
+    shape: min-label propagation + pointer jumping, O(log diameter)
+    rounds of join + min-agg (the dup_clusters kernel)."""
+    from pyspark.sql import Window
+
+    from datacube_core_spark.operators.graph import connected_components, page_edges
+
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    edges = page_edges(p).where((F.col("src") % 97) == (F.col("dst") % 97))
+    cc = connected_components(edges, p.select("doc_id"))
+    return cc.select(
+        "doc_id",
+        (F.col("doc_id") % 97).alias("host_id"),
+        "cluster",
+        F.count("*").over(Window.partitionBy("cluster")).alias("csize"),
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the extracted link graph
     (operators/graph.hits_exact): unnormalized power iteration — pure
@@ -1751,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "link_components": q_link_components,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "crawl_schedule": q_crawl_schedule,
         "robots_txt": q_robots_txt,
@@ -2289,6 +2317,24 @@ edges AS (
 nodes AS (SELECT doc_id FROM pages)
 SELECT doc_id, reach, hc_num AS hc_x12, hc_num / 12.0 AS hc
 FROM ({sql_harmonic('edges', 'nodes', 4)})
+"""
+
+    # link_components twin: same re-derived edges restricted to the
+    # intra-host subgraph; components by full recursive transitive
+    # closure + MIN (independent of Spark's iterative label propagation
+    # + pointer jumping).
+    from datacube_core_spark.operators.graph import sql_components
+
+    sqls["link_components"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
+e0 AS (
+  SELECT doc_id AS src, UNNEST({sql_extract_outlinks('h')}) AS dst FROM m
+),
+edges AS (SELECT src, dst FROM e0 WHERE src % 97 = dst % 97),
+nodes AS (SELECT doc_id FROM pages)
+SELECT doc_id, doc_id % 97 AS host_id, cluster,
+       COUNT(*) OVER (PARTITION BY cluster) AS csize
+FROM ({sql_components('edges', 'nodes')})
 """
 
     # asof_events twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent

@@ -261,6 +261,71 @@ LEFT JOIN (
 ) h ON h.v = n.{id_col}"""
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 20,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Undirected connected components over a (src, dst) edge list:
+    every node in ``nodes`` gets the MIN node id of its component as
+    ``cluster`` (isolated nodes label themselves).  The web-curation
+    use is SITE-level grouping — components of the intra-host subgraph
+    identify mirrored/templated page clusters within a site, the level
+    at which crawl dedup keep-lists operate.
+
+    Plan: delegates to the min-label + pointer-jumping kernel
+    (``operators/dedup.dup_clusters`` — O(log diameter) rounds, two
+    shuffles per round, localCheckpoint-truncated lineage; raises
+    rather than return a silently-partial labeling), then left-joins
+    the full node set so edge-free nodes keep their own id.  Scale
+    shape is the kernel's: label propagation is join+min-agg on node
+    keys — hub skew is plain agg skew (AQE); rounds are logarithmic in
+    component diameter, so even a site-sized giant component costs
+    ~log2(d) rounds, not d.
+
+    Reference analog: none (ODC has no graph ops) — webtext-axis
+    capability, same family as pagerank/hits/harmonic above.
+    """
+    from datacube_core_spark.operators.dedup import dup_clusters
+
+    pairs = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    labeled = dup_clusters(pairs, max_iters=max_iters)
+    return (
+        nodes.select(F.col(id_col).alias("doc_id"))
+        .join(labeled, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+
+
+def sql_components(edges_cte: str, nodes_cte: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin: component id = min reachable node, via a recursive
+    reachability CTE over the undirected edges — an independent
+    formulation (full transitive closure + MIN, vs the Spark side's
+    iterative label propagation).  Returns a complete WITH RECURSIVE
+    ... SELECT statement (usable as a subquery; the edges/nodes CTEs
+    resolve from the caller's outer WITH scope).  Exact — only safe
+    when Σ component_size² is small (intra-host subgraphs); the Spark
+    side has no such bound."""
+    return f"""WITH RECURSIVE und AS (
+  SELECT src AS u, dst AS v FROM {edges_cte} WHERE src <> dst
+  UNION
+  SELECT dst, src FROM {edges_cte} WHERE src <> dst
+),
+reach AS (
+  SELECT u AS root, v AS node FROM und
+  UNION
+  SELECT r.root, e.v FROM reach r JOIN und e ON e.u = r.node
+)
+SELECT n.{id_col},
+       CAST(COALESCE(c.cluster, n.{id_col}) AS BIGINT) AS cluster
+FROM {nodes_cte} n
+LEFT JOIN (
+  SELECT root, LEAST(root, MIN(node)) AS cluster FROM reach GROUP BY root
+) c ON c.root = n.{id_col}"""
+
+
 def pagerank_float(edges: DataFrame, nodes: DataFrame, iters: int = 10,
                    damping: float = 0.85, id_col: str = "doc_id") -> DataFrame:
     """General float PageRank (arbitrary outdegree; dangling mass

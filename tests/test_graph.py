@@ -203,3 +203,46 @@ def test_iteration_validation(spark):
         pagerank_exact(edf, ndf, iters=-1)
     with pytest.raises(ValueError):
         harmonic_centrality(edf, ndf, radius=0)
+
+
+def _brute_components(edges, nodes):
+    # union-find reference
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in nodes}
+
+
+def test_connected_components_vs_union_find(spark):
+    from datacube_core_spark.operators.graph import connected_components
+
+    # chain, triangle w/ extra edge, self-loop, directed-only link
+    # (must be treated undirected), isolated nodes
+    edges = [(0, 1), (1, 2), (2, 3), (5, 4), (6, 7), (7, 6), (6, 8),
+             (9, 9), (11, 10)]
+    nodes = list(range(14))  # 12, 13 isolated; 9 self-loop only
+    edf = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    ndf = spark.createDataFrame([Row(doc_id=v) for v in nodes])
+    got = {r.doc_id: r.cluster for r in connected_components(edf, ndf).collect()}
+    assert got == _brute_components(edges, nodes)
+    # self-loop-only and isolated nodes label themselves
+    assert got[9] == 9 and got[12] == 12 and got[13] == 13
+
+
+def test_connected_components_deep_chain_converges(spark):
+    from datacube_core_spark.operators.graph import connected_components
+
+    n = 200  # pointer jumping: log2(200) ~ 8 rounds << max_iters
+    edf = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    ndf = spark.createDataFrame([Row(doc_id=v) for v in range(n)])
+    got = connected_components(edf, ndf).collect()
+    assert all(r.cluster == 0 for r in got) and len(got) == n
