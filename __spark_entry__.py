@@ -617,6 +617,56 @@ def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SITEMAP_CHUNK = 16  # protocol cap stand-in (real: 50 000 URLs per sitemap)
+# appended to every loc so the five-entity XML escape path is exercised
+# INSIDE the oracle-checked round trip (not just in pytest)
+_XML_SPECIALS = "?q=a&b<c>\"d'e"
+
+
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap INDEX tier (sources/sitemap.py): per-host sitemaps capped
+    at SITEMAP_CHUNK URLs (per-host ROW_NUMBER window → ordered chunk
+    aggregation), one <sitemapindex> per host listing the chunk maps,
+    then BOTH layers parsed back and joined on the chunk URL — the full
+    discovery path a crawler runs.  Every loc carries XML specials
+    (&<>\"'), so the five-entity escape/unescape bijection is inside the
+    oracle-checked round trip: the oracle never builds XML (ROW_NUMBER
+    replay + arithmetic locs), so a non-bijective escape, a chunk
+    boundary off-by-one, or an index/child ordering defect all diverge.
+    Scale: the same host-keyed shuffle the plain build pays + a tiny
+    per-host index agg."""
+    from datacube_core_spark.sources.sitemap import (
+        build_sitemap_chunks,
+        build_sitemap_index,
+        parse_sitemap_index,
+        parse_sitemaps,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select(
+        (F.col("doc_id") % 97).alias("host"),
+        "doc_id",
+        F.concat("url", F.lit(_XML_SPECIALS)).alias("url"),
+        "warc_ts",
+    )
+    chunks = build_sitemap_chunks(p, max_urls=SITEMAP_CHUNK)
+    idx = parse_sitemap_index(build_sitemap_index(chunks)).select(
+        "host", "chunk", "sitemap_loc", F.col("lastmod").alias("chunk_lastmod")
+    )
+    kids = parse_sitemaps(
+        chunks.select("sitemap_loc", "xml"), host_col="sitemap_loc"
+    )
+    return idx.join(kids, "sitemap_loc").select(
+        "host",
+        "chunk",
+        "sitemap_loc",
+        "chunk_lastmod",
+        "pos",
+        "loc",
+        "lastmod",
+        (F.col("chunk") * SITEMAP_CHUNK + F.col("pos")).alias("global_pos"),
+    )
+
+
 def _robots_files_df(hosts_df) -> DataFrame:
     """(host) → (host, txt): the deterministic per-host robots.txt."""
     txt = None
@@ -1778,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "sitemap_index": q_sitemap_index,
         "link_components": q_link_components,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "crawl_schedule": q_crawl_schedule,
@@ -2163,6 +2214,34 @@ SELECT doc_id % 97 AS host,
        strftime(warc_ts, '{LASTMOD_FMT_DUCK}') AS lastmod,
        doc_id
 FROM pages
+"""
+
+    # sitemap_index twin: ROW_NUMBER replay of the chunking + arithmetic
+    # locs (never builds XML) — the appended specials make the Spark
+    # side's escape→unescape bijection part of the checked contract.
+    sqls["sitemap_index"] = f"""{pages_cte(Q_REPL)},
+smi_b AS (
+  SELECT doc_id % 97 AS host,
+         url || '?q=a&b<c>"d''e' AS loc,
+         warc_ts,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1
+              AS BIGINT) AS rn
+  FROM pages
+),
+smi AS (
+  SELECT *, CAST(rn // {SITEMAP_CHUNK} AS INT) AS chunk,
+         CAST(rn % {SITEMAP_CHUNK} AS INT) AS pos
+  FROM smi_b
+)
+SELECT host, chunk,
+       'https://' || CAST(host AS VARCHAR) || '/sitemap-'
+         || CAST(chunk AS VARCHAR) || '.xml' AS sitemap_loc,
+       strftime(MAX(warc_ts) OVER (PARTITION BY host, chunk),
+                '{LASTMOD_FMT_DUCK}') AS chunk_lastmod,
+       pos, loc,
+       strftime(warc_ts, '{LASTMOD_FMT_DUCK}') AS lastmod,
+       CAST(chunk * {SITEMAP_CHUNK} + pos AS INT) AS global_pos
+FROM smi
 """
 
     # crawl_schedule twin: same SQL re-parse of the files, then the
