@@ -793,6 +793,103 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC request/response/metadata record triples (sources/warc.py):
+    each page emits a request record (HTTP GET payload), the response
+    (html payload), and a metadata record, linked per ISO 28500 by
+    WARC-Concurrent-To naming the response's WARC-Record-ID
+    (deterministic md5-derived urn:uuid ids — re-running the writer
+    reproduces the archive byte-for-byte); each stream opens with a
+    warcinfo record (no Target-URI).  The full .warc.gz pipeline runs
+    (member-per-record build → decompress+segment), then the PAIRING
+    operator: responses equi-join their request/metadata records on
+    record id — the reconstruction step crawl processing actually needs.
+    The oracle re-derives ids (same md5 slicing), lengths, md5s, and the
+    response's in-stream rec_index (1 warcinfo + 3j+2) arithmetically —
+    a framing, id, ordering, or join defect diverges.  Scale: one
+    shuffle to group streams, shuffle-free kernels, then id equi-joins
+    (uuids are uniform keys — no skew by construction)."""
+    from datacube_core_spark.sources.pages import TS_EPOCH
+    from datacube_core_spark.sources.warc import (
+        build_warc_gz_streams,
+        read_warc_gz_streams,
+        uuid_urn_col,
+        warc_record_col,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "url", "warc_ts", "html")
+    path = F.regexp_extract("url", r"https://[^/]+(/.*)$", 1)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    req_pl = F.encode(
+        F.concat(F.lit("GET "), path, F.lit(" HTTP/1.1\r\nHost: "), host,
+                 F.lit("\r\n\r\n")),
+        "UTF-8",
+    )
+    meta_pl = F.encode(
+        F.concat(F.lit("fetchTimeMs: "),
+                 ((F.col("doc_id") * 37) % 1000).cast("string"), F.lit("\n")),
+        "UTF-8",
+    )
+
+    def rid(role):
+        return uuid_urn_col(F.concat(F.lit(role + "-"), F.col("doc_id").cast("string")))
+
+    sid = (F.col("doc_id") % 64).alias("stream_id")
+    req = p.select(
+        sid, (F.col("doc_id") * 4).alias("ord"),
+        warc_record_col(F.col("url"), F.col("warc_ts"), req_pl, "request",
+                        record_id=rid("req"), concurrent_to=rid("resp")).alias("rec"),
+    )
+    resp = p.select(
+        sid, (F.col("doc_id") * 4 + 1).alias("ord"),
+        warc_record_col(F.col("url"), F.col("warc_ts"), F.col("html"), "response",
+                        record_id=rid("resp")).alias("rec"),
+    )
+    meta = p.select(
+        sid, (F.col("doc_id") * 4 + 2).alias("ord"),
+        warc_record_col(F.col("url"), F.col("warc_ts"), meta_pl, "metadata",
+                        record_id=rid("meta"), concurrent_to=rid("resp")).alias("rec"),
+    )
+    info_pl = F.encode(
+        F.concat(F.lit("software: datacube-core-spark\r\nstream: "),
+                 F.col("stream_id").cast("string"), F.lit("\r\n")),
+        "UTF-8",
+    )
+    info = p.select(sid).distinct().select(
+        "stream_id", F.lit(-1).cast("long").alias("ord"),
+        warc_record_col(
+            None, F.timestamp_seconds(F.lit(TS_EPOCH)), info_pl, "warcinfo",
+            record_id=uuid_urn_col(
+                F.concat(F.lit("info-"), F.col("stream_id").cast("string"))
+            ),
+        ).alias("rec"),
+    )
+    allrecs = req.unionByName(resp).unionByName(meta).unionByName(info)
+    recs = read_warc_gz_streams(build_warc_gz_streams(allrecs, order_col="ord"))
+    r = recs.where(F.col("warc_type") == "response").select(
+        "stream_id", "rec_index", F.col("record_id").alias("resp_id"),
+        "target_uri", F.col("content_length").alias("resp_cl"),
+        F.md5("payload").alias("resp_md5"),
+    )
+    rq = recs.where(F.col("warc_type") == "request").select(
+        F.col("concurrent_to").alias("q_ct"), F.col("record_id").alias("req_id"),
+        F.col("content_length").alias("req_cl"), F.md5("payload").alias("req_md5"),
+    )
+    mm = recs.where(F.col("warc_type") == "metadata").select(
+        F.col("concurrent_to").alias("m_ct"), F.col("record_id").alias("meta_id"),
+        F.col("content_length").alias("meta_cl"), F.md5("payload").alias("meta_md5"),
+    )
+    return (
+        r.join(rq, r["resp_id"] == rq["q_ct"])
+        .join(mm, r["resp_id"] == mm["m_ct"])
+        .select(
+            F.regexp_extract("target_uri", r"/page/(\d+)$", 1).cast("long").alias("doc_id"),
+            "stream_id", "rec_index", "resp_id", "req_id", "meta_id",
+            "resp_cl", "resp_md5", "req_cl", "req_md5", "meta_cl", "meta_md5",
+        )
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) record build + parse round trip
     (sources/warc.py): each page's html is framed as a WARC/1.0 response
@@ -1828,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "warc_triples": q_warc_triples,
         "sitemap_index": q_sitemap_index,
         "link_components": q_link_components,
         "sitemap_roundtrip": q_sitemap_roundtrip,
@@ -2342,6 +2440,38 @@ SELECT doc_id,
        strlen(h) AS content_length,
        md5(h) AS payload_md5
 FROM m
+"""
+
+    # warc_triples twin: ids via the same md5 slicing, payload md5s /
+    # octet lengths / in-stream rec_index (1 warcinfo + per-doc triple →
+    # response at 3j+2) all re-derived arithmetically — the SQL never
+    # sees WARC bytes, so agreement proves framing + id linkage + the
+    # pairing join end-to-end.
+    from datacube_core_spark.sources.warc import sql_uuid_urn
+
+    sqls["warc_triples"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, url, {_she(repl=Q_REPL)} AS h FROM pages),
+wt AS (
+  SELECT doc_id, url, h, doc_id % 64 AS stream_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) - 1
+              AS BIGINT) AS j,
+         'GET ' || regexp_extract(url, 'https://[^/]+(/.*)$', 1)
+           || ' HTTP/1.1' || chr(13) || chr(10)
+           || 'Host: ' || regexp_extract(url, 'https://([^/]+)/', 1)
+           || chr(13) || chr(10) || chr(13) || chr(10) AS req_pl,
+         'fetchTimeMs: ' || CAST((doc_id * 37) % 1000 AS VARCHAR) || chr(10)
+           AS meta_pl
+  FROM m
+)
+SELECT doc_id, stream_id,
+       CAST(3 * j + 2 AS INT) AS rec_index,
+       {sql_uuid_urn("'resp-' || CAST(doc_id AS VARCHAR)")} AS resp_id,
+       {sql_uuid_urn("'req-' || CAST(doc_id AS VARCHAR)")} AS req_id,
+       {sql_uuid_urn("'meta-' || CAST(doc_id AS VARCHAR)")} AS meta_id,
+       CAST(strlen(h) AS BIGINT) AS resp_cl, md5(h) AS resp_md5,
+       CAST(strlen(req_pl) AS BIGINT) AS req_cl, md5(req_pl) AS req_md5,
+       CAST(strlen(meta_pl) AS BIGINT) AS meta_cl, md5(meta_pl) AS meta_md5
+FROM wt
 """
 
     # warc_roundtrip twin: every expected field re-derived arithmetically

@@ -44,22 +44,73 @@ VERSION = "WARC/1.0"
 DATE_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 DATE_FMT_DUCK = "%Y-%m-%dT%H:%M:%SZ"
 
+# ISO 28500 §6 record types.  response/request/metadata/warcinfo get
+# first-class build support here; the rest share the same framing and
+# parse fine (the builder accepts them — nothing in the format differs).
+RECORD_TYPES = frozenset({
+    "warcinfo", "response", "request", "metadata",
+    "resource", "revisit", "conversion", "continuation",
+})
 
-def warc_record_col(uri: Column, date_ts: Column, payload_bin: Column,
-                    warc_type: str = "response") -> Column:
+
+def uuid_urn_col(seed: Column) -> Column:
+    """Deterministic ``<urn:uuid:...>`` record id: md5 of the seed
+    formatted 8-4-4-4-12.  WARC-Record-ID must be globally unique — a
+    content+role-derived digest gives that WITHOUT driver-side state or
+    nondeterminism (re-running the writer reproduces the archive
+    byte-for-byte, which is what the dedup/resume layers key on)."""
+    h = F.md5(seed.cast("string"))
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+
+
+def sql_uuid_urn(seed_expr: str) -> str:
+    """DuckDB twin of :func:`uuid_urn_col` (term-identical md5 slicing)."""
+    h = f"md5(CAST({seed_expr} AS VARCHAR))"
+    return (
+        f"('<urn:uuid:' || substr({h}, 1, 8) || '-' || substr({h}, 9, 4)"
+        f" || '-' || substr({h}, 13, 4) || '-' || substr({h}, 17, 4)"
+        f" || '-' || substr({h}, 21, 12) || '>')"
+    )
+
+
+def warc_record_col(uri: Column | None, date_ts: Column, payload_bin: Column,
+                    warc_type: str = "response",
+                    record_id: Column | None = None,
+                    concurrent_to: Column | None = None) -> Column:
     """Full WARC record bytes (binary) for one page.
 
-    Header order is fixed (Type, Target-URI, Date, Content-Length) so
-    the bytes are deterministic; Content-Length counts payload OCTETS.
+    Header order is fixed (Type, [Record-ID], [Concurrent-To],
+    [Target-URI], Date, Content-Length) so the bytes are deterministic;
+    Content-Length counts payload OCTETS.  ``record_id`` /
+    ``concurrent_to`` add the linkage headers request/metadata records
+    carry (WARC-Concurrent-To names the response record they belong
+    to); ``uri=None`` omits WARC-Target-URI (warcinfo records have
+    none).  Optional headers default off, so pre-existing archives'
+    bytes are unchanged.
     """
-    head = F.concat(
+    if warc_type not in RECORD_TYPES:
+        raise ValueError(f"unknown WARC-Type: {warc_type!r}")
+    parts = [
         F.lit(VERSION + CRLF),
         F.lit(f"WARC-Type: {warc_type}" + CRLF),
-        F.lit("WARC-Target-URI: "), uri, F.lit(CRLF),
+    ]
+    if record_id is not None:
+        parts += [F.lit("WARC-Record-ID: "), record_id, F.lit(CRLF)]
+    if concurrent_to is not None:
+        parts += [F.lit("WARC-Concurrent-To: "), concurrent_to, F.lit(CRLF)]
+    if uri is not None:
+        parts += [F.lit("WARC-Target-URI: "), uri, F.lit(CRLF)]
+    parts += [
         F.lit("WARC-Date: "), F.date_format(date_ts, DATE_FMT_SPARK), F.lit(CRLF),
         F.lit("Content-Length: "), F.length(payload_bin).cast("string"),
         F.lit(_SEP),
-    )
+    ]
+    head = F.concat(*parts)
     return F.concat(F.encode(head, "UTF-8"), payload_bin, F.encode(F.lit(_SEP), "UTF-8"))
 
 
@@ -84,6 +135,8 @@ def parse_warc_record(rec_bin: Column) -> Column:
     return F.struct(
         F.substring(s, 1, len(VERSION)).alias("version"),
         _header(s, "WARC-Type").alias("warc_type"),
+        _header(s, "WARC-Record-ID").alias("record_id"),
+        _header(s, "WARC-Concurrent-To").alias("concurrent_to"),
         _header(s, "WARC-Target-URI").alias("target_uri"),
         _header(s, "WARC-Date").alias("date"),
         cl.alias("content_length"),
@@ -96,8 +149,9 @@ def parse_warc_record(rec_bin: Column) -> Column:
 # --------------------------------------------------------------------------
 
 _STREAM_SCHEMA = (
-    "stream_id long, rec_index int, warc_type string, target_uri string, "
-    "date string, content_length long, payload binary"
+    "stream_id long, rec_index int, warc_type string, record_id string, "
+    "concurrent_to string, target_uri string, date string, "
+    "content_length long, payload binary"
 )
 
 
@@ -130,6 +184,8 @@ def segment_warc_bytes(buf: bytes):
         yield {
             "rec_index": idx,
             "warc_type": fields.get("WARC-Type", ""),
+            "record_id": fields.get("WARC-Record-ID", ""),
+            "concurrent_to": fields.get("WARC-Concurrent-To", ""),
             "target_uri": fields.get("WARC-Target-URI", ""),
             "date": fields.get("WARC-Date", ""),
             "content_length": cl,
@@ -144,8 +200,8 @@ def _stream_reader(df: DataFrame, stream_id_col: str, bytes_col: str,
     """Shared Arrow mapInPandas scaffolding for both stream tiers:
     ``records_fn(bytes) -> iterator of record dicts`` does the framing
     (plain segmentation, or gunzip + segmentation)."""
-    cols = ["stream_id", "rec_index", "warc_type", "target_uri",
-            "date", "content_length", "payload"]
+    cols = ["stream_id", "rec_index", "warc_type", "record_id",
+            "concurrent_to", "target_uri", "date", "content_length", "payload"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
