@@ -890,6 +890,66 @@ def q_warc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over plain .warc streams (sources/warc.py +
+    functions/surt.py): the web-archive lookup index — for every
+    response record, its SURT urlkey (canonicalized host-reversed URL:
+    case/www/default-port variants collapse, query params sort), a
+    14-digit timestamp, payload digest, and the (offset, length) byte
+    coordinates inside the named stream that a later range fetch needs.
+    URIs are deterministically messied (uppercase+www+:443 on uid%5==0,
+    unsorted ?b=&a= query on uid%3==0) so the SURT transform is
+    exercised, then framed as WARC records, concatenated into one .warc
+    stream per bucket by the applyInPandas writer, and re-segmented by
+    the Arrow stream reader — the reader's measured offsets/lengths are
+    compared against the oracle's ARITHMETIC re-derivation (running sum
+    of header+payload+trailer octets over the in-stream order), so any
+    framing drift diverges.  shard/shard_pos mirror the ZipNum sharded-
+    CDX layout: rank within the host shard ordered by (surt, ts) — a
+    per-shard window, never a global sort.  Scale: one shuffle to group
+    streams, shuffle-free kernels, bounded per-shard windows."""
+    from datacube_core_spark.functions.surt import surt_key_col
+    from datacube_core_spark.sources.warc import (
+        build_warc_streams,
+        read_warc_streams,
+        warc_record_col,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "url", "warc_ts", "html")
+    d = F.col("doc_id")
+    host_up = F.upper(F.regexp_extract("url", r"https://([^/]+)/", 1))
+    pathpart = F.regexp_extract("url", r"https://[^/]+(/.*)$", 1)
+    base = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("https://WWW."), host_up, F.lit(":443"), pathpart),
+    ).otherwise(F.col("url"))
+    qs = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("?b="), (d % 7).cast("string"),
+                 F.lit("&a="), (d % 5).cast("string")),
+    ).otherwise(F.lit(""))
+    uri = F.concat(base, qs)
+    recs = read_warc_streams(build_warc_streams(p.select(
+        (d % 64).alias("stream_id"), "doc_id",
+        warc_record_col(uri, F.col("warc_ts"), F.col("html")).alias("rec"),
+    )))
+    surt = surt_key_col(F.col("target_uri"))
+    shard = F.regexp_extract(surt, r"^([^)]*)", 1)
+    w = Window.partitionBy(shard).orderBy(surt, F.col("date"))
+    return recs.where(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/page/(\d+)", 1).cast("long").alias("doc_id"),
+        surt.alias("surt"),
+        F.regexp_replace("date", "[-:TZ]", "").alias("ts14"),
+        F.md5("payload").alias("digest"),
+        F.col("rec_len").alias("length_b"),
+        F.col("offset").alias("offset_b"),
+        F.concat(F.lit("crawl-"), F.col("stream_id").cast("string"),
+                 F.lit(".warc")).alias("filename"),
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) record build + parse round trip
     (sources/warc.py): each page's html is framed as a WARC/1.0 response
@@ -1925,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "cdx_index": q_cdx_index,
         "warc_triples": q_warc_triples,
         "sitemap_index": q_sitemap_index,
         "link_components": q_link_components,
@@ -2493,6 +2554,54 @@ SELECT doc_id,
        TRUE AS uri_ok,
        TRUE AS payload_ok
 FROM m
+"""
+
+    # cdx_index twin: the SQL never sees the WARC stream bytes — record
+    # lengths come from the header-scaffolding arithmetic and offsets
+    # from a running sum over the in-stream order, so the reader's
+    # MEASURED byte coordinates must land exactly on the arithmetic.
+    # The SURT urlkey is the term-identical DuckDB twin of the Catalyst
+    # chain (functions/surt.py).
+    from datacube_core_spark.functions.surt import sql_surt_key
+
+    sqls["cdx_index"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, url, warc_ts, {_she(repl=Q_REPL)} AS h FROM pages),
+w AS (
+  SELECT doc_id, warc_ts, h, doc_id % 64 AS sid,
+         (CASE WHEN doc_id % 5 = 0 THEN
+            'https://WWW.' || upper(regexp_extract(url, 'https://([^/]+)/', 1))
+              || ':443' || regexp_extract(url, 'https://[^/]+(/.*)$', 1)
+          ELSE url END)
+         || (CASE WHEN doc_id % 3 = 0 THEN
+               '?b=' || CAST(doc_id % 7 AS VARCHAR)
+                 || '&a=' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE '' END) AS uri
+  FROM m
+),
+r AS (SELECT *, {sql_warc_record_length('uri', 'strlen(h)')} AS rec_len FROM w),
+o AS (
+  SELECT *,
+         COALESCE(SUM(rec_len) OVER (PARTITION BY sid ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM r
+),
+s AS (
+  SELECT doc_id, sid, rec_len, off,
+         {sql_surt_key('uri')} AS surt,
+         regexp_replace({sql_warc_date('warc_ts')}, '[-:TZ]', '', 'g') AS ts14,
+         md5(h) AS digest
+  FROM o
+)
+SELECT doc_id, surt, ts14, digest,
+       CAST(rec_len AS BIGINT) AS length_b,
+       CAST(off AS BIGINT) AS offset_b,
+       'crawl-' || CAST(sid AS VARCHAR) || '.warc' AS filename,
+       regexp_extract(surt, '^([^)]*)', 1) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY regexp_extract(surt, '^([^)]*)', 1)
+         ORDER BY surt, ts14
+       ) AS BIGINT) AS shard_pos
+FROM s
 """
 
     # nfc_normalize twin: identical adversarial input, normalized by

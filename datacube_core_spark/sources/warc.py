@@ -151,7 +151,7 @@ def parse_warc_record(rec_bin: Column) -> Column:
 _STREAM_SCHEMA = (
     "stream_id long, rec_index int, warc_type string, record_id string, "
     "concurrent_to string, target_uri string, date string, "
-    "content_length long, payload binary"
+    "content_length long, payload binary, offset long, rec_len long"
 )
 
 
@@ -159,7 +159,12 @@ def segment_warc_bytes(buf: bytes):
     """Walk one WARC stream by Content-Length jumps (pure python, used
     inside the Arrow kernel and directly testable).  Yields dicts.
     Raises ValueError on malformed framing — corrupt archives must fail
-    loudly, not resync silently."""
+    loudly, not resync silently.
+
+    Each record carries its byte ``offset`` in the stream and its total
+    ``rec_len`` (header + payload + trailer octets) — the fields a CDX
+    capture index stores so a later byte-range fetch can pull ONE record
+    without reading the file prefix."""
     pos, idx = 0, 0
     n = len(buf)
     while pos < n:
@@ -190,6 +195,8 @@ def segment_warc_bytes(buf: bytes):
             "date": fields.get("WARC-Date", ""),
             "content_length": cl,
             "payload": payload,
+            "offset": pos,
+            "rec_len": body_start + cl + 4 - pos,
         }
         pos = body_start + cl + 4
         idx += 1
@@ -201,7 +208,8 @@ def _stream_reader(df: DataFrame, stream_id_col: str, bytes_col: str,
     ``records_fn(bytes) -> iterator of record dicts`` does the framing
     (plain segmentation, or gunzip + segmentation)."""
     cols = ["stream_id", "rec_index", "warc_type", "record_id",
-            "concurrent_to", "target_uri", "date", "content_length", "payload"]
+            "concurrent_to", "target_uri", "date", "content_length",
+            "payload", "offset", "rec_len"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -214,6 +222,27 @@ def _stream_reader(df: DataFrame, stream_id_col: str, bytes_col: str,
                 {c: [] for c in cols})
 
     return df.select(stream_id_col, bytes_col).mapInPandas(kernel, _STREAM_SCHEMA)
+
+
+def build_warc_streams(df: DataFrame, group_col: str = "stream_id",
+                       order_col: str = "doc_id",
+                       rec_col: str = "rec") -> DataFrame:
+    """(group, order, record-bytes) → one plain ``.warc`` stream per
+    group: records sorted by ``order_col`` and concatenated (the
+    uncompressed archive layout; offsets in the stream are then pure
+    sums of record lengths — what the CDX oracle re-derives
+    arithmetically).  Arrow applyInPandas kernel, one stream per task."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        blob = b"".join(bytes(r) for r in pdf[rec_col])
+        return pd.DataFrame(
+            {"stream_id": [pdf[group_col].iloc[0]], "content": [blob]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        kernel, "stream_id long, content binary"
+    )
 
 
 def read_warc_streams(df: DataFrame, stream_id_col: str = "stream_id",
@@ -242,13 +271,17 @@ def gzip_member(data: bytes, level: int = 6) -> bytes:
     return c.compress(data) + c.flush()
 
 
-def gunzip_members(buf: bytes):
-    """Yield the decompressed payload of each gzip member in ``buf``.
-    All framing defects raise ValueError (the module's malformed-input
-    contract), including corrupt DEFLATE data (zlib.error is wrapped)."""
+def gunzip_members_coords(buf: bytes):
+    """Yield ``(offset, compressed_len, data)`` for each gzip member in
+    ``buf``.  The (offset, length) pair is what a .warc.gz CDX index
+    stores: a byte-range fetch of exactly those bytes decompresses to
+    one record without reading the file prefix.  All framing defects
+    raise ValueError (the module's malformed-input contract), including
+    corrupt DEFLATE data (zlib.error is wrapped)."""
     import zlib
 
     pos_left = bytes(buf)
+    pos = 0
     while pos_left:
         d = zlib.decompressobj(31)
         try:
@@ -257,8 +290,16 @@ def gunzip_members(buf: bytes):
             raise ValueError(f"corrupt gzip member: {e}") from None
         if not d.eof:
             raise ValueError("truncated gzip member")
-        yield out + d.flush()
+        clen = len(pos_left) - len(d.unused_data)
+        yield pos, clen, out + d.flush()
+        pos += clen
         pos_left = d.unused_data
+
+
+def gunzip_members(buf: bytes):
+    """Yield the decompressed payload of each gzip member in ``buf``."""
+    for _, _, data in gunzip_members_coords(buf):
+        yield data
 
 
 def build_warc_gz_streams(df: DataFrame, group_col: str = "stream_id",
@@ -282,11 +323,18 @@ def build_warc_gz_streams(df: DataFrame, group_col: str = "stream_id",
 
 
 def _gz_records(buf: bytes):
-    """gunzip each member, segment, renumber rec_index across the stream."""
+    """gunzip each member, segment, renumber rec_index across the stream.
+    offset/rec_len are rewritten to the COMPRESSED member coordinates —
+    the .warc.gz CDX convention (a range fetch of those bytes gunzips to
+    the record; the member-per-record layout makes the mapping 1:1 for
+    archives this module writes, and offsets stay correct for multi-
+    record members too: every record in a member shares its coords)."""
     idx = 0
-    for member in gunzip_members(buf):
+    for m_off, m_len, member in gunzip_members_coords(buf):
         for rec in segment_warc_bytes(member):
             rec["rec_index"] = idx
+            rec["offset"] = m_off
+            rec["rec_len"] = m_len
             yield rec
             idx += 1
 

@@ -179,3 +179,106 @@ def test_warc_gz_pipeline_matches_plain(spark):
         doc_id = int(r.target_uri.rsplit("=", 1)[1])
         rank = sum(1 for j in range(len(PAYLOADS)) if j % 2 == doc_id % 2 and j < doc_id)
         assert r.rec_index == rank
+
+
+def test_segmenter_offsets_and_lengths():
+    """offset/rec_len from the segmenter are exact byte coordinates:
+    slicing the stream at [offset, offset+rec_len) re-segments to the
+    SAME single record (the CDX range-fetch contract)."""
+    date = "2024-06-05T04:03:02Z"
+    stream = b"".join(
+        _reference_record(f"https://s.example/{i}", date, p)
+        for i, p in enumerate(PAYLOADS)
+    )
+    recs = list(segment_warc_bytes(stream))
+    assert recs[0]["offset"] == 0
+    assert sum(r["rec_len"] for r in recs) == len(stream)
+    for r in recs:
+        sl = stream[r["offset"]:r["offset"] + r["rec_len"]]
+        (again,) = list(segment_warc_bytes(sl))
+        assert again["payload"] == r["payload"]
+        assert again["target_uri"] == r["target_uri"]
+    # offsets are the running sum of preceding lengths
+    run = 0
+    for r in recs:
+        assert r["offset"] == run
+        run += r["rec_len"]
+
+
+def test_gz_member_coords_range_fetch():
+    """gz-tier offset/rec_len are COMPRESSED member coordinates: a byte
+    range fetch of the slice gunzips to the record."""
+    from datacube_core_spark.sources.warc import (
+        gunzip_members,
+        gunzip_members_coords,
+        gzip_member,
+    )
+
+    date = "2024-01-01T00:00:00Z"
+    records = [
+        _reference_record(f"https://s.example/{i}", date, p)
+        for i, p in enumerate(PAYLOADS)
+    ]
+    blob = b"".join(gzip_member(r) for r in records)
+    coords = list(gunzip_members_coords(blob))
+    assert [d for _, _, d in coords] == records
+    assert coords[0][0] == 0
+    assert sum(c for _, c, _ in coords) == len(blob)
+    for (off, clen, data), rec in zip(coords, records):
+        (only,) = list(gunzip_members(blob[off:off + clen]))
+        assert only == rec
+
+
+def test_gz_reader_emits_member_coords(spark):
+    from datacube_core_spark.sources.warc import (
+        build_warc_gz_streams,
+        gunzip_members,
+        read_warc_gz_streams,
+    )
+
+    base = _df(spark).select(
+        "i",
+        warc_record_col(
+            F.col("uri"), F.timestamp_seconds(F.lit(1704067200)), F.col("pb")
+        ).alias("rec"),
+    )
+    d = base.select(F.lit(0).cast("long").alias("stream_id"),
+                    F.col("i").alias("doc_id"), "rec")
+    streams = build_warc_gz_streams(d).collect()
+    blob = bytes(streams[0].content)
+    out = sorted(read_warc_gz_streams(build_warc_gz_streams(d)).collect(),
+                 key=lambda r: r.rec_index)
+    for r in out:
+        (member,) = list(gunzip_members(blob[r.offset:r.offset + r.rec_len]))
+        (rec,) = list(segment_warc_bytes(member))
+        assert rec["payload"] == bytes(r.payload)
+
+
+def test_plain_stream_builder_roundtrip(spark):
+    """build_warc_streams (uncompressed .warc layout) → reader round
+    trip; reader offsets equal the arithmetic running sum the CDX
+    oracle uses."""
+    from datacube_core_spark.sources.warc import build_warc_streams
+
+    base = _df(spark).select(
+        "i", "uri", "pb",
+        warc_record_col(
+            F.col("uri"), F.timestamp_seconds(F.lit(1704067200)), F.col("pb")
+        ).alias("rec"),
+        F.length(
+            warc_record_col(
+                F.col("uri"), F.timestamp_seconds(F.lit(1704067200)), F.col("pb")
+            )
+        ).alias("rlen"),
+    )
+    d = base.select((F.col("i") % 2).cast("long").alias("stream_id"),
+                    F.col("i").alias("doc_id"), "rec")
+    out = read_warc_streams(build_warc_streams(d)).collect()
+    assert len(out) == len(PAYLOADS)
+    rlen = {r.i: r.rlen for r in base.collect()}
+    for r in out:
+        doc_id = int(r.target_uri.rsplit("=", 1)[1])
+        want_off = sum(rlen[j] for j in range(doc_id)
+                       if j % 2 == doc_id % 2)
+        assert r.offset == want_off, doc_id
+        assert r.rec_len == rlen[doc_id]
