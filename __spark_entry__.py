@@ -950,6 +950,27 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality terciles (operators/lm.py): an in-corpus
+    add-one-smoothed bigram LM scores every page (mean bigram
+    probability — deliberately transcendental-free: ln/exp are not
+    bitwise-portable between JVM and libm, measured 297/1999 values off
+    by 1 ulp, while +,*,/ are correctly rounded and order-pinned via a
+    position-ordered fold), then each language splits into head/middle/
+    tail terciles — the published CCNet corpus-filtering shape.  The
+    oracle replays the whole pipeline (counts, smoothing, ordered fold,
+    rank windows) and the driver hash-compares RAW doubles — any
+    arithmetic or ordering drift diverges.  Scale: map-side-combined
+    count tables; the (lang,w1) context join is Zipf-skewed → AQE
+    skew-join (salted_agg is the manual fallback); tercile cutoffs at
+    100 TB come from a sample (CCNet's own method) instead of the exact
+    per-lang window used at oracle scale."""
+    from datacube_core_spark.operators.lm import bigram_lm_scores
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "text", "lang")
+    return bigram_lm_scores(p)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) record build + parse round trip
     (sources/warc.py): each page's html is framed as a WARC/1.0 response
@@ -1985,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "lm_buckets": q_lm_buckets,
         "cdx_index": q_cdx_index,
         "warc_triples": q_warc_triples,
         "sitemap_index": q_sitemap_index,
@@ -2554,6 +2576,14 @@ SELECT doc_id,
        TRUE AS uri_ok,
        TRUE AS payload_ok
 FROM m
+"""
+
+    # lm_buckets twin: full pipeline replay — counts, add-one smoothing,
+    # position-ordered fold (bitwise-deterministic doubles), rank windows.
+    from datacube_core_spark.operators.lm import sql_bigram_lm
+
+    sqls["lm_buckets"] = f"""{pages_cte(Q_REPL)},
+{sql_bigram_lm("pages")}
 """
 
     # cdx_index twin: the SQL never sees the WARC stream bytes — record
