@@ -950,6 +950,49 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation (the Common Crawl extracted-text tier): each
+    response's html runs through the Catalyst HTML→text extractor
+    (functions/html.py) and is re-framed as a WARC ``conversion``
+    record whose WARC-Refers-To names the response record it was
+    derived from (ISO 28500 §5.11 linkage), then written as a
+    member-per-record .warc.gz (the .wet.gz layout) and read back.
+    The oracle re-runs the extraction with the DuckDB RE2 twin and
+    re-derives record ids (same md5 slicing), octet lengths, payload
+    md5s, and in-stream ordering arithmetically — a defect in the
+    extractor, the framing, or the linkage diverges.  Scale: one
+    shuffle to group streams; extraction + framing are shuffle-free
+    Catalyst maps."""
+    from datacube_core_spark.functions.html import extract_text_col
+    from datacube_core_spark.sources.warc import (
+        build_warc_gz_streams,
+        read_warc_gz_streams,
+        uuid_urn_col,
+        warc_record_col,
+    )
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "url", "warc_ts", "html")
+    d = F.col("doc_id")
+    wet_payload = F.encode(extract_text_col(F.col("html")), "UTF-8")
+    rec = warc_record_col(
+        F.col("url"), F.col("warc_ts"), wet_payload, "conversion",
+        record_id=uuid_urn_col(F.concat(F.lit("wet-"), d.cast("string"))),
+        refers_to=uuid_urn_col(F.concat(F.lit("resp-"), d.cast("string"))),
+    )
+    recs = read_warc_gz_streams(build_warc_gz_streams(
+        p.select((d % 64).alias("stream_id"), "doc_id", rec.alias("rec"))
+    ))
+    return recs.select(
+        F.regexp_extract("target_uri", r"/page/(\d+)$", 1).cast("long").alias("doc_id"),
+        "stream_id", "rec_index",
+        F.col("warc_type"),
+        F.col("record_id").alias("wet_id"),
+        F.col("refers_to"),
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality terciles (operators/lm.py): an in-corpus
     add-one-smoothed bigram LM scores every page (mean bigram
@@ -2006,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "wet_records": q_wet_records,
         "lm_buckets": q_lm_buckets,
         "cdx_index": q_cdx_index,
         "warc_triples": q_warc_triples,
@@ -2576,6 +2620,26 @@ SELECT doc_id,
        TRUE AS uri_ok,
        TRUE AS payload_ok
 FROM m
+"""
+
+    # wet_records twin: re-runs the HTML→text extraction with the RE2
+    # twin and re-derives ids / octets / md5s / in-stream rec_index
+    # arithmetically — the SQL never sees the WET bytes.
+    from datacube_core_spark.functions.html import sql_extract_text as _set
+
+    sqls["wet_records"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, url, warc_ts, {_she(repl=Q_REPL)} AS h FROM pages),
+e AS (SELECT doc_id, url, doc_id % 64 AS sid, {_set('h')} AS ext FROM m)
+SELECT doc_id,
+       sid AS stream_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sid ORDER BY doc_id) - 1
+            AS INT) AS rec_index,
+       'conversion' AS warc_type,
+       {sql_uuid_urn("'wet-' || CAST(doc_id AS VARCHAR)")} AS wet_id,
+       {sql_uuid_urn("'resp-' || CAST(doc_id AS VARCHAR)")} AS refers_to,
+       CAST(strlen(ext) AS BIGINT) AS content_length,
+       md5(ext) AS payload_md5
+FROM e
 """
 
     # lm_buckets twin: full pipeline replay — counts, add-one smoothing,

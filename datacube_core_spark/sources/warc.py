@@ -81,17 +81,20 @@ def sql_uuid_urn(seed_expr: str) -> str:
 def warc_record_col(uri: Column | None, date_ts: Column, payload_bin: Column,
                     warc_type: str = "response",
                     record_id: Column | None = None,
-                    concurrent_to: Column | None = None) -> Column:
+                    concurrent_to: Column | None = None,
+                    refers_to: Column | None = None) -> Column:
     """Full WARC record bytes (binary) for one page.
 
     Header order is fixed (Type, [Record-ID], [Concurrent-To],
-    [Target-URI], Date, Content-Length) so the bytes are deterministic;
-    Content-Length counts payload OCTETS.  ``record_id`` /
-    ``concurrent_to`` add the linkage headers request/metadata records
-    carry (WARC-Concurrent-To names the response record they belong
-    to); ``uri=None`` omits WARC-Target-URI (warcinfo records have
-    none).  Optional headers default off, so pre-existing archives'
-    bytes are unchanged.
+    [Refers-To], [Target-URI], Date, Content-Length) so the bytes are
+    deterministic; Content-Length counts payload OCTETS.  ``record_id``
+    / ``concurrent_to`` add the linkage headers request/metadata
+    records carry (WARC-Concurrent-To names the response record they
+    belong to); ``refers_to`` is the conversion-record linkage
+    (WARC-Refers-To: a WET text record names the response it was
+    derived from); ``uri=None`` omits WARC-Target-URI (warcinfo records
+    have none).  Optional headers default off, so pre-existing
+    archives' bytes are unchanged.
     """
     if warc_type not in RECORD_TYPES:
         raise ValueError(f"unknown WARC-Type: {warc_type!r}")
@@ -103,6 +106,8 @@ def warc_record_col(uri: Column | None, date_ts: Column, payload_bin: Column,
         parts += [F.lit("WARC-Record-ID: "), record_id, F.lit(CRLF)]
     if concurrent_to is not None:
         parts += [F.lit("WARC-Concurrent-To: "), concurrent_to, F.lit(CRLF)]
+    if refers_to is not None:
+        parts += [F.lit("WARC-Refers-To: "), refers_to, F.lit(CRLF)]
     if uri is not None:
         parts += [F.lit("WARC-Target-URI: "), uri, F.lit(CRLF)]
     parts += [
@@ -137,6 +142,7 @@ def parse_warc_record(rec_bin: Column) -> Column:
         _header(s, "WARC-Type").alias("warc_type"),
         _header(s, "WARC-Record-ID").alias("record_id"),
         _header(s, "WARC-Concurrent-To").alias("concurrent_to"),
+        _header(s, "WARC-Refers-To").alias("refers_to"),
         _header(s, "WARC-Target-URI").alias("target_uri"),
         _header(s, "WARC-Date").alias("date"),
         cl.alias("content_length"),
@@ -150,8 +156,8 @@ def parse_warc_record(rec_bin: Column) -> Column:
 
 _STREAM_SCHEMA = (
     "stream_id long, rec_index int, warc_type string, record_id string, "
-    "concurrent_to string, target_uri string, date string, "
-    "content_length long, payload binary, offset long, rec_len long"
+    "concurrent_to string, refers_to string, target_uri string, "
+    "date string, content_length long, payload binary, offset long, rec_len long"
 )
 
 
@@ -191,6 +197,7 @@ def segment_warc_bytes(buf: bytes):
             "warc_type": fields.get("WARC-Type", ""),
             "record_id": fields.get("WARC-Record-ID", ""),
             "concurrent_to": fields.get("WARC-Concurrent-To", ""),
+            "refers_to": fields.get("WARC-Refers-To", ""),
             "target_uri": fields.get("WARC-Target-URI", ""),
             "date": fields.get("WARC-Date", ""),
             "content_length": cl,
@@ -208,8 +215,8 @@ def _stream_reader(df: DataFrame, stream_id_col: str, bytes_col: str,
     ``records_fn(bytes) -> iterator of record dicts`` does the framing
     (plain segmentation, or gunzip + segmentation)."""
     cols = ["stream_id", "rec_index", "warc_type", "record_id",
-            "concurrent_to", "target_uri", "date", "content_length",
-            "payload", "offset", "rec_len"]
+            "concurrent_to", "refers_to", "target_uri", "date",
+            "content_length", "payload", "offset", "rec_len"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
