@@ -309,6 +309,46 @@ def _s2pip_index(spark: SparkSession):
     return idx
 
 
+_GHPIP_INDEX_CACHE: dict = {}
+
+
+def _ghpip_index(spark: SparkSession):
+    """Build-once geohash covering index over the same region set as
+    _s2pip_index (240 patchwork rects + the chopped dateline region)."""
+    from datacube_core_spark.geom.lonlat import chop_along_antimeridian
+    from datacube_core_spark.geom.polygon import box_ring, pack_multipolygon
+    from datacube_core_spark.operators.ghpip import GeohashPipIndex
+
+    key = id(spark)
+    idx = _GHPIP_INDEX_CACHE.get(key)
+    if idx is None:
+        chopped = chop_along_antimeridian([[box_ring(170.0, -20.0, 190.0, 25.0)]])
+        extra = spark.createDataFrame(
+            [(240, "dateline", -180.0, -20.0, 180.0, 25.0, bytearray(pack_multipolygon(chopped)))],
+            "region_id INT, name STRING, left DOUBLE, bottom DOUBLE, right DOUBLE, top DOUBLE, geom BINARY",
+        )
+        idx = GeohashPipIndex(spark, regions(spark).unionByName(extra))
+        _GHPIP_INDEX_CACHE.clear()
+        _GHPIP_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_pip_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join keyed by geohash STRINGS (geom/ghcover.py +
+    operators/ghpip.py): the string-key interop sibling of pip_s2 —
+    regions become conservative geohash-cell coverings (cells are
+    lon/lat rects, classified interior/boundary by the exact machinery
+    shared with the S2 coverer), points key in PURE Catalyst
+    (cellkeys.geohash_col — no Arrow pass), ancestors are string
+    prefixes (substr), and candidates resolve through one broadcast
+    equi-join + bbox predicate, with only the dateline region's
+    boundary band paying the exact refine.  Output is row-identical to
+    the GridSpec PipIndex / S2PipIndex on the same regions — the oracle
+    checks value-for-value (same SQL as pip_s2)."""
+    p = pages(spark, sf_dir, repl=Q_REPL)
+    return _ghpip_index(spark).join(p, keep_cols=["doc_id"]).select("doc_id", "region_id")
+
+
 def q_pip_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join keyed by TRUE S2 cell ids (r5 verdict item 2): each
     region becomes a conservative covering cell set (geom/s2cover.py —
@@ -2049,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "pip_geohash": q_pip_geohash,
         "wet_records": q_wet_records,
         "lm_buckets": q_lm_buckets,
         "cdx_index": q_cdx_index,
@@ -2195,6 +2236,10 @@ SELECT doc_id, CAST(240 AS INT) AS region_id FROM pages
 WHERE lat > -20.0 AND lat < 25.0
   AND ((lon > 170.0 AND lon < 180.0) OR (lon > -180.0 AND lon < -170.0))
 """
+
+    # pip_geohash: identical semantics through the geohash string-key
+    # candidate machinery — same oracle formulation as pip_s2
+    sqls["pip_geohash"] = sqls["pip_s2"]
 
     sqls["knn"] = f"""{_P},
 q AS (SELECT doc_id AS qid, lon AS q_lon, lat AS q_lat FROM pages WHERE doc_id % 1009 = 0)
