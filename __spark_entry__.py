@@ -333,6 +333,36 @@ def _ghpip_index(spark: SparkSession):
     return idx
 
 
+def q_mgrs_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MGRS grid references (geom/mgrs.py) over the native Krüger UTM:
+    zone + 8° latitude band + 100 km square letters (published NGA
+    rules: per-zone-mod-3 column runs over A..Z minus I/O, 20-letter
+    row cycle with the even-zone +5 shift, southern false northing)
+    + 1-metre digits — the string interop key NATO/USGS datasets ship
+    with, completing the cell-key family (geohash, quadkey, S2).
+    Domain-filtered to lat ∈ [-80, 84) (beyond is UPS, out of scope —
+    both engines filter identically).  All letter/digit arithmetic is
+    integer/string ops shared by the Catalyst and DuckDB dialects;
+    floors inherit utm_project's ≤-few-ulp libm caveat.  Pinned to the
+    published Eiffel (31UDQ4825111932) and equator/prime-meridian
+    (31NAA6602100000) vectors in tests/test_mgrs.py.  Scale: pure map,
+    no shuffle."""
+    from datacube_core_spark.geom.mgrs import mgrs_cols
+    from datacube_core_spark.geom.tmerc import utm_staged_df
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "lon", "lat")
+    p = p.where((F.col("lat") >= F.lit(-80.0)) & (F.col("lat") < F.lit(84.0)))
+    staged = utm_staged_df(p)
+    parts = mgrs_cols(F.col("zone"), F.col("lat"),
+                      F.col("easting"), F.col("northing"))
+    return staged.select(
+        "doc_id", "zone",
+        parts["band"].alias("band"), parts["sq"].alias("sq"),
+        parts["e5"].alias("e5"), parts["n5"].alias("n5"),
+        parts["mgrs"].alias("mgrs"),
+    )
+
+
 def q_pip_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join keyed by geohash STRINGS (geom/ghcover.py +
     operators/ghpip.py): the string-key interop sibling of pip_s2 —
@@ -2089,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "mgrs_keys": q_mgrs_keys,
         "pip_geohash": q_pip_geohash,
         "wet_records": q_wet_records,
         "lm_buckets": q_lm_buckets,
@@ -2279,6 +2310,23 @@ z AS (SELECT doc_id, lon, lat,
 SELECT doc_id, zone,
        CAST(FLOOR({_e_sql}) AS BIGINT) AS easting_m,
        CAST(FLOOR({_n_sql}) AS BIGINT) AS northing_m
+FROM z
+"""
+
+    from datacube_core_spark.geom.mgrs import sql_mgrs_exprs
+
+    _mg = sql_mgrs_exprs("zone", "lat", _e_sql, _n_sql)
+    sqls["mgrs_keys"] = f"""{_P},
+z AS (SELECT doc_id, lon, lat,
+             {sql_utm_zone("lon")} AS zone
+      FROM pages
+      WHERE lat >= -80.0 AND lat < 84.0)
+SELECT doc_id, zone,
+       {_mg["band"]} AS band,
+       {_mg["sq"]} AS sq,
+       {_mg["e5"]} AS e5,
+       {_mg["n5"]} AS n5,
+       {_mg["mgrs"]} AS mgrs
 FROM z
 """
 
