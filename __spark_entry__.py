@@ -333,6 +333,23 @@ def _ghpip_index(spark: SparkSession):
     return idx
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/dsir.py, after Xie et
+    al. NeurIPS 2023): hashed-bigram likelihood ratio of a target
+    distribution (here: the English subset as the trusted corpus) vs
+    the raw crawl — the published bounded-memory data-selection
+    estimator (both feature tables are exactly n_buckets rows at ANY
+    corpus size).  Float-portable like lm_buckets: exact integer
+    counts, one double division per feature from two int64 products,
+    position-ordered mean — the oracle hash-compares raw doubles.
+    Scale: shuffle-free featurization, map-side-combined bucket counts
+    (uniform hash keys — no skew), broadcast ratio table, no window."""
+    from datacube_core_spark.operators.dsir import dsir_weights
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "text", "lang")
+    return dsir_weights(p, F.col("lang") == "en")
+
+
 def q_mgrs_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MGRS grid references (geom/mgrs.py) over the native Krüger UTM:
     zone + 8° latitude band + 100 km square letters (published NGA
@@ -2119,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "dsir_weights": q_dsir_weights,
         "mgrs_keys": q_mgrs_keys,
         "pip_geohash": q_pip_geohash,
         "wet_records": q_wet_records,
@@ -2733,6 +2751,14 @@ SELECT doc_id,
        CAST(strlen(ext) AS BIGINT) AS content_length,
        md5(ext) AS payload_md5
 FROM e
+"""
+
+    # dsir_weights twin: full replay — hashed buckets, smoothed two-corpus
+    # ratio from exact int products, position-ordered mean (raw doubles).
+    from datacube_core_spark.operators.dsir import sql_dsir
+
+    sqls["dsir_weights"] = f"""{pages_cte(Q_REPL)},
+{sql_dsir("pages", "lang = 'en'")}
 """
 
     # lm_buckets twin: full pipeline replay — counts, add-one smoothing,

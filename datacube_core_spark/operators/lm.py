@@ -52,6 +52,24 @@ def _clean_tokens(text: Column) -> Column:
     return F.filter(tokens_col(text), lambda t: t != "")
 
 
+def bigrams_df(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", extra_cols: tuple = ()) -> DataFrame:
+    """(id, [extra...], pos, w1, w2) — one row per adjacent token pair.
+    Shared by the LM scorer and the DSIR featurizer; shuffle-free map.
+    Documents with fewer than two tokens emit nothing."""
+    d = docs.select(id_col, *extra_cols, _clean_tokens(F.col(text_col)).alias("t"))
+    # struct(pos, w1, w2) per adjacent pair; Spark SQL array indexing is
+    # 0-based in expressions, so pair i is (t[i], t[i+1])
+    pairs = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (w, i) -> struct(i AS pos, w AS w1, t[i + 1] AS w2))"
+    )
+    return (
+        d.select(id_col, *extra_cols, F.explode(pairs).alias("b"))
+        .select(id_col, *extra_cols, "b.pos", "b.w1", "b.w2")
+    )
+
+
 def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", lang_col: str = "lang") -> DataFrame:
     """Per-document LM score + tercile bucket.
@@ -61,16 +79,7 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
     scored (absent from the output, same as the SQL twin).
     """
     d = docs.select(id_col, lang_col, _clean_tokens(F.col(text_col)).alias("t"))
-    # struct(pos, w1, w2) per adjacent pair; Spark SQL array indexing is
-    # 0-based in expressions, so pair i is (t[i], t[i+1])
-    pairs = F.expr(
-        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
-        " (w, i) -> struct(i AS pos, w AS w1, t[i + 1] AS w2))"
-    )
-    big = (
-        d.select(id_col, lang_col, F.explode(pairs).alias("b"))
-        .select(id_col, lang_col, "b.pos", "b.w1", "b.w2")
-    )
+    big = bigrams_df(docs, id_col, text_col, extra_cols=(lang_col,))
     c2 = big.groupBy(lang_col, "w1", "w2").agg(F.count("*").alias("c2"))
     c1 = big.groupBy(lang_col, "w1").agg(F.count("*").alias("c1"))
     vocab = (
