@@ -333,6 +333,43 @@ def _ghpip_index(spark: SparkSession):
     return idx
 
 
+def q_mgrs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MGRS inverse (geom/mgrs.py parse_mgrs_cols): the forward string
+    is parsed back — zone/band from the prefix, easting from the
+    column-letter run, northing by resolving the 2000 km row-letter
+    cycle against the band's minimum northing (BAND_MIN_N, computed
+    from this repo's own Krüger forward at each band's south edge,
+    40 km slack) — and must reproduce the exact 1 m floor coordinates
+    the forward consumed (e_ok/n_ok booleans).  This is what makes
+    MGRS keys JOINABLE back to geometry, not just printable.  Both
+    engines build AND parse independently; 3000-point python fuzz in
+    tests.  Scale: pure map."""
+    from datacube_core_spark.geom.mgrs import mgrs_cols, parse_mgrs_cols
+    from datacube_core_spark.geom.tmerc import utm_staged_df
+
+    p = pages(spark, sf_dir, repl=Q_REPL).select("doc_id", "lon", "lat")
+    p = p.where((F.col("lat") >= F.lit(-80.0)) & (F.col("lat") < F.lit(84.0)))
+    staged = utm_staged_df(p)
+    parts = mgrs_cols(F.col("zone"), F.col("lat"),
+                      F.col("easting"), F.col("northing"))
+    built = staged.select(
+        "doc_id", "zone",
+        F.floor("easting").alias("e_fl"), F.floor("northing").alias("n_fl"),
+        parts["mgrs"].alias("mgrs"),
+    )
+    rec = parse_mgrs_cols(F.col("mgrs"))
+    return built.select(
+        "doc_id", "mgrs",
+        rec["zone"].alias("zone_p"),
+        rec["band"].alias("band_p"),
+        rec["easting"].alias("e_rec"),
+        rec["northing"].alias("n_rec"),
+        (rec["zone"] == F.col("zone")).alias("zone_ok"),
+        (rec["easting"] == F.col("e_fl")).alias("e_ok"),
+        (rec["northing"] == F.col("n_fl")).alias("n_ok"),
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (operators/dsir.py, after Xie et
     al. NeurIPS 2023): hashed-bigram likelihood ratio of a target
@@ -2136,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "mgrs_roundtrip": q_mgrs_roundtrip,
         "dsir_weights": q_dsir_weights,
         "mgrs_keys": q_mgrs_keys,
         "pip_geohash": q_pip_geohash,
@@ -2346,6 +2384,30 @@ SELECT doc_id, zone,
        {_mg["n5"]} AS n5,
        {_mg["mgrs"]} AS mgrs
 FROM z
+"""
+
+    from datacube_core_spark.geom.mgrs import sql_parse_mgrs_exprs
+
+    _pm = sql_parse_mgrs_exprs("mgrs")
+    sqls["mgrs_roundtrip"] = f"""{_P},
+z AS (SELECT doc_id, lon, lat,
+             {sql_utm_zone("lon")} AS zone
+      FROM pages
+      WHERE lat >= -80.0 AND lat < 84.0),
+b AS (SELECT doc_id, zone,
+             CAST(FLOOR({_e_sql}) AS BIGINT) AS e_fl,
+             CAST(FLOOR({_n_sql}) AS BIGINT) AS n_fl,
+             {_mg["mgrs"]} AS mgrs
+      FROM z)
+SELECT doc_id, mgrs,
+       {_pm["zone"]} AS zone_p,
+       {_pm["band"]} AS band_p,
+       {_pm["easting"]} AS e_rec,
+       {_pm["northing"]} AS n_rec,
+       {_pm["zone"]} = zone AS zone_ok,
+       {_pm["easting"]} = e_fl AS e_ok,
+       {_pm["northing"]} = n_fl AS n_ok
+FROM b
 """
 
     from datacube_core_spark.geom.albers import sql_albers_exprs

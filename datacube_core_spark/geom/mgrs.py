@@ -96,6 +96,121 @@ def sql_mgrs_exprs(zone: str, lat: str, e: str, n: str) -> dict:
     return {"band": band, "sq": sq, "e5": e5, "n5": n5, "mgrs": mgrs}
 
 
+def _band_min_northings() -> list:
+    """Minimum UTM northing per latitude band (20 ints), computed from
+    THIS repo's own Krüger forward at the band's south edge on the
+    central meridian, minus a 40 km slack for the zone-edge dip
+    (southern-hemisphere northing at fixed lat is lower at zone edges —
+    the dip is ≤ ~2 km even at 80°S; published implementations use the
+    same anchor-minus-slack scheme).  Bands span ≤ 12° ≈ 1330 km, far
+    under the 2000 km row-letter cycle, so the window
+    [min_n, min_n + 2·10⁶) uniquely disambiguates any in-band point."""
+    import numpy as np
+
+    from .tmerc import E0_UTM, N0_NORTH, N0_SOUTH, tmerc_forward
+
+    out = []
+    for i in range(20):
+        south = -80.0 + 8.0 * i
+        n0 = N0_NORTH if south >= 0 else N0_SOUTH
+        _, n = tmerc_forward(np.array([0.0]), np.array([south]), 0.0,
+                             e0=E0_UTM, n0=n0)
+        out.append(max(int(math.floor(float(n[0]))) - 40_000, 0))
+    return out
+
+
+BAND_MIN_N = _band_min_northings()
+_ROW_CYCLE = 2_000_000
+
+
+def parse_mgrs_cols(mgrs: Column) -> dict:
+    """Inverse of :func:`mgrs_cols` as pure Catalyst: MGRS string →
+    ``zone``, ``band``, and reconstructed 1 m ``easting``/``northing``
+    integers (the floor values the forward emitted).  Northing's
+    2000 km row-letter ambiguity resolves against the band's minimum
+    northing (``BAND_MIN_N``)."""
+    zone = F.regexp_extract(mgrs, r"^(\d+)", 1).cast("int")
+    letters = F.regexp_extract(mgrs, r"^\d+([A-Z]{3})", 1)
+    band = F.substring(letters, 1, 1)
+    col_letter = F.substring(letters, 2, 1)
+    row_letter = F.substring(letters, 3, 1)
+    digits = F.regexp_extract(mgrs, r"([0-9]{10})$", 1)
+    e5 = F.substring(digits, 1, 5).cast("long")
+    n5 = F.substring(digits, 6, 5).cast("long")
+    def _pos(letter: Column, alphabet: str) -> Column:
+        # 1-based index of a single-char Column in a literal alphabet
+        # (F.locate needs a literal substring, so use array_position)
+        return F.array_position(F.array(*[F.lit(c) for c in alphabet]), letter)
+
+    col_i = _pos(col_letter, COL_LETTERS).cast("long") - 1 \
+        - ((zone - 1) % 3).cast("long") * 8
+    easting = (col_i + 1) * 100000 + e5
+    row_shift = F.when(zone % 2 == 0, F.lit(5)).otherwise(F.lit(0))
+    row_i = (_pos(row_letter, ROW_LETTERS).cast("long") - 1
+             - row_shift + 20) % 20
+    raw = row_i * 100000 + n5
+    band_i = _pos(band, BAND_LETTERS).cast("int") - 1
+    min_n = F.element_at(F.array(*[F.lit(v) for v in BAND_MIN_N]), band_i + 1)
+    k = F.greatest(
+        F.floor((min_n - raw + F.lit(_ROW_CYCLE - 1)) / F.lit(float(_ROW_CYCLE))),
+        F.lit(0),
+    ).cast("long")
+    northing = raw + k * _ROW_CYCLE
+    return {"zone": zone, "band": band, "easting": easting, "northing": northing}
+
+
+def sql_parse_mgrs_exprs(mgrs: str) -> dict:
+    """DuckDB twin of :func:`parse_mgrs_cols` (same extraction and
+    window arithmetic; strpos/locate are both 1-based)."""
+    zone = f"CAST(regexp_extract({mgrs}, '^([0-9]+)', 1) AS INT)"
+    letters = f"regexp_extract({mgrs}, '^[0-9]+([A-Z]{{3}})', 1)"
+    band = f"substr({letters}, 1, 1)"
+    col_letter = f"substr({letters}, 2, 1)"
+    row_letter = f"substr({letters}, 3, 1)"
+    digits = f"regexp_extract({mgrs}, '([0-9]{{10}})$', 1)"
+    e5 = f"CAST(substr({digits}, 1, 5) AS BIGINT)"
+    n5 = f"CAST(substr({digits}, 6, 5) AS BIGINT)"
+    col_i = (
+        f"(CAST(strpos('{COL_LETTERS}', {col_letter}) AS BIGINT) - 1"
+        f" - CAST((({zone} - 1) % 3) AS BIGINT) * 8)"
+    )
+    easting = f"(({col_i} + 1) * 100000 + {e5})"
+    row_i = (
+        f"((CAST(strpos('{ROW_LETTERS}', {row_letter}) AS BIGINT) - 1"
+        f" - (CASE WHEN {zone} % 2 = 0 THEN 5 ELSE 0 END) + 20) % 20)"
+    )
+    raw = f"({row_i} * 100000 + {n5})"
+    mins = ", ".join(str(v) for v in BAND_MIN_N)
+    min_n = (
+        f"([{mins}])[CAST(strpos('{BAND_LETTERS}', {band}) AS INT)]"
+    )
+    k = (
+        f"GREATEST(CAST(FLOOR(({min_n} - {raw} + {_ROW_CYCLE - 1})"
+        f" / {float(_ROW_CYCLE)!r}) AS BIGINT), 0)"
+    )
+    northing = f"({raw} + {k} * {_ROW_CYCLE})"
+    return {"zone": zone, "band": band, "easting": easting, "northing": northing}
+
+
+def py_parse_mgrs(ref: str):
+    """Python reference inverse → (zone, band, easting, northing)."""
+    import re
+
+    m = re.match(r"^(\d+)([A-Z])([A-Z])([A-Z])(\d{5})(\d{5})$", ref)
+    if not m:
+        raise ValueError(f"not a 1 m MGRS reference: {ref!r}")
+    zone = int(m.group(1))
+    band, col_letter, row_letter = m.group(2), m.group(3), m.group(4)
+    e5, n5 = int(m.group(5)), int(m.group(6))
+    col_i = COL_LETTERS.index(col_letter) - ((zone - 1) % 3) * 8
+    easting = (col_i + 1) * 100000 + e5
+    row_i = (ROW_LETTERS.index(row_letter) - (5 if zone % 2 == 0 else 0)) % 20
+    raw = row_i * 100000 + n5
+    min_n = BAND_MIN_N[BAND_LETTERS.index(band)]
+    k = max(-(-(min_n - raw) // _ROW_CYCLE), 0)
+    return zone, band, easting, raw + k * _ROW_CYCLE
+
+
 def py_mgrs(lon: float, lat: float) -> str:
     """Python reference (numpy UTM forward + the same letter rules) —
     used by tests against published vectors and for fuzz parity."""

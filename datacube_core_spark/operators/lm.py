@@ -81,14 +81,18 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
     d = docs.select(id_col, lang_col, _clean_tokens(F.col(text_col)).alias("t"))
     big = bigrams_df(docs, id_col, text_col, extra_cols=(lang_col,))
     c2 = big.groupBy(lang_col, "w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = big.groupBy(lang_col, "w1").agg(F.count("*").alias("c1"))
+    # context counts DERIVED from the bigram table (C1(w) = Σ_w2 C2(w,w2))
+    # — the Zipf-skewed (lang, w1) join then runs over the AGGREGATED
+    # table (rows bounded by distinct-successor counts, not occurrences),
+    # and the big occurrence table is joined exactly ONCE
+    c1 = c2.groupBy(lang_col, "w1").agg(F.sum("c2").alias("c1"))
+    cj = c2.join(c1, [lang_col, "w1"])
     vocab = (
         d.select(lang_col, F.explode("t").alias("w"))
         .groupBy(lang_col).agg(F.countDistinct("w").alias("v"))
     )
     scored = (
-        big.join(c2, [lang_col, "w1", "w2"])
-        .join(c1, [lang_col, "w1"])
+        big.join(cj, [lang_col, "w1", "w2"])
         .join(F.broadcast(vocab), [lang_col])
         .select(
             id_col, lang_col, "pos",

@@ -87,3 +87,79 @@ def test_plan_is_pure_catalyst(spark):
     out = utm_staged_df(df).select(parts["mgrs"].alias("m"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_parse_inverse_fuzz():
+    """3000-point forward→parse roundtrip reproduces exact floors."""
+    import math
+
+    import numpy as np
+
+    from datacube_core_spark.geom.mgrs import py_mgrs, py_parse_mgrs
+    from datacube_core_spark.geom.tmerc import (
+        E0_UTM,
+        N0_NORTH,
+        N0_SOUTH,
+        tmerc_forward,
+        utm_lon0,
+        utm_zone_of,
+    )
+
+    rng = random.Random(5)
+    for _ in range(3000):
+        lon, lat = rng.uniform(-179.99, 179.99), rng.uniform(-79.99, 83.99)
+        ref = py_mgrs(lon, lat)
+        zone, band, e, n = py_parse_mgrs(ref)
+        z = int(utm_zone_of(np.array([lon]))[0])
+        n0 = N0_NORTH if lat >= 0 else N0_SOUTH
+        ee, nn = tmerc_forward(np.array([lon]), np.array([lat]),
+                               utm_lon0(z), e0=E0_UTM, n0=n0)
+        assert zone == z
+        assert e == math.floor(float(ee[0]))
+        assert n == math.floor(float(nn[0])), (lon, lat, ref)
+
+
+def test_parse_rejects_malformed():
+    from datacube_core_spark.geom.mgrs import py_parse_mgrs
+
+    for bad in ("", "31U", "31UDQ123", "XXUDQ4825111932"):
+        with pytest.raises(ValueError):
+            py_parse_mgrs(bad)
+
+
+def test_parse_three_dialect_parity(spark):
+    import duckdb as _d
+
+    from datacube_core_spark.geom.mgrs import (
+        parse_mgrs_cols,
+        py_mgrs,
+        py_parse_mgrs,
+        sql_parse_mgrs_exprs,
+    )
+
+    rng = random.Random(17)
+    refs = [py_mgrs(rng.uniform(-179.9, 179.9), rng.uniform(-79.9, 83.9))
+            for _ in range(200)]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(refs)],
+                               "i int, mgrs string")
+    rec = parse_mgrs_cols(F.col("mgrs"))
+    got = {
+        r.i: (r.z, r.e, r.n)
+        for r in df.select("i", rec["zone"].alias("z"),
+                           rec["easting"].alias("e"),
+                           rec["northing"].alias("n")).collect()
+    }
+    con = _d.connect()
+    con.execute("CREATE TABLE t (i INT, mgrs VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", list(enumerate(refs)))
+    pm = sql_parse_mgrs_exprs("mgrs")
+    drows = {
+        i: (z, e, n)
+        for i, z, e, n in con.execute(
+            f"SELECT i, {pm['zone']}, {pm['easting']}, {pm['northing']} FROM t"
+        ).fetchall()
+    }
+    for i, ref in enumerate(refs):
+        zone, _, e, n = py_parse_mgrs(ref)
+        assert got[i] == (zone, e, n), ref
+        assert drows[i] == (zone, e, n), ref
