@@ -128,7 +128,14 @@ def parse_mgrs_cols(mgrs: Column) -> dict:
     ``zone``, ``band``, and reconstructed 1 m ``easting``/``northing``
     integers (the floor values the forward emitted).  Northing's
     2000 km row-letter ambiguity resolves against the band's minimum
-    northing (``BAND_MIN_N``)."""
+    northing (``BAND_MIN_N``).
+
+    Contract: inputs must be well-formed 1 m references (what
+    :func:`mgrs_cols` emits).  A malformed string yields arithmetic
+    garbage, not an error — Catalyst expressions cannot raise
+    per-row; validate untrusted inputs with
+    ``regexp_like(mgrs, '^[0-9]{1,2}[A-Z]{3}[0-9]{10}$')`` first, or
+    parse driver-side with :func:`py_parse_mgrs` (which raises)."""
     zone = F.regexp_extract(mgrs, r"^(\d+)", 1).cast("int")
     letters = F.regexp_extract(mgrs, r"^\d+([A-Z]{3})", 1)
     band = F.substring(letters, 1, 1)
