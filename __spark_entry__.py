@@ -1241,6 +1241,23 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic-centrality sketch (operators/graph.py) — the
+    UNBOUNDED-radius companion to the exact bounded `harmonic` entry and
+    the algorithm behind Common Crawl's published host ranking (Boldi &
+    Vigna 2013).  HLL registers are deterministic md5 functions kept as
+    sparse (v, bucket, rank) rows; per round ONE edges⋈regs join + a
+    partial-agg max shuffle; ball sizes are EXACT int64 S_t = Σ 2^(R−reg)
+    so the estimator floats are fixed left-associated trees over exact
+    integers — bitwise cross-engine.  The oracle replays hash → rank →
+    unrolled register merges → the identical float trees in DuckDB."""
+    from datacube_core_spark.operators.graph import hyperball_harmonic, page_edges
+
+    pg = pages(spark, sf_dir, repl=Q_REPL)
+    edges = page_edges(pg).localCheckpoint(eager=False)
+    return hyperball_harmonic(edges, pg.select("doc_id"), iters=3, p=4)
+
+
 def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site-level connected components (operators/graph.connected_components):
     undirected components of the INTRA-HOST link subgraph — the level at
@@ -1993,6 +2010,114 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resolve_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 link resolution end-to-end (webtext op): deterministic
+    per-doc html with TWO anchors whose hrefs sweep every resolver branch
+    (absolute http / protocol-relative / root-relative + relative with
+    dot-segments / query-only / fragment-only / mailto+javascript schemes
+    / empty query / over-root ``..``) — general href extraction
+    (``functions/html.extract_hrefs_col``) then resolution against the
+    page's own url (``functions/url.resolve_url_col``).  NULL rows are
+    KEPT so the non-crawlable→NULL contract is itself hash-verified.
+    The DuckDB twin replays string build + unnest + the RE2 cascade;
+    a seeded fuzz vs urllib.parse.urljoin backs the contract
+    (tests/test_url.py)."""
+    from datacube_core_spark.functions.html import extract_hrefs_col
+    from datacube_core_spark.functions.url import resolve_url_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    sid = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://site"), sid, F.lit(".example/dir"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("/sub/page"), i,
+        F.lit(".html"),
+    )
+    m = F.col("doc_id") % 12
+    h1 = (
+        F.when(m == 0, F.concat(F.lit("http://other"), sid, F.lit(".example/abs/p"), i))
+        .when(m == 1, F.concat(F.lit("//cdn"), sid, F.lit(".example/lib/x"), i, F.lit(".js")))
+        .when(m == 2, F.concat(F.lit("/root/a/../img"), i, F.lit(".png")))
+        .when(m == 3, F.concat(F.lit("../s/./p"), i))
+        .when(m == 4, F.concat(F.lit("?page="), i))
+        .when(m == 5, F.concat(F.lit("#sec"), i))
+        .when(m == 6, F.concat(F.lit("mailto:user"), i, F.lit("@ex.example")))
+        .when(m == 7, F.concat(F.lit("sub/dir/../f"), i, F.lit("?x=1#y")))
+        .when(m == 8, F.concat(F.lit("javascript:void("), i, F.lit(")")))
+        .when(m == 9, F.concat(F.lit("g"), i, F.lit("?")))
+        .when(m == 10, F.concat(F.lit("../../../../up"), i))
+        .otherwise(F.concat(F.lit("./here/p"), i, F.lit("/")))
+    )
+    h2 = F.concat(
+        F.lit("/static/css/../app"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".css"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'), h1,
+        F.lit('">x</a><p>t</p><a href="'), h2,
+        F.lit('">y</a></body></html>'),
+    )
+    pages = d.select(
+        "doc_id", base.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    ex = pages.select(
+        "doc_id", "url",
+        F.explode(extract_hrefs_col(F.col("html"))).alias("href"),
+    )
+    return ex.select(
+        "doc_id", "href",
+        resolve_url_col(F.col("url"), F.col("href")).alias("dst"),
+    )
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (the classic web-search relevance signal:
+    the words OTHER pages use to link to a target).  Per-doc html carries
+    two anchors — a relative href with rich inner markup (inline tags +
+    entities in the text) and a root-relative hub link — which are parsed
+    by the position-aligned anchor extractors
+    (``functions/html.anchor_hrefs_col``/``anchor_texts_col``), resolved
+    against the page url (RFC 3986 contract), and aggregated per TARGET:
+    incoming-anchor count + min/max/distinct anchor texts.  Scale shape:
+    narrow extract/resolve, ONE shuffle at the groupBy(dst) — partial
+    aggs apply since every agg is min/max/count."""
+    from datacube_core_spark.functions.html import (
+        anchor_hrefs_col,
+        anchor_texts_col,
+    )
+    from datacube_core_spark.functions.url import resolve_url_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m10 = (F.col("doc_id") % 10).cast("string")
+    m40 = (F.col("doc_id") % 40).cast("string")
+    m9 = (F.col("doc_id") % 9).cast("string")
+    m4 = (F.col("doc_id") % 4).cast("string")
+    base = F.concat(F.lit("https://site"), m10, F.lit(".example/a/b"), i)
+    html = F.concat(
+        F.lit('<a class="x" href="p'), m40, F.lit('"><b>Label '), m9,
+        F.lit("</b> &amp; more</a><p>t</p>"),
+        F.lit('<a href="/hub">Hub '), m4, F.lit("</a>"),
+    )
+    pages = d.select(base.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    ex = pages.select(
+        "url",
+        F.posexplode(anchor_hrefs_col(F.col("html"))).alias("pos", "href"),
+        anchor_texts_col(F.col("html")).alias("texts"),
+    ).select(
+        "url", "href", F.element_at(F.col("texts"), F.col("pos") + 1).alias("txt")
+    )
+    edges = ex.select(
+        resolve_url_col(F.col("url"), F.col("href")).alias("dst"), "txt"
+    )
+    return edges.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.min("txt").alias("text_min"),
+        F.max("txt").alias("text_max"),
+        F.countDistinct("txt").alias("n_texts"),
+    )
+
+
 def q_recipe_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Virtual-product RECIPE end-to-end (driver-gated, not just pytest):
     a YAML recipe — juxtapose of two monthly per-lang aggregates over the
@@ -2192,6 +2317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a new or never-driver-green entry is inserted at the top, not the
     # bottom, so it cannot be pushed past the verification window.
     return {
+        "resolve_links": q_resolve_links,
+        "anchor_text": q_anchor_text,
+        "hyperball": q_hyperball,
         "zorder_key": q_zorder_key,
         "mgrs_roundtrip": q_mgrs_roundtrip,
         "dsir_weights": q_dsir_weights,
@@ -2942,6 +3070,17 @@ SELECT doc_id, reach, hc_num AS hc_x12, hc_num / 12.0 AS hc
 FROM ({sql_harmonic('edges', 'nodes', 4)})
 """
 
+    from datacube_core_spark.operators.graph import sql_hyperball
+
+    sqls["hyperball"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
+edges AS (
+  SELECT doc_id AS src, UNNEST({sql_extract_outlinks('h')}) AS dst FROM m
+),
+nodes AS (SELECT doc_id FROM pages)
+SELECT * FROM ({sql_hyperball('edges', 'nodes', 3, 4)})
+"""
+
     # link_components twin: same re-derived edges restricted to the
     # intra-host subgraph; components by full recursive transitive
     # closure + MIN (independent of Spark's iterative label propagation
@@ -3433,6 +3572,72 @@ SELECT doc_id,
        {sql_host('url')} AS host,
        {sql_domain('url')} AS domain
 FROM m
+"""
+
+    from datacube_core_spark.functions.html import sql_extract_hrefs
+    from datacube_core_spark.functions.url import sql_resolve_url
+
+    sqls["resolve_links"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/dir'
+           || CAST(doc_id % 7 AS VARCHAR) || '/sub/page'
+           || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         (CASE
+            WHEN doc_id % 12 = 0 THEN 'http://other' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.example/abs/p' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 12 = 1 THEN '//cdn' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.example/lib/x' || CAST(doc_id AS VARCHAR) || '.js'
+            WHEN doc_id % 12 = 2 THEN '/root/a/../img' || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN doc_id % 12 = 3 THEN '../s/./p' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 12 = 4 THEN '?page=' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 12 = 5 THEN '#sec' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 12 = 6 THEN 'mailto:user' || CAST(doc_id AS VARCHAR) || '@ex.example'
+            WHEN doc_id % 12 = 7 THEN 'sub/dir/../f' || CAST(doc_id AS VARCHAR) || '?x=1#y'
+            WHEN doc_id % 12 = 8 THEN 'javascript:void(' || CAST(doc_id AS VARCHAR) || ')'
+            WHEN doc_id % 12 = 9 THEN 'g' || CAST(doc_id AS VARCHAR) || '?'
+            WHEN doc_id % 12 = 10 THEN '../../../../up' || CAST(doc_id AS VARCHAR)
+            ELSE './here/p' || CAST(doc_id AS VARCHAR) || '/'
+          END) AS h1,
+         '/static/css/../app' || CAST(doc_id % 5 AS VARCHAR) || '.css' AS h2
+  FROM documents
+), pages AS (
+  SELECT doc_id, url,
+         '<html><body><a href="' || h1 || '">x</a><p>t</p><a href="' || h2
+           || '">y</a></body></html>' AS html
+  FROM m
+), ex AS (
+  SELECT doc_id, url, UNNEST({sql_extract_hrefs('html')}) AS href FROM pages
+)
+SELECT doc_id, href, {sql_resolve_url('url', 'href')} AS dst FROM ex
+"""
+
+    from datacube_core_spark.functions.html import sql_anchor_hrefs, sql_anchor_texts
+
+    sqls["anchor_text"] = f"""
+WITH pages AS (
+  SELECT 'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example/a/b'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<a class="x" href="p' || CAST(doc_id % 40 AS VARCHAR)
+           || '"><b>Label ' || CAST(doc_id % 9 AS VARCHAR)
+           || '</b> &amp; more</a><p>t</p><a href="/hub">Hub '
+           || CAST(doc_id % 4 AS VARCHAR) || '</a>' AS html
+  FROM documents
+), ex AS (
+  SELECT url,
+         UNNEST({sql_anchor_hrefs('html')}) AS href,
+         UNNEST({sql_anchor_texts('html')}) AS txt
+  FROM pages
+), edges AS (
+  SELECT {sql_resolve_url('url', 'href')} AS dst, txt FROM ex
+)
+SELECT dst,
+       COUNT(*) AS n_anchors,
+       MIN(txt) AS text_min,
+       MAX(txt) AS text_max,
+       COUNT(DISTINCT txt) AS n_texts
+FROM edges
+GROUP BY dst
 """
 
     sqls["recipe_monthly"] = f"""{_P.rstrip()}, a AS (

@@ -149,6 +149,65 @@ def sql_extract_outlinks(col: str) -> str:
     )
 
 
+#: every anchor href VALUE, absolute or relative (the general-crawl form;
+#: the uid-anchor extractor above is the synthetic-graph fast path)
+_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_hrefs_col(html_bin: Column) -> Column:
+    """Array of raw href attribute values — feed each through
+    ``functions/url.resolve_url_col`` against the page's own URL to get
+    the real link-graph edge list (relative hrefs dominate real HTML)."""
+    return F.regexp_extract_all(
+        F.decode(html_bin, "UTF-8"), F.lit(_HREF_RE), 1
+    )
+
+
+def sql_extract_hrefs(col: str) -> str:
+    return f"regexp_extract_all({col}, {_sql_quote(_HREF_RE)}, 1)"
+
+
+#: full anchor elements: group 1 = href value, group 2 = inner content.
+#: Non-greedy inner match + (?s) so anchors spanning lines still parse.
+_ANCHOR_RE = r'(?s)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def anchor_hrefs_col(html_bin: Column) -> Column:
+    """Array of anchor href values (position-aligned with
+    :func:`anchor_texts_col` — both run the same pattern, so index i of
+    each array describes the same ``<a>`` element)."""
+    return F.regexp_extract_all(
+        F.decode(html_bin, "UTF-8"), F.lit(_ANCHOR_RE), 1
+    )
+
+
+def anchor_texts_col(html_bin: Column) -> Column:
+    """Array of anchor INNER TEXTS (inline tags stripped, entities
+    decoded, trimmed) — the classic web-search relevance signal: the
+    text other pages use to link to a target."""
+    raw = F.regexp_extract_all(
+        F.decode(html_bin, "UTF-8"), F.lit(_ANCHOR_RE), 2
+    )
+    return F.transform(
+        raw,
+        lambda t: F.trim(
+            unescape_html_col(F.regexp_replace(t, _INLINE_TAG_RE, ""))
+        ),
+    )
+
+
+def sql_anchor_hrefs(col: str) -> str:
+    return f"regexp_extract_all({col}, {_sql_quote(_ANCHOR_RE)}, 1)"
+
+
+def sql_anchor_texts(col: str) -> str:
+    inner = f"regexp_replace(t, {_sql_quote(_INLINE_TAG_RE)}, '', 'g')"
+    return (
+        f"list_transform(regexp_extract_all({col}, {_sql_quote(_ANCHOR_RE)}, 2),"
+        f" t -> trim({sql_unescape_html(inner)}))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python reference (tests only — the independent third implementation
 # the byte-identity test compares both engines against).

@@ -57,6 +57,35 @@ def page_edges(pages_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def resolved_link_edges(
+    pages_df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url) edges from the GENERAL anchor form: every
+    ``href="..."`` value — absolute, protocol-relative, root-relative,
+    relative, query-only — resolved against the page's own URL per the
+    RFC 3986 crawler contract (``functions/url.resolve_url_col``).
+    Non-crawlable hrefs (fragments, javascript:/mailto:, self-links)
+    resolve to NULL and are dropped.
+
+    Scale shape: decode + regexp extraction + resolution are all narrow
+    Catalyst ops (explode generates rows but never shuffles); the edge
+    list partitioning is inherited from the pages scan, so a downstream
+    groupBy(dst) is the FIRST shuffle — exactly where it must be."""
+    from datacube_core_spark.functions.html import extract_hrefs_col
+    from datacube_core_spark.functions.url import resolve_url_col
+
+    exploded = pages_df.select(
+        F.col(url_col).alias("src"),
+        F.explode(extract_hrefs_col(F.col(html_col))).alias("href"),
+    )
+    return (
+        exploded
+        .withColumn("dst", resolve_url_col(F.col("src"), F.col("href")))
+        .where(F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+
+
 def pagerank_exact(edges: DataFrame, nodes: DataFrame, iters: int = 5,
                    id_col: str = "doc_id") -> DataFrame:
     """Integer PageRank over a uniform-outdegree-3 dangling-free graph.
@@ -362,3 +391,207 @@ def pagerank_float(edges: DataFrame, nodes: DataFrame, iters: int = 10,
             )
         )
     return ranks.select(F.col("v").alias(id_col), "r")
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: approximate UNBOUNDED-radius harmonic centrality via
+# HyperLogLog neighborhood sketches (Boldi & Vigna, "In-Core Computation
+# of Geometric Centralities with HyperBall", 2013 — the algorithm behind
+# Common Crawl's published host ranking).  bounded-radius
+# harmonic_centrality above is exact but its pair set grows with the
+# reachable neighborhood; HyperBall replaces the pair set with a
+# fixed-size HLL counter per node, so radius can run to the diameter.
+#
+# Cross-engine EXACTNESS despite being an approximation: HLL is a
+# deterministic function of the hash — bucket j = md5-h32(v) mod m,
+# rank r = leading-zero count of a second md5-h32 window.  Registers are
+# kept SPARSE-EXPLODED as (v, j, r) rows (absent bucket = 0), so the
+# per-iteration merge  B_{t+1}(v) = B_t(v) ∪ ⋃_{u→v} B_t(u)  is one
+# equi-join edges⋈regs plus a groupBy(v, j).max(r) — a partial-agg
+# (map-side combine) shuffle, never a wide row or an order-sensitive
+# float fold.  The ball size is carried as the EXACT integer
+#   S_t(v) = Σ_j 2^(R - reg_j)   (R = W+1; absent buckets add 2^R)
+# so both engines agree bit-for-bit on S; the float HLL estimate
+#   E_t = alpha_m · m² · 2^R / S_t
+# and the harmonic accumulation  H = Σ_t (E_t − E_{t−1}) / t  are fixed
+# left-associated expression trees over those exact integers — IEEE ops
+# in identical order, bitwise-portable (the lm.py discipline).
+#
+# Scale shape at 10^12 nodes: state is O(n · m) sparse rows with m a
+# small constant (raise p for precision; p = 10 → 1 KiB-equivalent per
+# node), every round is one shuffle with map-side combine, hot hubs are
+# plain agg skew (AQE), lineage is localCheckpoint-truncated per round.
+# The raw HLL estimator is used (no small/large-range corrections): at
+# web scale balls exceed 2.5m within a hop or two, and the op contract
+# is the exact register state — corrections are display-time.
+# ---------------------------------------------------------------------------
+
+HLL_W = 32  # rank window bits (md5-h32 second window)
+
+
+def _hll_alpha(m: int) -> float:
+    """Published HLL bias constants (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_rank_col(h) -> "F.Column":
+    """rank = W + 1 − bit_length(h) for h ∈ [0, 2^W): the leading-zero
+    count of the W-bit window, plus one.  A generated comparison chain —
+    no log2/float anywhere, so engines agree exactly.  Feed a
+    MATERIALIZED column, not an expression: the chain references h
+    W+1 times (the utm_project codegen lesson)."""
+    expr = F.when(h == 0, F.lit(HLL_W + 1))
+    for k in range(1, HLL_W + 1):
+        expr = expr.when(h < (1 << k), F.lit(HLL_W + 1 - k))
+    return expr.otherwise(F.lit(0))
+
+
+def _sql_hll_rank(h: str) -> str:
+    parts = [f"WHEN {h} = 0 THEN {HLL_W + 1}"]
+    parts += [f"WHEN {h} < {1 << k} THEN {HLL_W + 1 - k}" for k in range(1, HLL_W + 1)]
+    return "(CASE " + " ".join(parts) + " ELSE 0 END)"
+
+
+def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, iters: int = 3,
+                       p: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """HyperBall harmonic-centrality sketch over ``iters`` rounds.
+
+    Returns one row per node: exact ball-size integers ``s0..s{iters}``
+    (S_t as defined in the module banner — monotonically non-increasing),
+    the float reach estimate ``reach_est`` at the final round, and the
+    accumulated harmonic estimate ``hharm``.  Ball direction matches
+    :func:`harmonic_centrality`: B_t(v) counts u with d(u, v) ≤ t, so
+    registers propagate src → dst along each edge."""
+    from datacube_core_spark.operators.dedup import md5_h32_col
+
+    m = 1 << p
+    r_max = HLL_W + 1
+    two_r = 1 << r_max
+
+    ids = nodes.select(F.col(id_col).alias("v"))
+    base = ids.select(
+        "v",
+        (md5_h32_col(F.col("v").cast("string"), start=1) % m).alias("j"),
+        md5_h32_col(F.col("v").cast("string"), start=9).alias("hbits"),
+    )
+    regs = (
+        base.select("v", "j", _hll_rank_col(F.col("hbits")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - r)")
+
+    def ball_size(regs_df: DataFrame, t: int) -> DataFrame:
+        return regs_df.groupBy("v").agg(
+            (
+                F.sum(term)
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(two_r).cast("long")
+            ).cast("long").alias("s")
+        ).withColumn("t", F.lit(t))
+
+    sizes = ball_size(regs, 0)
+    e = edges.select(F.col("src").alias("eu"), F.col("dst").alias("ev"))
+    for t in range(1, iters + 1):
+        prop = (
+            e.join(regs, regs["v"] == e["eu"])
+            .select(F.col("ev").alias("v"), "j", "r")
+        )
+        regs = (
+            prop.unionByName(regs.select("v", "j", "r"))
+            .groupBy("v", "j")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        sizes = sizes.unionByName(ball_size(regs, t))
+
+    wide = sizes.groupBy("v").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("s"))).alias(f"s{t}")
+            for t in range(iters + 1)
+        ]
+    )
+
+    alpha = _hll_alpha(m)
+
+    def est(scol) -> "F.Column":
+        # fixed left-associated float tree: ((alpha * m²) * 2^R) / S
+        return (
+            F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(two_r))
+            / scol.cast("double")
+        )
+
+    hharm = None
+    for t in range(1, iters + 1):
+        dt = (est(F.col(f"s{t}")) - est(F.col(f"s{t-1}"))) / F.lit(float(t))
+        hharm = dt if hharm is None else hharm + dt
+    return wide.select(
+        F.col("v").alias(id_col),
+        *[F.col(f"s{t}") for t in range(iters + 1)],
+        est(F.col(f"s{iters}")).alias("reach_est"),
+        hharm.alias("hharm"),
+    )
+
+
+def sql_hyperball(edges_cte: str, nodes_cte: str, iters: int = 3, p: int = 4,
+                  id_col: str = "doc_id") -> str:
+    """DuckDB twin: the same hash → rank → sparse-register pipeline with
+    the iteration UNROLLED as chained CTEs (reg0..reg{iters}), the exact
+    integer ball sizes, and the identical left-associated float trees.
+    Returns a complete WITH ... SELECT statement (edges/nodes CTEs
+    resolve from the caller's outer WITH scope)."""
+    from datacube_core_spark.operators.dedup import sql_md5_h32
+
+    m = 1 << p
+    r_max = HLL_W + 1
+    two_r = 1 << r_max
+    alpha = _hll_alpha(m)
+    vstr = f"CAST({id_col} AS VARCHAR)"
+
+    ctes = [
+        f"""hb_base AS (
+  SELECT {id_col} AS v,
+         {sql_md5_h32(vstr, start=1)} % {m} AS j,
+         {sql_md5_h32(vstr, start=9)} AS hbits
+  FROM {nodes_cte})""",
+        f"hb_reg0 AS (SELECT v, j, {_sql_hll_rank('hbits')} AS r FROM hb_base)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""hb_reg{t} AS (
+  SELECT v, j, MAX(r) AS r FROM (
+    SELECT e.dst AS v, g.j, g.r FROM {edges_cte} e JOIN hb_reg{t-1} g ON g.v = e.src
+    UNION ALL SELECT v, j, r FROM hb_reg{t-1}
+  ) GROUP BY v, j)""")
+    for t in range(iters + 1):
+        ctes.append(f"""hb_s{t} AS (
+  SELECT v, CAST(SUM(CAST(1 AS BIGINT) << ({r_max} - r))
+                 + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {r_max})
+            AS BIGINT) AS s
+  FROM hb_reg{t} GROUP BY v)""")
+
+    def est(s: str) -> str:
+        return f"((({alpha!r} * {float(m * m)!r}) * {float(two_r)!r}) / CAST({s} AS DOUBLE))"
+
+    dts = [
+        f"(({est(f's{t}.s')} - {est(f's{t-1}.s')}) / {float(t)!r})"
+        for t in range(1, iters + 1)
+    ]
+    hharm = dts[0]
+    for d in dts[1:]:
+        hharm = f"({hharm} + {d})"
+    joins = "".join(
+        f" JOIN hb_s{t} s{t} ON s{t}.v = s0.v" for t in range(1, iters + 1)
+    )
+    scols = ", ".join(f"s{t}.s AS s{t}" for t in range(iters + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s0.v AS {id_col}, {scols},\n"
+        + f"       {est(f's{iters}.s')} AS reach_est,\n"
+        + f"       {hharm} AS hharm\n"
+        + f"FROM hb_s0 s0{joins}"
+    )

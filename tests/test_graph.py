@@ -246,3 +246,63 @@ def test_connected_components_deep_chain_converges(spark):
     ndf = spark.createDataFrame([Row(doc_id=v) for v in range(n)])
     got = connected_components(edf, ndf).collect()
     assert all(r.cluster == 0 for r in got) and len(got) == n
+
+
+def test_hyperball_matches_duckdb_twin_bitwise(spark):
+    """HyperBall: Spark vs the DuckDB twin on a small graph with hubs,
+    chains, and an isolated-in-degree node — exact int ball sizes AND
+    bitwise-equal estimator floats (the left-associated-tree contract)."""
+    import duckdb
+
+    from datacube_core_spark.operators.graph import (
+        hyperball_harmonic,
+        sql_hyperball,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (4, 0), (5, 4), (6, 5)]
+    nodes = list(range(8))  # 7 has no edges at all
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "doc_id LONG")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in hyperball_harmonic(edf, ndf, iters=3, p=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE n (doc_id BIGINT)")
+    con.executemany("INSERT INTO n VALUES (?)", [(v,) for v in nodes])
+    exp = {
+        row[0]: tuple(row)[1:]
+        for row in con.execute(sql_hyperball("e", "n", 3, 4)).fetchall()
+    }
+    assert got == exp  # ints exact, floats bitwise
+    # invariants: S monotonically non-increasing; no-in-edge nodes keep
+    # their singleton ball (hharm exactly 0)
+    for v, (s0, s1, s2, s3, _re, hh) in got.items():
+        assert s0 >= s1 >= s2 >= s3
+    assert got[7][5] == 0.0 and got[3][5] == 0.0
+
+
+def test_hyperball_estimate_tracks_exact_reach(spark):
+    """Sanity on the pages graph: the HLL estimate of the radius-3 ball
+    correlates with the exact bounded-BFS reach (deterministic inputs →
+    a fixed, loose band; p=4 is only 16 buckets so the per-node error is
+    large, but the aggregate must track)."""
+    from datacube_core_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_harmonic,
+        page_edges,
+    )
+
+    pg = pages(spark, SF_TINY, repl=1)
+    edges = page_edges(pg).localCheckpoint(eager=True)
+    nodes = pg.select("doc_id")
+    hb = hyperball_harmonic(edges, nodes, iters=3, p=4)
+    ex = harmonic_centrality(edges, nodes, radius=3)
+    j = hb.join(ex, "doc_id").where(F.col("reach") >= 10).select(
+        (F.col("reach_est") / (F.col("reach") + 1)).alias("ratio")
+    )
+    stats = j.agg(F.avg("ratio"), F.count("*")).collect()[0]
+    assert stats[1] > 0
+    assert 0.5 < stats[0] < 2.0, f"mean est/true ratio {stats[0]}"

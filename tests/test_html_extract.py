@@ -186,3 +186,38 @@ def test_extraction_is_catalyst_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anchor_pairs_position_aligned(spark):
+    """anchor_hrefs_col / anchor_texts_col run the same pattern, so index
+    i of both arrays describes the same <a>; inner markup is stripped and
+    entities decoded in the text."""
+    import duckdb
+
+    from datacube_core_spark.functions.html import (
+        anchor_hrefs_col,
+        anchor_texts_col,
+        sql_anchor_hrefs,
+        sql_anchor_texts,
+    )
+    from pyspark.sql import functions as F
+
+    html = (
+        '<a class="n" href="/a">One</a> junk '
+        '<a href="b/c"><b>Two</b> &amp; <i>half</i></a>'
+        '<a href="#x">skip-me-not</a>'
+        '<a rel="no" href="https://z.example/q">  Z  </a>'
+    )
+    df = spark.createDataFrame([(html.encode(),)], "html BINARY")
+    row = df.select(
+        anchor_hrefs_col(F.col("html")).alias("h"),
+        anchor_texts_col(F.col("html")).alias("t"),
+    ).collect()[0]
+    assert row["h"] == ["/a", "b/c", "#x", "https://z.example/q"]
+    assert row["t"] == ["One", "Two & half", "skip-me-not", "Z"]
+    con = duckdb.connect()
+    dh, dt = con.execute(
+        f"SELECT {sql_anchor_hrefs('v')}, {sql_anchor_texts('v')} "
+        "FROM (SELECT ? AS v)", [html]
+    ).fetchone()
+    assert dh == row["h"] and dt == row["t"]

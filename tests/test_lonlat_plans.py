@@ -114,8 +114,11 @@ def test_all_entry_plans_are_scale_shaped(spark):
     import __spark_entry__ as entry_mod
 
     # documented brute-force/ring shapes (knn/knn_bulk cross a CONSTANT
-    # (2r+1)^2 ring-offset table against queries — bounded, not data-sized)
-    CARTESIAN_OK = {"ann_topk", "knn", "knn_bulk", "knn_dense"}
+    # (2r+1)^2 ring-offset table against queries — bounded, not data-sized;
+    # dsir_weights crosses the n_buckets-row count table with a ONE-ROW
+    # broadcast totals aggregate — the canonical scalar-join shape, bounded
+    # by construction regardless of corpus size)
+    CARTESIAN_OK = {"ann_topk", "knn", "knn_bulk", "knn_dense", "dsir_weights"}
     failures = []
     for name, fn in sorted(entry_mod.queries().items()):
         df = fn(spark, SF_TINY)
