@@ -1241,6 +1241,101 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL approx-distinct (operators/sketch.py): per-host
+    distinct-url estimate — COUNT(DISTINCT) is the classic 100-TB pain
+    (exact distinct shuffles every distinct value; a hot host
+    concentrates on one reducer), the sketch's per-group state is a
+    CONSTANT m registers with map-side combine.  Registers are
+    deterministic md5 functions; the output carries the EXACT int64
+    register sum alongside the float estimate AND the true
+    COUNT(DISTINCT), so the oracle hash-verifies estimator and truth
+    side by side (DuckDB replays hash → rank → max-register → the same
+    left-associated float tree)."""
+    from datacube_core_spark.operators.sketch import hll_count_distinct
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+    )
+    rows = d.select(host.alias("host"), "doc_id").select(
+        "host",
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/p"),
+            ((F.col("doc_id") * F.col("doc_id")) % 101).cast("string"),
+        ).alias("url"),
+    )
+    hll = hll_count_distinct(rows, ("host",), F.col("url"), p=4)
+    exact = rows.groupBy("host").agg(F.countDistinct("url").alias("exact"))
+    return hll.join(exact, "host")
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differential (operators/diff.snapshot_diff): two crawl
+    snapshots of the documents corpus — the old one missing the pages
+    B discovered (→ `added`), the new one missing pages that vanished
+    (→ `removed`), 1-in-7 pages re-crawled with new content (fingerprint
+    differs → `changed`) — full-outer sort-merge join on the key, status
+    projection, per-host partial-agg rollup.  Reference analog: ODC's
+    dataset-document change sets (`datacube/utils/changes.py:
+    get_doc_changes`) driving allowed-update policies; here the unit is
+    the content fingerprint.  Fingerprints are md5 columns so the join
+    moves ~48 bytes/row regardless of page size."""
+    from datacube_core_spark.operators.diff import STATUSES, snapshot_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    old = d.where(F.col("doc_id") % 11 != 3).select(
+        "doc_id", "host",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
+    )
+    new = d.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id", "host",
+        F.md5(
+            F.encode(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit("!v2")),
+                ).otherwise(F.col("text")),
+                "UTF-8",
+            )
+        ).alias("fp"),
+    )
+    diff = snapshot_diff(old, new, ("doc_id", "host"), "fp")
+    return diff.groupBy("host").agg(
+        *[
+            F.sum((F.col("status") == s).cast("long")).alias(f"n_{s}")
+            for s in STATUSES
+        ]
+    )
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/graph.trustrank_exact): seeded PageRank — the
+    canonical web-spam-demotion op (Gyöngyi et al., VLDB 2004).  Teleport
+    mass goes ONLY to the trusted 1% seed set (doc_id % 100 == 0), so
+    trust decays with link distance from seeds; same exact-int64
+    recurrence discipline as `pagerank` (Σ A_i = 60^i·|S|), engines agree
+    bit-for-bit.  Oracle replays seeds + unrolled CTE levels.  Plan per
+    round: edges⋈ranks join + groupBy(dst) partial agg, identical scale
+    shape to `pagerank`."""
+    from datacube_core_spark.operators.graph import page_edges, trustrank_exact
+
+    pg = pages(spark, sf_dir, repl=Q_REPL)
+    edges = page_edges(pg).localCheckpoint(eager=False)
+    nodes = pg.select("doc_id")
+    seeds = nodes.where(F.col("doc_id") % 100 == 0)
+    tr = trustrank_exact(edges, nodes, seeds, iters=5)
+    return tr.select(
+        "doc_id", "a", (F.col("doc_id") % 100 == 0).alias("is_seed")
+    )
+
+
 def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall harmonic-centrality sketch (operators/graph.py) — the
     UNBOUNDED-radius companion to the exact bounded `harmonic` entry and
@@ -2320,6 +2415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_links": q_resolve_links,
         "anchor_text": q_anchor_text,
         "hyperball": q_hyperball,
+        "hll_distinct": q_hll_distinct,
+        "trustrank": q_trustrank,
+        "crawl_diff": q_crawl_diff,
         "zorder_key": q_zorder_key,
         "mgrs_roundtrip": q_mgrs_roundtrip,
         "dsir_weights": q_dsir_weights,
@@ -3079,6 +3177,65 @@ edges AS (
 ),
 nodes AS (SELECT doc_id FROM pages)
 SELECT * FROM ({sql_hyperball('edges', 'nodes', 3, 4)})
+"""
+
+    from datacube_core_spark.operators.diff import sql_snapshot_diff
+
+    sqls["crawl_diff"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+         text
+  FROM documents
+), old_s AS (
+  SELECT doc_id, host, md5(text) AS fp FROM d WHERE doc_id % 11 <> 3
+), new_s AS (
+  SELECT doc_id, host,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || '!v2' ELSE text END) AS fp
+  FROM d WHERE doc_id % 13 <> 5
+)
+SELECT host,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+FROM ({sql_snapshot_diff('old_s', 'new_s', ('doc_id', 'host'))})
+GROUP BY host
+"""
+
+    from datacube_core_spark.operators.graph import sql_trustrank_levels
+
+    sqls["trustrank"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
+edges AS (
+  SELECT doc_id AS src, UNNEST({sql_extract_outlinks('h')}) AS dst FROM m
+),
+nodes AS (SELECT doc_id FROM pages),
+seeds AS (SELECT doc_id FROM pages WHERE doc_id % 100 = 0),
+{sql_trustrank_levels('edges', 'nodes', 'seeds', 5)}
+SELECT n.doc_id, p.a, (n.doc_id % 100 = 0) AS is_seed
+FROM nodes n
+JOIN tr5 p ON p.v = n.doc_id
+"""
+
+    from datacube_core_spark.operators.sketch import sql_hll_count_distinct
+
+    sqls["hll_distinct"] = f"""
+WITH hosts AS (
+  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, doc_id
+  FROM documents
+), rows_t AS (
+  SELECT host,
+         'https://' || host || '/p'
+           || CAST((doc_id * doc_id) % 101 AS VARCHAR) AS url
+  FROM hosts
+)
+SELECT h.host, h.s, h.est, e.exact
+FROM ({sql_hll_count_distinct('rows_t', ('host',), 'url')}) h
+JOIN (
+  SELECT host, CAST(COUNT(DISTINCT url) AS BIGINT) AS exact
+  FROM rows_t GROUP BY host
+) e USING (host)
 """
 
     # link_components twin: same re-derived edges restricted to the

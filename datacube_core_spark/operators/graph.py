@@ -118,6 +118,70 @@ def pagerank_exact(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     return ranks.select(F.col("v").alias(id_col), "a")
 
 
+def trustrank_exact(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                    iters: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Seeded PageRank — TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): teleport mass goes ONLY to a trusted seed set, so trust
+    flows outward along links and spam farms far from any seed score ~0.
+    Same exact-integer recurrence as :func:`pagerank_exact` with the
+    teleport term gated by the seed indicator:
+
+        A_0(v) = [v ∈ S];   A_{i+1}(v) = 9·60^i·[v ∈ S] + 17·Σ_{u→v} A_i(u)
+
+    Under the uniform-outdegree-3 dangling-free contract Σ_v A_i =
+    60^i·|S| (the pagerank invariant scaled by |S|), so values stay
+    int64-safe for the same depths and trust(v) = A_iters / (|S|·60^iters)
+    is a display-time divide.  Returns (id_col, a)."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    seed_flag = seeds.select(F.col(id_col).alias("v"), F.lit(1).alias("__seed"))
+    vs = (
+        nodes.select(F.col(id_col).alias("v"))
+        .join(seed_flag, "v", "left")
+        .select("v", F.coalesce(F.col("__seed"), F.lit(0)).cast("long").alias("t"))
+    )
+    ranks = vs.select("v", F.col("t").alias("a"))
+    for i in range(iters):
+        base = 9 * SCALE**i
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["v"], "inner")
+            .groupBy("dst")
+            .agg(F.sum("a").alias("s"))
+        )
+        ranks = (
+            vs.join(contrib, vs["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(base) * F.col("t")
+                    + F.lit(DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0))
+                ).alias("a"),
+            )
+        )
+    return ranks.select(F.col("v").alias(id_col), "a")
+
+
+def sql_trustrank_levels(edges_cte: str, nodes_cte: str, seeds_cte: str,
+                         iters: int = 5, id_col: str = "doc_id") -> str:
+    """Chained CTE levels tr0..tr{iters} for the seeded recurrence."""
+    ind = f"CAST(CASE WHEN {{n}}.{id_col} IN (SELECT {id_col} FROM {seeds_cte}) THEN 1 ELSE 0 END AS BIGINT)"
+    parts = [
+        f"tr0 AS (SELECT {id_col} AS v, {ind.format(n=nodes_cte)} AS a "
+        f"FROM {nodes_cte})"
+    ]
+    for i in range(iters):
+        base = 9 * SCALE**i
+        parts.append(
+            f"tr{i + 1} AS (SELECT n.{id_col} AS v, "
+            f"CAST({base} AS BIGINT) * {ind.format(n='n')} "
+            f"+ {DAMP_NUM} * CAST(COALESCE(SUM(p.a), 0) AS BIGINT) AS a "
+            f"FROM {nodes_cte} n LEFT JOIN {edges_cte} e ON e.dst = n.{id_col} "
+            f"LEFT JOIN tr{i} p ON p.v = e.src "
+            f"GROUP BY n.{id_col})"
+        )
+    return ",\n".join(parts)
+
+
 def sql_pagerank_levels(edges_cte: str, nodes_cte: str, iters: int = 5,
                         id_col: str = "doc_id") -> str:
     """The chained CTE levels pr0..pr{iters} for the integer recurrence."""

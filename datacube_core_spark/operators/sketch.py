@@ -1,0 +1,120 @@
+"""Portable HyperLogLog distinct-count sketch (grouped approx-distinct).
+
+``COUNT(DISTINCT x)`` is the classic web-scale pain: exact distinct
+needs a full shuffle of every distinct value per group, and a hot group
+(one host with 10^9 urls) concentrates on one reducer.  The HLL sketch
+replaces that with a CONSTANT per-group state (m = 2^p registers), all
+partial-agg (map-side combine), hot groups cost the same as cold ones.
+
+This module shares the HyperBall machinery (``operators/graph.py``):
+bucket j = md5-h32(value) mod m, rank = leading-zero count of a second
+md5-h32 window (generated comparison chain, no log2), registers kept
+sparse-exploded as (group, j, r) rows, ball/cardinality size carried as
+the EXACT integer S = Σ_j 2^(R − reg_j) and the float estimate as a
+fixed left-associated tree over it — so the DuckDB twin agrees BITWISE
+despite this being an approximation (an estimator is still a
+deterministic function of its input).
+
+Like Spark's own ``approx_count_distinct`` (also HLL) this trades ~1.04/√m
+relative error for constant memory; unlike it, the register state here
+is portable and replayable in plain SQL — the cross-engine contract the
+repo's oracle gate needs.  Raw Flajolet estimator, no small/large-range
+corrections (documented in graph.py: corrections are display-time; the
+contract is the exact register state).
+
+Scale shape: ONE shuffle groupBy(group, j).max — partial agg, m ≤ 2^p
+rows per group regardless of data — then a second m-row-per-group agg.
+Reference analog: none in ODC (Postgres COUNT(DISTINCT) at index scale);
+webtext extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .graph import HLL_W, _hll_alpha, _hll_rank_col, _sql_hll_rank
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value: Column,
+    p: int = 4,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value``.
+
+    Returns (group_cols..., s, est): ``s`` the exact int64 register sum
+    S = Σ 2^(R − reg) (absent buckets add 2^R), ``est`` the float HLL
+    estimate alpha_m·m²·2^R / S.  NULL values are ignored (SQL
+    COUNT(DISTINCT) semantics)."""
+    from .dedup import md5_h32_col
+
+    m = 1 << p
+    r_max = HLL_W + 1
+    two_r = 1 << r_max
+    gc = list(group_cols)
+
+    v = value.cast("string")
+    staged = df.where(v.isNotNull()).select(
+        *gc,
+        (md5_h32_col(v, start=1) % m).alias("j"),
+        md5_h32_col(v, start=9).alias("hbits"),
+    )
+    regs = (
+        staged.select(*gc, "j", _hll_rank_col(F.col("hbits")).alias("r"))
+        .groupBy(*gc, "j")
+        .agg(F.max("r").alias("r"))
+    )
+    alpha = _hll_alpha(m)
+    s = regs.groupBy(*gc).agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - r)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(two_r).cast("long")
+        ).cast("long").alias("s")
+    )
+    est = (
+        F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(two_r))
+        / F.col("s").cast("double")
+    )
+    return s.select(*gc, "s", est.alias("est"))
+
+
+def sql_hll_count_distinct(
+    rows_cte: str,
+    group_cols: tuple[str, ...],
+    value_expr: str,
+    p: int = 4,
+) -> str:
+    """DuckDB twin: same hash → rank → max-register → exact S → float
+    tree.  ``rows_cte`` must expose ``group_cols`` and the value
+    expression's inputs.  Returns a complete SELECT (subquery-safe)."""
+    from .dedup import sql_md5_h32
+
+    m = 1 << p
+    r_max = HLL_W + 1
+    two_r = 1 << r_max
+    alpha = _hll_alpha(m)
+    gc = ", ".join(group_cols)
+    vs = f"CAST({value_expr} AS VARCHAR)"
+    est = (
+        f"((({alpha!r} * {float(m * m)!r}) * {float(two_r)!r})"
+        f" / CAST(s AS DOUBLE))"
+    )
+    return f"""SELECT {gc}, s, {est} AS est FROM (
+  SELECT {gc},
+         CAST(SUM(CAST(1 AS BIGINT) << ({r_max} - r))
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {r_max})
+         AS BIGINT) AS s
+  FROM (
+    SELECT {gc}, j, MAX(r) AS r FROM (
+      SELECT {gc}, j, {_sql_hll_rank('hbits')} AS r FROM (
+        SELECT {gc},
+               {sql_md5_h32(vs, start=1)} % {m} AS j,
+               {sql_md5_h32(vs, start=9)} AS hbits
+        FROM {rows_cte}
+        WHERE {value_expr} IS NOT NULL
+      )
+    ) GROUP BY {gc}, j
+  ) GROUP BY {gc}
+)"""

@@ -306,3 +306,47 @@ def test_hyperball_estimate_tracks_exact_reach(spark):
     stats = j.agg(F.avg("ratio"), F.count("*")).collect()[0]
     assert stats[1] > 0
     assert 0.5 < stats[0] < 2.0, f"mean est/true ratio {stats[0]}"
+
+
+def test_trustrank_seed_gated_teleport(spark):
+    """TrustRank: trust flows only FROM seeds — a non-seed node with no
+    in-edges scores exactly 0; the uniform-outdeg-3 invariant
+    Σ A_i = 60^i·|S| holds; DuckDB twin agrees bit-for-bit."""
+    import duckdb
+
+    from datacube_core_spark.operators.graph import (
+        sql_trustrank_levels,
+        trustrank_exact,
+    )
+
+    # uniform outdegree 3, no dangling: 6 nodes, v -> v+1, v+2, v+3 (mod 6)
+    edges = [(v, (v + d) % 6) for v in range(6) for d in (1, 2, 3)]
+    nodes = list(range(6))
+    seeds = [0, 3]
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "doc_id LONG")
+    sdf = spark.createDataFrame([(v,) for v in seeds], "doc_id LONG")
+    got = {
+        r["doc_id"]: r["a"]
+        for r in trustrank_exact(edf, ndf, sdf, iters=3).collect()
+    }
+    assert sum(got.values()) == 60**3 * len(seeds)  # invariant
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE n (doc_id BIGINT)")
+    con.executemany("INSERT INTO n VALUES (?)", [(v,) for v in nodes])
+    con.execute("CREATE TABLE s (doc_id BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?)", [(v,) for v in seeds])
+    exp = dict(con.execute(
+        "WITH " + sql_trustrank_levels("e", "n", "s", 3)
+        + " SELECT v, a FROM tr3"
+    ).fetchall())
+    assert got == exp
+    # isolated non-seed: add node 7 with no in-edges (edges unchanged)
+    ndf2 = spark.createDataFrame([(v,) for v in nodes + [7]], "doc_id LONG")
+    got2 = {
+        r["doc_id"]: r["a"]
+        for r in trustrank_exact(edf, ndf2, sdf, iters=3).collect()
+    }
+    assert got2[7] == 0

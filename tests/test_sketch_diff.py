@@ -1,0 +1,94 @@
+"""HLL distinct sketch (operators/sketch.py) + snapshot diff
+(operators/diff.py): cross-engine bitwise contracts and semantics."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datacube_core_spark.operators.diff import snapshot_diff, sql_snapshot_diff
+from datacube_core_spark.operators.sketch import (
+    hll_count_distinct,
+    sql_hll_count_distinct,
+)
+
+
+def test_hll_distinct_matches_duckdb_bitwise(spark):
+    """Same groups/values in both engines -> identical exact register
+    sums AND bitwise-equal float estimates."""
+    rows = [(f"g{i % 3}", f"v{(i * i) % 41}") for i in range(500)]
+    rows += [("g0", None)]  # NULLs ignored
+    df = spark.createDataFrame(rows, "g STRING, v STRING")
+    got = {
+        r["g"]: (r["s"], r["est"])
+        for r in hll_count_distinct(df, ("g",), F.col("v"), p=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            sql_hll_count_distinct("t", ("g",), "v")
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_hll_distinct_tracks_exact(spark):
+    """Estimate within the expected HLL band of the true distinct count
+    (p=6 -> m=64, ~13% std error; deterministic inputs, fixed outcome).
+    Duplicates must not move the sketch: distinct-of-values only."""
+    vals = [(f"k{i % 97}",) for i in range(3000)]  # 97 distinct, heavy dupes
+    df = spark.createDataFrame(vals, "v STRING").withColumn("g", F.lit("all"))
+    row = hll_count_distinct(df, ("g",), F.col("v"), p=6).collect()[0]
+    assert 97 * 0.6 < row["est"] < 97 * 1.4, row["est"]
+    # adding MORE duplicates of existing values changes nothing
+    df2 = df.union(df)
+    row2 = hll_count_distinct(df2, ("g",), F.col("v"), p=6).collect()[0]
+    assert (row2["s"], row2["est"]) == (row["s"], row["est"])
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses + the NULL-fingerprint re-fetch policy."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "e")], "k LONG, fp STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, None), (5, None), (6, "f")], "k LONG, fp STRING"
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ("k",), "fp").collect()
+    }
+    exp = {
+        1: "same",
+        2: "changed",
+        3: "removed",
+        4: "changed",  # NULL fp on both sides -> re-fetch, never 'same'
+        5: "changed",  # NULL fp on one side
+        6: "added",
+    }
+    assert got == exp
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o (k BIGINT, fp VARCHAR)")
+    con.executemany("INSERT INTO o VALUES (?, ?)", [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "e")])
+    con.execute("CREATE TABLE n (k BIGINT, fp VARCHAR)")
+    con.executemany("INSERT INTO n VALUES (?, ?)", [(1, "a"), (2, "B"), (4, None), (5, None), (6, "f")])
+    duck = dict(con.execute(sql_snapshot_diff("o", "n", ("k",))).fetchall())
+    assert duck == exp
+
+
+def test_snapshot_diff_is_sort_merge_not_cartesian(spark):
+    old = spark.range(100).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    new = spark.range(50, 150).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    plan = (
+        snapshot_diff(old, new, ("k",), "fp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in head and "BroadcastNestedLoopJoin" not in head
+    assert "Python" not in head
