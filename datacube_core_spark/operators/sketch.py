@@ -36,36 +36,46 @@ from pyspark.sql import functions as F
 from .graph import HLL_W, _hll_alpha, _hll_rank_col, _sql_hll_rank
 
 
-def hll_count_distinct(
+def hll_registers(
     df: DataFrame,
     group_cols: tuple[str, ...],
     value: Column,
     p: int = 4,
 ) -> DataFrame:
-    """Per-group approximate distinct count of ``value``.
-
-    Returns (group_cols..., s, est): ``s`` the exact int64 register sum
-    S = Σ 2^(R − reg) (absent buckets add 2^R), ``est`` the float HLL
-    estimate alpha_m·m²·2^R / S.  NULL values are ignored (SQL
-    COUNT(DISTINCT) semantics)."""
+    """Sparse register state (group_cols..., j, r): the incrementally
+    maintainable half of the sketch — ONE groupBy(group, j).max(r), a
+    partial-agg shuffle in batch and a supported stateful aggregate in
+    Structured Streaming (update mode), so the same definition serves
+    both (``streaming/jobs.streaming_hll_registers``).  NULL values are
+    ignored (SQL COUNT(DISTINCT) semantics)."""
     from .dedup import md5_h32_col
 
     m = 1 << p
-    r_max = HLL_W + 1
-    two_r = 1 << r_max
     gc = list(group_cols)
-
     v = value.cast("string")
     staged = df.where(v.isNotNull()).select(
         *gc,
         (md5_h32_col(v, start=1) % m).alias("j"),
         md5_h32_col(v, start=9).alias("hbits"),
     )
-    regs = (
+    return (
         staged.select(*gc, "j", _hll_rank_col(F.col("hbits")).alias("r"))
         .groupBy(*gc, "j")
         .agg(F.max("r").alias("r"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: tuple[str, ...],
+    p: int = 4,
+) -> DataFrame:
+    """Fold a register table into (group_cols..., s, est) — estimate-on-
+    read over a (tiny, ≤ m rows per group) register state, batch-only."""
+    m = 1 << p
+    r_max = HLL_W + 1
+    two_r = 1 << r_max
+    gc = list(group_cols)
     alpha = _hll_alpha(m)
     s = regs.groupBy(*gc).agg(
         (
@@ -78,6 +88,21 @@ def hll_count_distinct(
         / F.col("s").cast("double")
     )
     return s.select(*gc, "s", est.alias("est"))
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value: Column,
+    p: int = 4,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value``.
+
+    Returns (group_cols..., s, est): ``s`` the exact int64 register sum
+    S = Σ 2^(R − reg) (absent buckets add 2^R), ``est`` the float HLL
+    estimate alpha_m·m²·2^R / S.  Composition of :func:`hll_registers`
+    and :func:`hll_estimate`."""
+    return hll_estimate(hll_registers(df, group_cols, value, p), group_cols, p)
 
 
 def sql_hll_count_distinct(

@@ -77,6 +77,28 @@ def streaming_content_dedup(stream: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+def streaming_hll_registers(
+    stream: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    p: int = 4,
+) -> DataFrame:
+    """Continuously maintained HLL distinct-count sketch (e.g. live
+    distinct-URL monitoring per host): the register definition is the
+    BATCH one (``operators/sketch.hll_registers``) applied to the stream
+    — groupBy(group, bucket).max(rank) is a supported streaming
+    aggregate, state is ≤ m rows per group FOREVER (no watermark needed:
+    registers only grow, there is no late-data eviction problem), and
+    the estimate is a display-time fold over the tiny register sink
+    (``operators/sketch.hll_estimate``).  The two-stage split exists
+    because chained stateful aggregations are not allowed in one
+    streaming query — and estimate-on-read is the production shape
+    anyway."""
+    from ..operators.sketch import hll_registers
+
+    return hll_registers(stream, group_cols, F.col(value_col), p=p)
+
+
 def streaming_cell_state(
     stream: DataFrame,
     grid: GridSpec,

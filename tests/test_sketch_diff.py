@@ -92,3 +92,42 @@ def test_snapshot_diff_is_sort_merge_not_cartesian(spark):
     head = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in head and "BroadcastNestedLoopJoin" not in head
     assert "Python" not in head
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The streamed register state (complete mode, availableNow) folded
+    by hll_estimate equals the one-shot batch hll_count_distinct —
+    incremental maintenance changes nothing (max is order-insensitive)."""
+    from datacube_core_spark.operators.sketch import hll_estimate
+    from datacube_core_spark.sources.pages import pages
+    from datacube_core_spark.streaming.jobs import (
+        stream_pages,
+        streaming_hll_registers,
+    )
+    from .conftest import SF_TINY
+
+    src = str(tmp_path / "hll_src")
+    p = pages(spark, SF_TINY)
+    p.write.mode("overwrite").parquet(src)
+
+    stream = stream_pages(spark, src, max_files_per_trigger=1)  # many batches
+    regs = streaming_hll_registers(stream, ("lang",), "url", p=4)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in hll_estimate(
+            spark.table("hll_regs_t"), ("lang",), p=4
+        ).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in hll_count_distinct(p, ("lang",), F.col("url"), p=4).collect()
+    }
+    assert got == exp and got
