@@ -1270,6 +1270,31 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.join(exact, "host")
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantiles both ways (operators/quantile.py): per-lang
+    token-count p25/p50/p90/p99 from the EXACT type-1 rank path (sort
+    window; rank target ⌈q·n⌉ in pure integer arithmetic — q carried as
+    a rational, no floats anywhere) AND the constant-state histogram
+    path (ONE partial-agg shuffle, ≤ n_bins rows per group — the
+    web-scale default, same state discipline as the HLL sketch).  At
+    bin_width 1 on integers the two are EQUAL, and this entry emits both
+    columns so the equality is itself hash-verified by the driver."""
+    from datacube_core_spark.functions.text import token_count_col
+    from datacube_core_spark.operators.quantile import (
+        group_quantiles_exact,
+        group_quantiles_hist,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", token_count_col(F.col("text")).cast("long").alias("toks")
+    )
+    ex = group_quantiles_exact(d, ("lang",), "toks")
+    hi = group_quantiles_hist(d, ("lang",), "toks").withColumnRenamed(
+        "val", "val_hist"
+    )
+    return ex.join(hi, ["lang", "q_num", "q_den"])
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot differential (operators/diff.snapshot_diff): two crawl
     snapshots of the documents corpus — the old one missing the pages
@@ -2418,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "trustrank": q_trustrank,
         "crawl_diff": q_crawl_diff,
+        "quantiles": q_quantiles,
         "zorder_key": q_zorder_key,
         "mgrs_roundtrip": q_mgrs_roundtrip,
         "dsir_weights": q_dsir_weights,
@@ -3177,6 +3203,22 @@ edges AS (
 ),
 nodes AS (SELECT doc_id FROM pages)
 SELECT * FROM ({sql_hyperball('edges', 'nodes', 3, 4)})
+"""
+
+    from datacube_core_spark.functions.text import sql_token_count
+    from datacube_core_spark.operators.quantile import (
+        sql_group_quantiles_exact,
+        sql_group_quantiles_hist,
+    )
+
+    sqls["quantiles"] = f"""
+WITH toks_t AS (
+  SELECT lang, CAST({sql_token_count('text')} AS BIGINT) AS toks FROM documents
+)
+SELECT e.lang, e.q_num, e.q_den, e.val, h.val AS val_hist
+FROM ({sql_group_quantiles_exact('toks_t', ('lang',), 'toks')}) e
+JOIN ({sql_group_quantiles_hist('toks_t', ('lang',), 'toks')}) h
+  ON h.lang = e.lang AND h.q_num = e.q_num AND h.q_den = e.q_den
 """
 
     from datacube_core_spark.operators.diff import sql_snapshot_diff
