@@ -1270,6 +1270,54 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.join(exact, "host")
 
 
+def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact per-group top-k (operators/skew.topk_per_group):
+    top-3 docs per lang by token count via TWO-LEVEL truncation — rank
+    within (group, salt) keep k, then rank within group over ≤ salt·k
+    survivors — so a hot group's sort spreads across n_salt tasks instead
+    of serializing on one (rank is not a partial aggregate; plain
+    salting alone would be WRONG, the second level restores exactness).
+    The oracle is deliberately the DIRECT single-window form — an
+    independent formulation, so the hash proves the truncation exact."""
+    from datacube_core_spark.functions.text import token_count_col
+    from datacube_core_spark.operators.skew import topk_per_group
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("toks"),
+    )
+    top = topk_per_group(d, ("lang",), "toks", 3, "doc_id", n_salt=8)
+    return top.select("lang", "rank", "doc_id", "toks")
+
+
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketch.cms_table/cms_lookup,
+    Cormode & Muthukrishnan 2005): corpus token frequencies in a fixed
+    (d=2 × w=32) integer matrix — constant state regardless of
+    vocabulary size, one partial-agg shuffle to build, broadcast to
+    probe.  Probes are the deterministic subset of tokens starting with
+    's'; the output carries est AND the true count so the driver
+    hash-verifies both the exact matrix arithmetic and the classic
+    one-sided guarantee (the `over_ok` column — est ≥ true ALWAYS — is
+    constant-true by theorem, and any engine/hash divergence breaks it)."""
+    from datacube_core_spark.functions.text import tokens_col
+    from datacube_core_spark.operators.sketch import cms_lookup, cms_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    cms = cms_table(toks, F.col("tok"), w=32, d=2)
+    true = (
+        toks.where(F.col("tok").startswith("s"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    probes = true.select("tok")
+    est = cms_lookup(cms, probes, "tok", w=32, d=2)
+    return est.join(true, "tok").select(
+        "tok", "est", "true_n", (F.col("est") >= F.col("true_n")).alias("over_ok")
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped quantiles both ways (operators/quantile.py): per-lang
     token-count p25/p50/p90/p99 from the EXACT type-1 rank path (sort
@@ -2444,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "crawl_diff": q_crawl_diff,
         "quantiles": q_quantiles,
+        "cms_freq": q_cms_freq,
+        "topk_groups": q_topk_groups,
         "zorder_key": q_zorder_key,
         "mgrs_roundtrip": q_mgrs_roundtrip,
         "dsir_weights": q_dsir_weights,
@@ -3205,11 +3255,45 @@ nodes AS (SELECT doc_id FROM pages)
 SELECT * FROM ({sql_hyperball('edges', 'nodes', 3, 4)})
 """
 
+    from datacube_core_spark.functions.text import sql_tokens
+    from datacube_core_spark.operators.sketch import (
+        sql_cms_lookup,
+        sql_cms_table,
+    )
+
+    sqls["cms_freq"] = f"""
+WITH toks AS (
+  SELECT UNNEST({sql_tokens('text')}) AS tok FROM documents
+), cms AS (
+  {sql_cms_table('toks', 'tok', 32, 2)}
+), true_t AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM toks WHERE starts_with(tok, 's') GROUP BY tok
+), probes AS (
+  SELECT tok FROM true_t
+), est AS (
+  {sql_cms_lookup('cms', 'probes', 'tok', 32, 2)}
+)
+SELECT e.tok, e.est, t.true_n, (e.est >= t.true_n) AS over_ok
+FROM est e JOIN true_t t USING (tok)
+"""
+
     from datacube_core_spark.functions.text import sql_token_count
     from datacube_core_spark.operators.quantile import (
         sql_group_quantiles_exact,
         sql_group_quantiles_hist,
     )
+
+    from datacube_core_spark.operators.skew import sql_topk_per_group
+
+    sqls["topk_groups"] = f"""
+WITH toks_t AS (
+  SELECT lang, doc_id, CAST({sql_token_count('text')} AS BIGINT) AS toks
+  FROM documents
+)
+SELECT lang, rank, doc_id, toks
+FROM ({sql_topk_per_group('toks_t', ('lang',), 'toks', 3, 'doc_id')})
+"""
 
     sqls["quantiles"] = f"""
 WITH toks_t AS (

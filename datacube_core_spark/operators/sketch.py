@@ -143,3 +143,121 @@ def sql_hll_count_distinct(
     ) GROUP BY {gc}, j
   ) GROUP BY {gc}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: fixed-size frequency table (Cormode & Muthukrishnan
+# 2005) — the heavy-hitter companion to the HLL distinct sketch above.
+# Term/url/host frequency at corpus scale with a (d × w) integer matrix
+# instead of a count-per-key table: state is d·w cells REGARDLESS of
+# cardinality, the build is one partial-agg shuffle, and the classic
+# guarantee holds exactly: estimate ≥ true count always (collisions only
+# ADD), est ≤ true + εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+#
+# Portability: the d row-hashes are the four disjoint 8-hex-digit windows
+# of ONE md5 (starts 1/9/17/25 — independent by construction, and exactly
+# reproducible in DuckDB like every md5-derived hash in this repo), so
+# the whole sketch — matrix and estimates — is integer-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+#: md5-hex windows backing the d ≤ 4 CMS rows
+CMS_STARTS = (1, 9, 17, 25)
+
+
+def cms_table(
+    df: DataFrame,
+    value: Column,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """Build the sketch: (i, b, c) rows — row i of the matrix, bucket b,
+    count c.  ≤ d·w rows total; one groupBy with map-side combine.
+    NULL values are ignored."""
+    from .dedup import md5_h32_col
+
+    if not 1 <= d <= len(CMS_STARTS):
+        raise ValueError(f"d must be in [1, {len(CMS_STARTS)}]")
+    v = value.cast("string")
+    staged = df.where(v.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (md5_h32_col(v, start=CMS_STARTS[i]) % w).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("ib")
+    )
+    return (
+        staged.select("ib.i", "ib.b")
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """Point estimates for probe values: est = min over the d rows of
+    the matrix cell the value hashes to.  Returns (value_col, est).
+    The sketch side is ≤ d·w rows — broadcast it; probes can be any
+    size.  A bucket never touched counts 0 (join miss → coalesce)."""
+    from .dedup import md5_h32_col
+
+    v = F.col(value_col).cast("string")
+    keyed = probes.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (md5_h32_col(v, start=CMS_STARTS[i]) % w).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("ib"),
+    ).select(value_col, "ib.i", "ib.b")
+    joined = keyed.join(F.broadcast(cms), ["i", "b"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def _sql_cms_keyed(src: str, value_expr: str, w: int, d: int) -> str:
+    """(value, i, b) rows for each of the d hash rows (UNION ALL — the
+    SQL analog of the literal-array explode)."""
+    from .dedup import sql_md5_h32
+
+    vs = f"CAST({value_expr} AS VARCHAR)"
+    parts = [
+        f"SELECT {value_expr} AS v, {i} AS i, "
+        f"{sql_md5_h32(vs, start=CMS_STARTS[i])} % {w} AS b FROM {src} "
+        f"WHERE {value_expr} IS NOT NULL"
+        for i in range(d)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def sql_cms_table(src: str, value_expr: str, w: int = 256, d: int = 4) -> str:
+    return (
+        f"SELECT i, b, COUNT(*) AS c FROM ({_sql_cms_keyed(src, value_expr, w, d)}) "
+        f"GROUP BY i, b"
+    )
+
+
+def sql_cms_lookup(
+    cms_cte: str, probes_cte: str, value_expr: str, w: int = 256, d: int = 4
+) -> str:
+    return f"""SELECT v AS {value_expr}, CAST(MIN(COALESCE(m.c, 0)) AS BIGINT) AS est
+FROM ({_sql_cms_keyed(probes_cte, value_expr, w, d)}) k
+LEFT JOIN {cms_cte} m ON m.i = k.i AND m.b = k.b
+GROUP BY v"""

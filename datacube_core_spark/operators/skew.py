@@ -74,3 +74,75 @@ def salted_agg(
 
     final_exprs = [_MERGES[fn](F.col(f"_p_{name}")).alias(name) for name, (c, fn) in aggs.items()]
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tie_col: str,
+    n_salt: int = 16,
+    desc: bool = True,
+) -> DataFrame:
+    """Skew-safe EXACT top-k per group (two-level truncation).
+
+    The naive per-group top-k — one rank window per group — serializes a
+    hot group onto one task (the same wall :func:`salted_agg` fixes for
+    sums, but rank is not a partial aggregate so salting alone is
+    wrong).  Two-level truncation restores exactness:
+
+    1. rank within (group, salt) where salt = md5(tie_col) mod n_salt,
+       keep k — a hot group's sort spreads over n_salt tasks;
+    2. rank within group over the ≤ n_salt·k survivors, keep k — a
+       bounded sort regardless of group size.
+
+    Exact because any row in a group's true top-k is necessarily in the
+    top-k of its own salt partition (dropping it would require k better
+    rows in the SAME salt, which would also be better globally).
+    Ordering is (order_col desc|asc, tie_col asc) — fully deterministic,
+    so engines agree row-for-row.
+
+    Returns df columns + ``rank`` (1-based within group).  Scale shape:
+    two window sorts, the first keyed (group, salt) with input-sized
+    data, the second keyed (group) over ≤ n_salt·k rows per group.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import md5_h32_col
+
+    gc = list(group_cols)
+    oc = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    salt = (md5_h32_col(F.col(tie_col).cast("string")) % n_salt).alias("__salt")
+    w1 = Window.partitionBy(*gc, "__salt").orderBy(oc, F.col(tie_col).asc())
+    pruned = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*gc).orderBy(oc, F.col(tie_col).asc())
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_topk_per_group(
+    rows_cte: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tie_col: str,
+    desc: bool = True,
+) -> str:
+    """DuckDB twin — deliberately the DIRECT single-window form (no
+    salting): an independent formulation, so the oracle checks that the
+    two-level truncation IS exact, not just self-consistent."""
+    gc = ", ".join(group_cols)
+    d = "DESC" if desc else "ASC"
+    return f"""SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {gc} ORDER BY {order_col} {d}, {tie_col} ASC) AS rank
+  FROM {rows_cte}
+) WHERE rank <= {k}"""

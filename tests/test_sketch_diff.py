@@ -131,3 +131,80 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         for r in hll_count_distinct(p, ("lang",), F.col("url"), p=4).collect()
     }
     assert got == exp and got
+
+
+def test_topk_per_group_salted_equals_direct(spark):
+    """Two-level truncation == direct single-window top-k (the DuckDB
+    twin is deliberately the direct form) — on a skewed input with a hot
+    group and heavy ties."""
+    from datacube_core_spark.operators.skew import (
+        sql_topk_per_group,
+        topk_per_group,
+    )
+
+    rows = [("hot", (i * 7) % 50, i) for i in range(5000)]
+    rows += [("cold", i % 5, i + 100000) for i in range(20)]
+    rows += [("tiny", 1, 999999)]  # group smaller than k
+    df = spark.createDataFrame(rows, "g STRING, score LONG, id LONG")
+    got = sorted(
+        (r["g"], r["rank"], r["score"], r["id"])
+        for r in topk_per_group(df, ("g",), "score", 5, "id", n_salt=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, score BIGINT, id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = sorted(
+        (r[0], r[3], r[1], r[2])
+        for r in con.execute(sql_topk_per_group("t", ("g",), "score", 5, "id")).fetchall()
+    )
+    assert got == exp
+    assert len([r for r in got if r[0] == "tiny"]) == 1  # small group kept whole
+
+
+def test_cms_one_sided_and_bitwise(spark):
+    """est >= true for EVERY key (collisions only add); Spark == DuckDB
+    == a python replay of the same md5 windows; NULLs ignored."""
+    import hashlib
+
+    from datacube_core_spark.operators.sketch import (
+        CMS_STARTS,
+        cms_lookup,
+        cms_table,
+        sql_cms_lookup,
+        sql_cms_table,
+    )
+
+    W, D = 8, 3  # tiny -> guaranteed collisions
+    vals = [f"k{(i * i) % 23}" for i in range(600)]
+    rows = [(v,) for v in vals] + [(None,)]
+    df = spark.createDataFrame(rows, "v STRING")
+    probes = df.where(F.col("v").isNotNull()).distinct()
+    got = {
+        r["v"]: r["est"]
+        for r in cms_lookup(cms_table(df, F.col("v"), W, D), probes, "v", W, D).collect()
+    }
+
+    # python replay
+    import collections
+    mat = collections.Counter()
+    def h(v, i):
+        hx = hashlib.md5(v.encode()).hexdigest()
+        s = CMS_STARTS[i]
+        return int(hx[s - 1:s - 1 + 8], 16) % W
+    for v in vals:
+        for i in range(D):
+            mat[(i, h(v, i))] += 1
+    true = collections.Counter(vals)
+    exp = {v: min(mat[(i, h(v, i))] for i in range(D)) for v in set(vals)}
+    assert got == exp
+    assert all(got[v] >= true[v] for v in true)
+    assert any(got[v] > true[v] for v in true)  # W=8 must collide
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    duck = dict(con.execute(
+        f"WITH cms AS ({sql_cms_table('t', 'v', W, D)}) "
+        + sql_cms_lookup("cms", "(SELECT DISTINCT v FROM t WHERE v IS NOT NULL)", "v", W, D)
+    ).fetchall())
+    assert duck == exp
