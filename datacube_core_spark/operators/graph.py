@@ -526,14 +526,21 @@ def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, iters: int = 3,
                        p: int = 4, id_col: str = "doc_id") -> DataFrame:
     """HyperBall harmonic-centrality sketch over ``iters`` rounds.
 
-    Returns one row per node: exact ball-size integers ``s0..s{iters}``
-    (S_t as defined in the module banner — monotonically non-increasing),
-    the float reach estimate ``reach_est`` at the final round, and the
-    accumulated harmonic estimate ``hharm``.  Ball direction matches
+    Returns one row per node IN ``nodes`` (an edge dst absent from
+    ``nodes`` — a dangling/uncrawled target — carries register state
+    through the rounds, exactly as the SQL twin's CTEs do, but is
+    dropped from the output by the final nodes join in BOTH engines):
+    exact ball-size integers ``s0..s{iters}`` (S_t as defined in the
+    module banner — monotonically non-increasing), the float reach
+    estimate ``reach_est`` at the final round, and the accumulated
+    harmonic estimate ``hharm``.  Ball direction matches
     :func:`harmonic_centrality`: B_t(v) counts u with d(u, v) ≤ t, so
-    registers propagate src → dst along each edge."""
+    registers propagate src → dst along each edge.  ``iters`` must be
+    ≥ 1 (the t=0 sketch alone is just the singleton registers)."""
     from datacube_core_spark.operators.dedup import md5_h32_col
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     m = 1 << p
     r_max = HLL_W + 1
     two_r = 1 << r_max
@@ -594,7 +601,10 @@ def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, iters: int = 3,
     for t in range(1, iters + 1):
         dt = (est(F.col(f"s{t}")) - est(F.col(f"s{t-1}"))) / F.lit(float(t))
         hharm = dt if hharm is None else hharm + dt
-    return wide.select(
+    # anchor on nodes: registers may exist for non-node edge targets
+    # (the twin drops them via its hb_s0 inner join — hb_reg0 is built
+    # from nodes only, so joining back to ids is the same filter)
+    return ids.join(wide, "v").select(
         F.col("v").alias(id_col),
         *[F.col(f"s{t}") for t in range(iters + 1)],
         est(F.col(f"s{iters}")).alias("reach_est"),
@@ -611,6 +621,8 @@ def sql_hyperball(edges_cte: str, nodes_cte: str, iters: int = 3, p: int = 4,
     resolve from the caller's outer WITH scope)."""
     from datacube_core_spark.operators.dedup import sql_md5_h32
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     m = 1 << p
     r_max = HLL_W + 1
     two_r = 1 << r_max

@@ -69,7 +69,12 @@ def group_quantiles_exact(
     w_rank = Window.partitionBy(*gc).orderBy(F.col(value_col).asc())
     w_all = Window.partitionBy(*gc)
     ranked = (
+        # NULL values are ignored (SQL percentile semantics) — also the
+        # cross-engine guard: Spark asc() sorts NULLS FIRST, DuckDB
+        # defaults NULLS LAST, so a NULL reaching the window would
+        # diverge the twins
         df.select(*gc, value_col)
+        .where(F.col(value_col).isNotNull())
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_all))
         .withColumn("q", _q_explode(qs))
@@ -98,8 +103,11 @@ def group_quantiles_hist(
         f"CAST((CAST({value_col} AS BIGINT) - {int(bin_origin)})"
         f" DIV {int(bin_width)} AS BIGINT)"
     )
-    counts = df.select(*gc, b.alias("bin")).groupBy(*gc, "bin").agg(
-        F.count(F.lit(1)).alias("c")
+    counts = (
+        df.where(F.col(value_col).isNotNull())  # same NULL policy as exact
+        .select(*gc, b.alias("bin"))
+        .groupBy(*gc, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     w_cum = (
         Window.partitionBy(*gc)
@@ -140,7 +148,7 @@ def sql_group_quantiles_exact(
     SELECT {gc}, {value_expr} AS v,
            ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY {value_expr}) AS rn,
            CAST(COUNT(*) OVER (PARTITION BY {gc}) AS BIGINT) AS n
-    FROM {rows_cte}
+    FROM {rows_cte} WHERE {value_expr} IS NOT NULL
   ) CROSS JOIN {_sql_qs_values(qs)}
 ) WHERE rn = r"""
 
@@ -168,7 +176,7 @@ FROM (
       SELECT {gc},
              (CAST({value_expr} AS BIGINT) - {int(bin_origin)}) // {int(bin_width)} AS bin,
              COUNT(*) AS c
-      FROM {rows_cte} GROUP BY {gc}, bin
+      FROM {rows_cte} WHERE {value_expr} IS NOT NULL GROUP BY {gc}, bin
     )
   ) CROSS JOIN {_sql_qs_values(qs)}
 ) WHERE cum >= r AND cum - c < r"""

@@ -208,11 +208,13 @@ def cms_lookup(
     """Point estimates for probe values: est = min over the d rows of
     the matrix cell the value hashes to.  Returns (value_col, est).
     The sketch side is ≤ d·w rows — broadcast it; probes can be any
-    size.  A bucket never touched counts 0 (join miss → coalesce)."""
+    size.  A bucket never touched counts 0 (join miss → coalesce).
+    NULL probes are dropped (same policy as the build side and the SQL
+    twin's IS NOT NULL filter)."""
     from .dedup import md5_h32_col
 
     v = F.col(value_col).cast("string")
-    keyed = probes.select(
+    keyed = probes.where(v.isNotNull()).select(
         value_col,
         F.explode(
             F.array(

@@ -100,8 +100,13 @@ def topk_per_group(
     Exact because any row in a group's true top-k is necessarily in the
     top-k of its own salt partition (dropping it would require k better
     rows in the SAME salt, which would also be better globally).
-    Ordering is (order_col desc|asc, tie_col asc) — fully deterministic,
-    so engines agree row-for-row.
+    Ordering is (order_col desc|asc, tie_col asc), NULLS LAST on every
+    key in BOTH engines (Spark's bare asc() is NULLS FIRST, DuckDB's
+    default is NULLS LAST — pinning it is what keeps the twins
+    row-identical when order_col is NULL).  ``tie_col`` must be a
+    UNIQUE, NON-NULL key (it is the tie-breaker; NULL tie keys would
+    both rank nondeterministically among themselves and share one salt
+    partition).
 
     Returns df columns + ``rank`` (1-based within group).  Scale shape:
     two window sorts, the first keyed (group, salt) with input-sized
@@ -112,16 +117,20 @@ def topk_per_group(
     from .dedup import md5_h32_col
 
     gc = list(group_cols)
-    oc = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    oc = (
+        F.col(order_col).desc_nulls_last()
+        if desc
+        else F.col(order_col).asc_nulls_last()
+    )
     salt = (md5_h32_col(F.col(tie_col).cast("string")) % n_salt).alias("__salt")
-    w1 = Window.partitionBy(*gc, "__salt").orderBy(oc, F.col(tie_col).asc())
+    w1 = Window.partitionBy(*gc, "__salt").orderBy(oc, F.col(tie_col).asc_nulls_last())
     pruned = (
         df.withColumn("__salt", salt)
         .withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= k)
         .drop("__salt", "__r1")
     )
-    w2 = Window.partitionBy(*gc).orderBy(oc, F.col(tie_col).asc())
+    w2 = Window.partitionBy(*gc).orderBy(oc, F.col(tie_col).asc_nulls_last())
     return (
         pruned.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
@@ -143,6 +152,7 @@ def sql_topk_per_group(
     d = "DESC" if desc else "ASC"
     return f"""SELECT * FROM (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY {gc} ORDER BY {order_col} {d}, {tie_col} ASC) AS rank
+    PARTITION BY {gc}
+    ORDER BY {order_col} {d} NULLS LAST, {tie_col} ASC NULLS LAST) AS rank
   FROM {rows_cte}
 ) WHERE rank <= {k}"""

@@ -105,3 +105,29 @@ def test_hist_plan_is_partial_agg_no_join(spark):
     assert "CartesianProduct" not in head and "BroadcastNestedLoopJoin" not in head
     assert "Python" not in head
     assert "HashAggregate" in head
+
+
+def test_nulls_are_ignored_both_paths_and_engines(spark):
+    """Review finding: NULL values must be excluded (SQL percentile
+    semantics) — and they were a cross-engine trap (Spark asc() is NULLS
+    FIRST, DuckDB defaults NULLS LAST)."""
+    rows = [("a", v) for v in (1, 2, 3, 4, None, None)]
+    df = spark.createDataFrame(rows, "g STRING, v LONG")
+    ex = {
+        r["q_num"]: r["val"]
+        for r in group_quantiles_exact(df, ("g",), "v", QS).collect()
+    }
+    hi = {
+        r["q_num"]: r["val"]
+        for r in group_quantiles_hist(df, ("g",), "v", QS).collect()
+    }
+    # n = 4 (NULLs ignored): p25 -> rank 1 -> 1; p99 -> rank 4 -> 4
+    assert ex == {25: 1, 50: 2, 90: 4, 99: 4} == hi
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dex = {
+        r[1]: r[3]
+        for r in con.execute(sql_group_quantiles_exact("t", ("g",), "v", QS)).fetchall()
+    }
+    assert dex == ex

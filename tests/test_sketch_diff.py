@@ -208,3 +208,58 @@ def test_cms_one_sided_and_bitwise(spark):
         + sql_cms_lookup("cms", "(SELECT DISTINCT v FROM t WHERE v IS NOT NULL)", "v", W, D)
     ).fetchall())
     assert duck == exp
+
+
+def test_topk_null_order_and_cms_null_probe(spark):
+    """Review findings: NULL order values rank LAST in both engines;
+    NULL probes are dropped by cms_lookup like the SQL twin."""
+    from datacube_core_spark.operators.skew import (
+        sql_topk_per_group,
+        topk_per_group,
+    )
+
+    rows = [("g", 10, 1), ("g", None, 2), ("g", 5, 3)]
+    df = spark.createDataFrame(rows, "g STRING, score LONG, id LONG")
+    got = sorted(
+        (r["rank"], r["id"])
+        for r in topk_per_group(df, ("g",), "score", 3, "id", n_salt=4).collect()
+    )
+    assert got == [(1, 1), (2, 3), (3, 2)]  # NULL score ranks last
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, score BIGINT, id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = sorted(
+        (r[3], r[2])
+        for r in con.execute(sql_topk_per_group("t", ("g",), "score", 3, "id")).fetchall()
+    )
+    assert got == exp
+
+    from datacube_core_spark.operators.sketch import cms_lookup, cms_table
+
+    data = spark.createDataFrame([("x",), ("x",), ("y",)], "v STRING")
+    probes = spark.createDataFrame([("x",), (None,)], "v STRING")
+    est = cms_lookup(cms_table(data, F.col("v")), probes, "v").collect()
+    assert {r["v"]: r["est"] for r in est} == {"x": 2}  # NULL probe dropped
+
+
+def test_hyperball_drops_nonnode_targets_and_guards_iters(spark):
+    """Review findings: output is anchored on `nodes` even when edges
+    point at uncrawled targets; iters=0 raises in both dialects."""
+    import pytest as _pytest
+
+    from datacube_core_spark.operators.graph import (
+        hyperball_harmonic,
+        sql_hyperball,
+    )
+
+    edges = [(0, 1), (1, 99)]  # 99 is NOT a node (dangling target)
+    nodes = [0, 1]
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "doc_id LONG")
+    out = hyperball_harmonic(edf, ndf, iters=2, p=4).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+    assert all(r["s0"] is not None for r in out)
+    with _pytest.raises(ValueError):
+        hyperball_harmonic(edf, ndf, iters=0)
+    with _pytest.raises(ValueError):
+        sql_hyperball("e", "n", iters=0)
