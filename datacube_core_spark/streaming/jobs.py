@@ -99,6 +99,24 @@ def streaming_hll_registers(
     return hll_registers(stream, group_cols, F.col(value_col), p=p)
 
 
+def streaming_cms_table(
+    stream: DataFrame,
+    value_col: str,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """Continuously maintained count-min sketch (live heavy-hitter /
+    term-frequency monitoring): the batch definition
+    (``operators/sketch.cms_table``) applied to the stream — the build
+    is one groupBy(i, b).count, a supported streaming aggregate whose
+    state is ≤ d·w rows FOREVER (same no-watermark argument as
+    :func:`streaming_hll_registers`: counts only grow).  Point estimates
+    are a display-time ``cms_lookup`` against the matrix sink."""
+    from ..operators.sketch import cms_table
+
+    return cms_table(stream, F.col(value_col), w=w, d=d)
+
+
 def streaming_cell_state(
     stream: DataFrame,
     grid: GridSpec,

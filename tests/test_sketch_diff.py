@@ -263,3 +263,45 @@ def test_hyperball_drops_nonnode_targets_and_guards_iters(spark):
         hyperball_harmonic(edf, ndf, iters=0)
     with _pytest.raises(ValueError):
         sql_hyperball("e", "n", iters=0)
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Streamed CMS matrix (complete mode, multi-batch) == one-shot
+    batch cms_table; estimates via the same display-time lookup."""
+    from datacube_core_spark.operators.sketch import cms_lookup, cms_table
+    from datacube_core_spark.sources.pages import pages
+    from datacube_core_spark.streaming.jobs import (
+        stream_pages,
+        streaming_cms_table,
+    )
+    from .conftest import SF_TINY
+
+    src = str(tmp_path / "cms_src")
+    p = pages(spark, SF_TINY)
+    p.write.mode("overwrite").parquet(src)
+
+    stream = stream_pages(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_cms_table(stream, "lang", w=16, d=2)
+        .writeStream.format("memory")
+        .queryName("cms_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["i"], r["b"]): r["c"] for r in spark.table("cms_t").collect()
+    }
+    exp = {
+        (r["i"], r["b"]): r["c"]
+        for r in cms_table(p, F.col("lang"), w=16, d=2).collect()
+    }
+    assert got == exp and got
+    probes = p.select("lang").distinct()
+    est_stream = {
+        r["lang"]: r["est"]
+        for r in cms_lookup(spark.table("cms_t"), probes, "lang", 16, 2).collect()
+    }
+    true = {r["lang"]: r["n"] for r in p.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(est_stream[k] >= v for k, v in true.items())
