@@ -1270,6 +1270,23 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.join(exact, "host")
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (operators/graph.random_walks,
+    Perozzi et al. 2014): hash-seeded uniform walks from every node —
+    the graph-embedding training-data generator.  'Randomness' is
+    md5(walk_id:step:node) mod outdeg over dst-ranked neighbors, so a
+    re-run or the DuckDB twin reproduces every walk byte-for-byte (the
+    twin unrolls one CTE per step over the same ranked-neighbor table).
+    Scale shape: ranked neighbors built once (one window over edges);
+    each step is ONE equi-join on (src, rank) with a non-growing
+    frontier; lineage localCheckpoint-truncated per step."""
+    from datacube_core_spark.operators.graph import page_edges, random_walks
+
+    pg = pages(spark, sf_dir, repl=Q_REPL)
+    edges = page_edges(pg)
+    return random_walks(edges, pg.select("doc_id"), walks_per_node=1, length=4)
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact per-group top-k (operators/skew.topk_per_group):
     top-3 docs per lang by token count via TWO-LEVEL truncation — rank
@@ -2494,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "cms_freq": q_cms_freq,
         "topk_groups": q_topk_groups,
+        "random_walks": q_random_walks,
         "zorder_key": q_zorder_key,
         "mgrs_roundtrip": q_mgrs_roundtrip,
         "dsir_weights": q_dsir_weights,
@@ -3327,6 +3345,17 @@ SELECT host,
        CAST(SUM(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
 FROM ({sql_snapshot_diff('old_s', 'new_s', ('doc_id', 'host'))})
 GROUP BY host
+"""
+
+    from datacube_core_spark.operators.graph import sql_random_walks
+
+    sqls["random_walks"] = f"""{pages_cte(Q_REPL)},
+m AS (SELECT doc_id, {_she(repl=Q_REPL)} AS h FROM pages),
+edges AS (
+  SELECT doc_id AS src, UNNEST({sql_extract_outlinks('h')}) AS dst FROM m
+),
+nodes AS (SELECT doc_id FROM pages)
+SELECT * FROM ({sql_random_walks('edges', 'nodes', 1, 4)})
 """
 
     from datacube_core_spark.operators.graph import sql_trustrank_levels

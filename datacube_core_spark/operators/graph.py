@@ -671,3 +671,104 @@ def sql_hyperball(edges_cte: str, nodes_cte: str, iters: int = 3, p: int = 4,
         + f"       {hharm} AS hharm\n"
         + f"FROM hb_s0 s0{joins}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec corpus generation).
+# Graph-embedding training data is built by sampling fixed-length walks
+# from every node (Perozzi et al. 2014, "DeepWalk"; node2vec with
+# p = q = 1 reduces to the same uniform walk).  At web scale the walk
+# corpus is generated with one join PER STEP, never a per-node loop —
+# and determinism matters for the same reason it does everywhere else in
+# this repo: a re-run (or the DuckDB twin) must produce byte-identical
+# walks.  The "randomness" is therefore a hash: at step t the walk at
+# node v takes neighbor index  md5-h32(walk_id || ':' || t || ':' || v)
+# mod outdeg(v)  over the node's neighbors ranked by dst — exactly
+# reproducible in SQL, statistically uniform across walks/steps.
+# ---------------------------------------------------------------------------
+
+
+def random_walks(edges: DataFrame, nodes: DataFrame, walks_per_node: int = 2,
+                 length: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """(walk_id, step, node) rows: ``walks_per_node`` hash-seeded uniform
+    walks of ``length`` steps from every node.  A walk reaching a node
+    with no out-edges stops (dangling truncation — rows simply end).
+
+    Scale shape: the ranked neighbor table is built once (one window
+    over edges, partitioned by src); each step is ONE equi-join of the
+    frontier against it on (src, rank) — |frontier| ≤ n·walks_per_node
+    rows per step, no growth.  walk_id = node·walks_per_node + w keeps
+    ids dense and engine-independent."""
+    from datacube_core_spark.operators.dedup import md5_h32_col
+    from pyspark.sql import Window
+
+    if length < 1 or walks_per_node < 1:
+        raise ValueError("length and walks_per_node must be >= 1")
+    w_nbr = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    nbr = (
+        edges.select("src", "dst").distinct()
+        .withColumn("nrank", F.row_number().over(w_nbr))
+        .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    starts = nodes.select(F.col(id_col).alias("node")).select(
+        "node",
+        F.explode(
+            F.array(*[F.lit(w).cast("long") for w in range(walks_per_node)])
+        ).alias("w"),
+    ).select(
+        (F.col("node") * walks_per_node + F.col("w")).alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("node"),
+    )
+    out = starts
+    frontier = starts
+    for t in range(1, length + 1):
+        pick = md5_h32_col(
+            F.concat_ws(":", F.col("walk_id").cast("string"),
+                        F.lit(str(t)), F.col("node").cast("string"))
+        )
+        keyed = frontier.select(
+            "walk_id", F.col("node").alias("cur"), pick.alias("h")
+        )
+        step = (
+            keyed.join(nbr, keyed["cur"] == nbr["src"])
+            .where(F.col("nrank") == (F.col("h") % F.col("outdeg")) + 1)
+            .select("walk_id", F.lit(t).alias("step"), F.col("dst").alias("node"))
+        )
+        frontier = step.localCheckpoint(eager=True)
+        out = out.unionByName(frontier)
+    return out
+
+
+def sql_random_walks(edges_cte: str, nodes_cte: str, walks_per_node: int = 2,
+                     length: int = 4, id_col: str = "doc_id") -> str:
+    """DuckDB twin: ranked neighbors + one unrolled CTE per step."""
+    from datacube_core_spark.operators.dedup import sql_md5_h32
+
+    pick = sql_md5_h32(
+        "CAST(walk_id AS VARCHAR) || ':' || '{t}' || ':' || CAST(cur AS VARCHAR)"
+    )
+    ctes = [
+        f"""rw_nbr AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS nrank,
+         COUNT(*) OVER (PARTITION BY src) AS outdeg
+  FROM (SELECT DISTINCT src, dst FROM {edges_cte}))""",
+        f"""rw_s0 AS (
+  SELECT {id_col} * {walks_per_node} + w AS walk_id, 0 AS step,
+         {id_col} AS node
+  FROM {nodes_cte}
+  CROSS JOIN (SELECT UNNEST(range({walks_per_node})) AS w))""",
+    ]
+    for t in range(1, length + 1):
+        h = pick.replace("{t}", str(t))
+        ctes.append(f"""rw_s{t} AS (
+  SELECT f.walk_id, {t} AS step, n.dst AS node
+  FROM (SELECT walk_id, node AS cur FROM rw_s{t-1}) f
+  JOIN rw_nbr n ON n.src = f.cur
+  WHERE n.nrank = ({h}) % n.outdeg + 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM rw_s{t}" for t in range(length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union

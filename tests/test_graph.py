@@ -350,3 +350,43 @@ def test_trustrank_seed_gated_teleport(spark):
         for r in trustrank_exact(edf, ndf2, sdf, iters=3).collect()
     }
     assert got2[7] == 0
+
+
+def test_random_walks_deterministic_and_bitwise(spark):
+    """Walks reproduce byte-for-byte across engines; dangling nodes
+    truncate; every step follows a REAL edge."""
+    import duckdb
+
+    from datacube_core_spark.operators.graph import (
+        random_walks,
+        sql_random_walks,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 1), (4, 5)]  # 5 dangles
+    nodes = list(range(6))
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "doc_id LONG")
+    got = sorted(
+        tuple(r) for r in random_walks(edf, ndf, walks_per_node=2, length=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE n (doc_id BIGINT)")
+    con.executemany("INSERT INTO n VALUES (?)", [(v,) for v in nodes])
+    exp = sorted(con.execute(sql_random_walks("e", "n", 2, 4)).fetchall())
+    assert got == exp
+    # dangling: node 5's walks are a single step-0 row
+    w5 = [r for r in got if r[0] // 2 == 5]
+    assert all(r[1] == 0 and r[2] == 5 for r in w5) and len(w5) == 2
+    # walks from 4 reach 5 at step 1 then stop
+    w4 = sorted(r for r in got if r[0] // 2 == 4)
+    assert {(r[1], r[2]) for r in w4} == {(0, 4), (1, 5)}
+    # every transition is an edge
+    eset = set(edges)
+    byw = {}
+    for wid, step, node in got:
+        byw.setdefault(wid, {})[step] = node
+    for wid, steps in byw.items():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in eset
