@@ -1270,6 +1270,42 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.join(exact, "host")
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter blocklist membership (operators/sketch.bloom_build /
+    bloom_might_contain): the scale path for benchmark decontamination —
+    instead of shuffling the corpus against the blocklist, the blocklist
+    (content fingerprints of docs ≡ 0 mod 17) becomes ≤ n_bits/32
+    broadcast words and membership is a map-side bit test.  The filter
+    is deliberately UNDERSIZED (128 bits for 30 members) so false
+    positives occur and both halves of the contract are hash-verified:
+    `no_false_neg` (in_exact → in_bloom) is constant-true by theorem,
+    while in_bloom ≠ in_exact rows are the real false positives the
+    εN bound prices in."""
+    from datacube_core_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp")
+    )
+    block = d.where(F.col("doc_id") % 17 == 0).select("fp")
+    bloom = bloom_build(block, F.col("fp"), n_bits=128, k=3)
+    res = bloom_might_contain(bloom, d, "fp", n_bits=128, k=3)
+    exact = block.distinct().withColumn("__in_exact", F.lit(True))
+    return (
+        res.join(exact, "fp", "left")
+        .select(
+            "doc_id",
+            "in_bloom",
+            F.coalesce(F.col("__in_exact"), F.lit(False)).alias("in_exact"),
+        )
+        .withColumn(
+            "no_false_neg", (~F.col("in_exact")) | F.col("in_bloom")
+        )
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus (operators/graph.random_walks,
     Perozzi et al. 2014): hash-seeded uniform walks from every node —
@@ -2512,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "topk_groups": q_topk_groups,
         "random_walks": q_random_walks,
+        "bloom_filter": q_bloom_filter,
         "zorder_key": q_zorder_key,
         "mgrs_roundtrip": q_mgrs_roundtrip,
         "dsir_weights": q_dsir_weights,
@@ -3345,6 +3382,29 @@ SELECT host,
        CAST(SUM(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
 FROM ({sql_snapshot_diff('old_s', 'new_s', ('doc_id', 'host'))})
 GROUP BY host
+"""
+
+    from datacube_core_spark.operators.sketch import (
+        sql_bloom_build,
+        sql_bloom_might_contain,
+    )
+
+    sqls["bloom_filter"] = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+), block AS (
+  SELECT fp FROM d WHERE doc_id % 17 = 0
+), bloom AS (
+  {sql_bloom_build('block', 'fp', 128, 3)}
+), res AS (
+  {sql_bloom_might_contain('bloom', 'd', ('doc_id', 'fp'), 'fp', 128, 3)}
+), exact AS (
+  SELECT DISTINCT fp, TRUE AS in_exact_t FROM block
+)
+SELECT r.doc_id, r.in_bloom,
+       COALESCE(e.in_exact_t, FALSE) AS in_exact,
+       (NOT COALESCE(e.in_exact_t, FALSE)) OR r.in_bloom AS no_false_neg
+FROM res r LEFT JOIN exact e ON e.fp = r.fp
 """
 
     from datacube_core_spark.operators.graph import sql_random_walks

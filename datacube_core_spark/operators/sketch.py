@@ -263,3 +263,140 @@ def sql_cms_lookup(
 FROM ({_sql_cms_keyed(probes_cte, value_expr, w, d)}) k
 LEFT JOIN {cms_cte} m ON m.i = k.i AND m.b = k.b
 GROUP BY v"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: fixed-size MEMBERSHIP sketch (Bloom 1970) — completing
+# the family: HLL = distinct, CMS = frequency, histogram = quantile,
+# Bloom = membership.  The 100-TB use is blocklist semi-joins
+# (benchmark decontamination, kill-lists, seen-URL checks): instead of
+# shuffling the corpus against the blocklist, build n_bits of filter
+# from the blocklist ONCE, broadcast the ≤ n_bits/32 words, and test
+# membership with a map-side expression.  One-sided like CMS: NO false
+# negatives ever (a true member always matches), tunable false-positive
+# rate ≈ (1 − e^{−kn/m})^k.
+#
+# Representation: 32-bit words as (word, mask) rows — masks stay in
+# [0, 2³²) so int64 bit ops never touch the sign bit in either engine.
+# Positions come from the same md5-hex windows as CMS (k ≤ 4);
+# aggregation is bit_or — associative/commutative, map-side combinable.
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 32
+
+
+def bloom_build(
+    df: DataFrame,
+    value: Column,
+    n_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Build the filter from a values DataFrame: (word, mask) rows,
+    ≤ n_bits/32 of them.  NULLs ignored."""
+    from .dedup import md5_h32_col
+
+    if not 1 <= k <= len(CMS_STARTS):
+        raise ValueError(f"k must be in [1, {len(CMS_STARTS)}]")
+    v = value.cast("string")
+    pos = [
+        (md5_h32_col(v, start=CMS_STARTS[i]) % n_bits).alias(f"p{i}")
+        for i in range(k)
+    ]
+    staged = df.where(v.isNotNull()).select(*pos)
+    exploded = staged.select(
+        F.explode(
+            F.array(*[F.col(f"p{i}") for i in range(k)])
+        ).alias("p")
+    )
+    return (
+        exploded.select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """(probe columns..., in_bloom): True iff every one of the k bits is
+    set — no false negatives, tunable false positives.  The filter side
+    is ≤ n_bits/32 rows: broadcast join, probes never shuffle."""
+    from .dedup import md5_h32_col
+
+    v = F.col(value_col).cast("string")
+    keyed = probes.select(
+        *probes.columns,
+        F.explode(
+            F.array(
+                *[
+                    (md5_h32_col(v, start=CMS_STARTS[i]) % n_bits)
+                    for i in range(k)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        *probes.columns,
+        (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("need"),
+    )
+    joined = keyed.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("need"))
+        == F.col("need")
+    ).cast("int")
+    return joined.groupBy(*probes.columns).agg(
+        (F.min(hit) == 1).alias("in_bloom")
+    )
+
+
+def sql_bloom_build(src: str, value_expr: str, n_bits: int = 4096, k: int = 3) -> str:
+    from .dedup import sql_md5_h32
+
+    vs = f"CAST({value_expr} AS VARCHAR)"
+    parts = [
+        f"SELECT {sql_md5_h32(vs, start=CMS_STARTS[i])} % {n_bits} AS p "
+        f"FROM {src} WHERE {value_expr} IS NOT NULL"
+        for i in range(k)
+    ]
+    un = " UNION ALL ".join(parts)
+    return f"""SELECT p // {BLOOM_WORD_BITS} AS word,
+       bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS mask
+FROM ({un}) GROUP BY word"""
+
+
+def sql_bloom_might_contain(
+    bloom_cte: str,
+    probes_cte: str,
+    key_cols: tuple[str, ...],
+    value_expr: str,
+    n_bits: int = 4096,
+    k: int = 3,
+) -> str:
+    from .dedup import sql_md5_h32
+
+    gc = ", ".join(key_cols)
+    vs = f"CAST({value_expr} AS VARCHAR)"
+    parts = [
+        f"SELECT {gc}, {sql_md5_h32(vs, start=CMS_STARTS[i])} % {n_bits} AS p "
+        f"FROM {probes_cte}"
+        for i in range(k)
+    ]
+    un = " UNION ALL ".join(parts)
+    return f"""SELECT {gc}, MIN(CASE WHEN (COALESCE(b.mask, 0)
+            & (CAST(1 AS BIGINT) << CAST(kk.p % {BLOOM_WORD_BITS} AS INT)))
+            = (CAST(1 AS BIGINT) << CAST(kk.p % {BLOOM_WORD_BITS} AS INT))
+       THEN 1 ELSE 0 END) = 1 AS in_bloom
+FROM ({un}) kk
+LEFT JOIN {bloom_cte} b ON b.word = kk.p // {BLOOM_WORD_BITS}
+GROUP BY {gc}"""

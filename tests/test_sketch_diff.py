@@ -305,3 +305,44 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     }
     true = {r["lang"]: r["n"] for r in p.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert all(est_stream[k] >= v for k, v in true.items())
+
+
+def test_bloom_no_false_negatives_and_bitwise(spark):
+    """Every inserted value tests positive (one-sided guarantee); an
+    undersized filter produces false positives; Spark == DuckDB on the
+    word/mask table AND on every membership verdict; NULLs ignored."""
+    from datacube_core_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+        sql_bloom_build,
+        sql_bloom_might_contain,
+    )
+
+    members = [f"m{i}" for i in range(40)]
+    others = [f"x{i}" for i in range(400)]
+    mdf = spark.createDataFrame([(v,) for v in members] + [(None,)], "v STRING")
+    bloom = bloom_build(mdf, F.col("v"), n_bits=128, k=3)
+    probes = spark.createDataFrame(
+        [(v,) for v in members + others], "v STRING"
+    )
+    got = {
+        r["v"]: r["in_bloom"]
+        for r in bloom_might_contain(bloom, probes, "v", 128, 3).collect()
+    }
+    assert all(got[v] for v in members)          # no false negatives
+    fps = sum(got[v] for v in others)
+    assert 0 < fps < len(others)                 # undersized -> some FPs
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (v VARCHAR)")
+    con.executemany("INSERT INTO m VALUES (?)", [(v,) for v in members] + [(None,)])
+    con.execute("CREATE TABLE p (v VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?)", [(v,) for v in members + others])
+    words = dict(con.execute(sql_bloom_build("m", "v", 128, 3)).fetchall())
+    spark_words = {r["word"]: r["mask"] for r in bloom.collect()}
+    assert words == spark_words
+    duck = dict(con.execute(
+        f"WITH bloom AS ({sql_bloom_build('m', 'v', 128, 3)}) "
+        + sql_bloom_might_contain("bloom", "p", ("v",), "v", 128, 3)
+    ).fetchall())
+    assert duck == got
