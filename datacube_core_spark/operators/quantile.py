@@ -109,6 +109,20 @@ def group_quantiles_hist(
         .groupBy(*gc, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return quantiles_from_bins(counts, group_cols, qs, bin_width, bin_origin)
+
+
+def quantiles_from_bins(
+    counts: DataFrame,
+    group_cols: tuple[str, ...],
+    qs=DEFAULT_QS,
+    bin_width: int = 1,
+    bin_origin: int = 0,
+) -> DataFrame:
+    """Rank-selection fold over a (group..., bin, c) bin-count table —
+    the read-time half, reusable over an incrementally maintained bin
+    sink (``streaming/jobs.streaming_quantile_bins``)."""
+    gc = list(group_cols)
     w_cum = (
         Window.partitionBy(*gc)
         .orderBy(F.col("bin").asc())

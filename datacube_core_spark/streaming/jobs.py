@@ -117,6 +117,48 @@ def streaming_cms_table(
     return cms_table(stream, F.col(value_col), w=w, d=d)
 
 
+def streaming_bloom_words(
+    stream: DataFrame,
+    value_col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Continuously maintained Bloom filter (live seen-URL / blocklist
+    state): bit_or is an associative, commutative streaming aggregate,
+    state is ≤ n_bits/32 (word, mask) rows forever — membership tests
+    are a display-time ``bloom_might_contain`` against the word sink."""
+    from ..operators.sketch import bloom_build
+
+    return bloom_build(stream, F.col(value_col), n_bits=n_bits, k=k)
+
+
+def streaming_quantile_bins(
+    stream: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    bin_width: int = 1,
+    bin_origin: int = 0,
+) -> DataFrame:
+    """Continuously maintained quantile histogram: the bin-count half of
+    ``operators/quantile.group_quantiles_hist`` (groupBy(group, bin)
+    count — a supported streaming aggregate, ≤ n_bins rows per group),
+    with the rank-selection fold applied at read time over the tiny bin
+    sink.  Completes the streaming sketch matrix: HLL registers, CMS
+    matrix, Bloom words, quantile bins — each one the batch definition
+    applied to a stream, each estimate-on-read."""
+    gc = list(group_cols)
+    b = F.expr(
+        f"CAST((CAST({value_col} AS BIGINT) - {int(bin_origin)})"
+        f" DIV {int(bin_width)} AS BIGINT)"
+    )
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .select(*gc, b.alias("bin"))
+        .groupBy(*gc, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def streaming_cell_state(
     stream: DataFrame,
     grid: GridSpec,

@@ -346,3 +346,62 @@ def test_bloom_no_false_negatives_and_bitwise(spark):
         + sql_bloom_might_contain("bloom", "p", ("v",), "v", 128, 3)
     ).fetchall())
     assert duck == got
+
+
+def test_streaming_bloom_and_quantile_bins_match_batch(spark, tmp_path):
+    """The last two streaming maintenance twins: Bloom word table and
+    quantile bin counts streamed multi-batch == one-shot batch; the
+    read-time folds produce identical verdicts/quantiles."""
+    from datacube_core_spark.operators.quantile import (
+        group_quantiles_hist,
+        quantiles_from_bins,
+    )
+    from datacube_core_spark.operators.sketch import bloom_build
+    from datacube_core_spark.sources.pages import pages
+    from datacube_core_spark.streaming.jobs import (
+        stream_pages,
+        streaming_bloom_words,
+        streaming_quantile_bins,
+    )
+    from .conftest import SF_TINY
+
+    src = str(tmp_path / "sbq_src")
+    p = pages(spark, SF_TINY)
+    p.write.mode("overwrite").parquet(src)
+
+    s1 = stream_pages(spark, src, max_files_per_trigger=1)
+    (
+        streaming_bloom_words(s1, "url", n_bits=256, k=3)
+        .writeStream.format("memory").queryName("bloom_w")
+        .outputMode("complete").trigger(availableNow=True).start()
+        .awaitTermination(120)
+    )
+    got_words = {
+        r["word"]: r["mask"] for r in spark.table("bloom_w").collect()
+    }
+    exp_words = {
+        r["word"]: r["mask"]
+        for r in bloom_build(p, F.col("url"), n_bits=256, k=3).collect()
+    }
+    assert got_words == exp_words and got_words
+
+    s2 = stream_pages(spark, src, max_files_per_trigger=1)
+    (
+        streaming_quantile_bins(s2, ("lang",), "doc_id", bin_width=16)
+        .writeStream.format("memory").queryName("qbins")
+        .outputMode("complete").trigger(availableNow=True).start()
+        .awaitTermination(120)
+    )
+    got_q = {
+        (r["lang"], r["q_num"]): r["val"]
+        for r in quantiles_from_bins(
+            spark.table("qbins"), ("lang",), bin_width=16
+        ).collect()
+    }
+    exp_q = {
+        (r["lang"], r["q_num"]): r["val"]
+        for r in group_quantiles_hist(
+            p.select("lang", "doc_id"), ("lang",), "doc_id", bin_width=16
+        ).collect()
+    }
+    assert got_q == exp_q and got_q
