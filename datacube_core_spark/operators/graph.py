@@ -603,8 +603,10 @@ def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, iters: int = 3,
         hharm = dt if hharm is None else hharm + dt
     # anchor on nodes: registers may exist for non-node edge targets
     # (the twin drops them via its hb_s0 inner join — hb_reg0 is built
-    # from nodes only, so joining back to ids is the same filter)
-    return ids.join(wide, "v").select(
+    # from nodes only).  left_semi, not inner: a duplicate row in
+    # `nodes` must not fan out the per-node result (the twin's GROUP BY
+    # keeps one row per v either way)
+    return wide.join(ids, "v", "left_semi").select(
         F.col("v").alias(id_col),
         *[F.col(f"s{t}") for t in range(iters + 1)],
         est(F.col(f"s{iters}")).alias("reach_est"),
@@ -746,6 +748,8 @@ def sql_random_walks(edges_cte: str, nodes_cte: str, walks_per_node: int = 2,
     """DuckDB twin: ranked neighbors + one unrolled CTE per step."""
     from datacube_core_spark.operators.dedup import sql_md5_h32
 
+    if length < 1 or walks_per_node < 1:  # same guard as the Spark dialect
+        raise ValueError("length and walks_per_node must be >= 1")
     pick = sql_md5_h32(
         "CAST(walk_id AS VARCHAR) || ':' || '{t}' || ':' || CAST(cur AS VARCHAR)"
     )

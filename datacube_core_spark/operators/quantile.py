@@ -98,18 +98,32 @@ def group_quantiles_hist(
     bin containing rank ⌈q·n⌉.  ``value_col`` must be integral and
     ≥ bin_origin (DIV flooring).  Equals the exact path at
     bin_width = 1."""
+    counts = quantile_bin_counts(df, group_cols, value_col, bin_width, bin_origin)
+    return quantiles_from_bins(counts, group_cols, qs, bin_width, bin_origin)
+
+
+def quantile_bin_counts(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    bin_width: int = 1,
+    bin_origin: int = 0,
+) -> DataFrame:
+    """(group..., bin, c) bin counts — ONE definition shared by the
+    batch path and the streaming sink (``streaming/jobs.
+    streaming_quantile_bins``), so a binning change cannot silently
+    diverge them.  NULL values excluded (the exact path's policy)."""
     gc = list(group_cols)
     b = F.expr(
         f"CAST((CAST({value_col} AS BIGINT) - {int(bin_origin)})"
         f" DIV {int(bin_width)} AS BIGINT)"
     )
-    counts = (
-        df.where(F.col(value_col).isNotNull())  # same NULL policy as exact
+    return (
+        df.where(F.col(value_col).isNotNull())
         .select(*gc, b.alias("bin"))
         .groupBy(*gc, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return quantiles_from_bins(counts, group_cols, qs, bin_width, bin_origin)
 
 
 def quantiles_from_bins(

@@ -328,36 +328,44 @@ def bloom_might_contain(
     k: int = 3,
 ) -> DataFrame:
     """(probe columns..., in_bloom): True iff every one of the k bits is
-    set — no false negatives, tunable false positives.  The filter side
-    is ≤ n_bits/32 rows: broadcast join, probes never shuffle."""
+    set — no false negatives, tunable false positives.
+
+    TRULY map-side: the filter is ≤ n_bits/32 words, so it is collected
+    driver-side (a bounded driver decision, like the salt histograms in
+    ``operators/skew``) and inlined as an array literal; each probe row
+    evaluates k element_at + bit-test expressions — no explode, no join,
+    NO SHUFFLE of the probe side at all (the review of the first
+    join+groupBy version found its fold was an exchange of ~|probes|
+    rows, contradicting the scale claim).  NULL probe values are dropped
+    (same policy as the build side, :func:`cms_lookup`, and the SQL
+    twin).  Probe columns are passed through untouched; the staging
+    columns are double-underscore-reserved."""
     from .dedup import md5_h32_col
 
+    n_words = n_bits // BLOOM_WORD_BITS
+    words = {int(r["word"]): int(r["mask"]) for r in bloom.collect()}
+    arr = F.array(
+        *[F.lit(words.get(w, 0)).cast("long") for w in range(n_words)]
+    )
     v = F.col(value_col).cast("string")
-    keyed = probes.select(
+    staged = probes.where(v.isNotNull()).select(
         *probes.columns,
-        F.explode(
-            F.array(
-                *[
-                    (md5_h32_col(v, start=CMS_STARTS[i]) % n_bits)
-                    for i in range(k)
-                ]
-            )
-        ).alias("p"),
-    ).select(
-        *probes.columns,
-        (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("need"),
+        *[
+            (md5_h32_col(v, start=CMS_STARTS[i]) % n_bits).alias(f"__bp{i}")
+            for i in range(k)
+        ],
     )
-    joined = keyed.join(F.broadcast(bloom), "word", "left")
-    hit = (
-        F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("need"))
-        == F.col("need")
-    ).cast("int")
-    return joined.groupBy(*probes.columns).agg(
-        (F.min(hit) == 1).alias("in_bloom")
-    )
+    hits = []
+    for i in range(k):
+        need = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__bp{i} % {BLOOM_WORD_BITS} AS INT))"
+        )
+        word = F.element_at(arr, (F.col(f"__bp{i}") / BLOOM_WORD_BITS).cast("int") + 1)
+        hits.append(word.bitwiseAND(need) == need)
+    in_bloom = hits[0]
+    for h in hits[1:]:
+        in_bloom = in_bloom & h
+    return staged.select(*probes.columns, in_bloom.alias("in_bloom"))
 
 
 def sql_bloom_build(src: str, value_expr: str, n_bits: int = 4096, k: int = 3) -> str:
@@ -389,7 +397,7 @@ def sql_bloom_might_contain(
     vs = f"CAST({value_expr} AS VARCHAR)"
     parts = [
         f"SELECT {gc}, {sql_md5_h32(vs, start=CMS_STARTS[i])} % {n_bits} AS p "
-        f"FROM {probes_cte}"
+        f"FROM {probes_cte} WHERE {value_expr} IS NOT NULL"
         for i in range(k)
     ]
     un = " UNION ALL ".join(parts)

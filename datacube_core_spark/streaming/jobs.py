@@ -146,16 +146,10 @@ def streaming_quantile_bins(
     sink.  Completes the streaming sketch matrix: HLL registers, CMS
     matrix, Bloom words, quantile bins — each one the batch definition
     applied to a stream, each estimate-on-read."""
-    gc = list(group_cols)
-    b = F.expr(
-        f"CAST((CAST({value_col} AS BIGINT) - {int(bin_origin)})"
-        f" DIV {int(bin_width)} AS BIGINT)"
-    )
-    return (
-        stream.where(F.col(value_col).isNotNull())
-        .select(*gc, b.alias("bin"))
-        .groupBy(*gc, "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
+    from ..operators.quantile import quantile_bin_counts
+
+    return quantile_bin_counts(
+        stream, group_cols, value_col, bin_width, bin_origin
     )
 
 

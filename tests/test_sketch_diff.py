@@ -405,3 +405,63 @@ def test_streaming_bloom_and_quantile_bins_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got_q == exp_q and got_q
+
+
+def test_bloom_null_probe_and_mapside_plan(spark):
+    """Second-review findings: NULL probes are dropped in BOTH dialects
+    (the first SQL twin CRASHED DuckDB on a NULL probe via
+    CAST('0x' AS BIGINT)); the probe side has NO exchange at all; probe
+    columns named like internals pass through."""
+    from datacube_core_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+        sql_bloom_build,
+        sql_bloom_might_contain,
+    )
+
+    mdf = spark.createDataFrame([("a",), ("b",)], "v STRING")
+    bloom = bloom_build(mdf, F.col("v"), n_bits=128, k=3)
+    probes = spark.createDataFrame(
+        [("a", 7), (None, 8), ("z", 9)], "v STRING, mask LONG"  # 'mask' collides on purpose
+    )
+    res = bloom_might_contain(bloom, probes, "v", 128, 3)
+    got = {r["v"]: (r["mask"], r["in_bloom"]) for r in res.collect()}
+    assert got["a"] == (7, True) and None not in got  # NULL probe dropped
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in head  # truly map-side
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (v VARCHAR)")
+    con.executemany("INSERT INTO m VALUES (?)", [("a",), ("b",)])
+    con.execute("CREATE TABLE p (v VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?)", [("a",), (None,), ("z",)])
+    duck = dict(con.execute(
+        f"WITH bloom AS ({sql_bloom_build('m', 'v', 128, 3)}) "
+        + sql_bloom_might_contain("bloom", "p", ("v",), "v", 128, 3)
+    ).fetchall())
+    assert duck == {v: b for v, (_, b) in got.items()}
+
+
+def test_hyperball_duplicate_nodes_no_fanout(spark):
+    """Second-review finding: a duplicate row in `nodes` must not fan
+    out the per-node result (left_semi anchor, matching the twin's
+    GROUP BY)."""
+    from datacube_core_spark.operators.graph import hyperball_harmonic
+
+    edges = [(0, 1), (1, 0)]
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ndf = spark.createDataFrame([(0,), (1,), (1,)], "doc_id LONG")  # dup
+    out = hyperball_harmonic(edf, ndf, iters=2, p=4).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+
+
+def test_sql_random_walks_guard(spark):
+    import pytest as _pytest
+
+    from datacube_core_spark.operators.graph import sql_random_walks
+
+    with _pytest.raises(ValueError):
+        sql_random_walks("e", "n", walks_per_node=0)
+    with _pytest.raises(ValueError):
+        sql_random_walks("e", "n", length=0)
