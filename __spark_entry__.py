@@ -1008,7 +1008,14 @@ def q_warc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rec"),
     )
     allrecs = req.unionByName(resp).unionByName(meta).unionByName(info)
-    recs = read_warc_gz_streams(build_warc_gz_streams(allrecs, order_col="ord"))
+    # materialize the parsed-record table ONCE: the response/request/
+    # metadata legs below each filter `recs`, and without this the whole
+    # build→gzip→segment→parse pipeline (two Python kernels + a shuffle)
+    # executes three times (guide §2.4/§5 — measured 10.2s → the plan had
+    # 12 MapInPandas/FlatMapGroupsInPandas nodes; after: 4)
+    recs = read_warc_gz_streams(
+        build_warc_gz_streams(allrecs, order_col="ord")
+    ).localCheckpoint(eager=False)
     r = recs.where(F.col("warc_type") == "response").select(
         "stream_id", "rec_index", F.col("record_id").alias("resp_id"),
         "target_uri", F.col("content_length").alias("resp_cl"),

@@ -62,10 +62,14 @@ def dsir_weights(docs: DataFrame, target: Column, id_col: str = "doc_id",
     B = int(n_buckets)
     d = docs.withColumn("__is_t", target)
     big = bigrams_df(d, id_col, text_col, extra_cols=("__is_t",))
+    # featurize ONCE and materialize: `feat` feeds both the bucket-count
+    # aggregate and the per-doc score join — without this the tokenize +
+    # explode + per-bigram md5 chain executes twice (guide §2.4/§5).
+    # The checkpoint holds 4 narrow columns per bigram occurrence.
     feat = big.select(
         id_col, "__is_t", "pos",
         (md5_h32_col(F.concat_ws(" ", "w1", "w2")) % B).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     cr = feat.groupBy("b").agg(
         F.count("*").alias("cr"),
         F.sum(F.col("__is_t").cast("long")).alias("ct"),

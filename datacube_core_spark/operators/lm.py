@@ -78,15 +78,37 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
     with fewer than two tokens carry no bigram evidence and are not
     scored (absent from the output, same as the SQL twin).
     """
-    d = docs.select(id_col, lang_col, _clean_tokens(F.col(text_col)).alias("t"))
-    big = bigrams_df(docs, id_col, text_col, extra_cols=(lang_col,))
+    # tokenize ONCE and materialize: the cleaned-token table feeds three
+    # consumers (the bigram occurrence table twice — count build + score
+    # join — and the vocabulary aggregate).  Without this the parquet
+    # scan + regex split + explode chain executes four times (guide
+    # §2.4/§5: the r7 plan audit counted 4 identical scan→Generate
+    # subtrees).  The checkpoint holds one narrow row per doc.
+    d = docs.select(
+        id_col, lang_col, _clean_tokens(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=False)
+    pairs = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (w, i) -> struct(i AS pos, w AS w1, t[i + 1] AS w2))"
+    )
+    big = (
+        d.select(id_col, lang_col, F.explode(pairs).alias("b"))
+        .select(id_col, lang_col, "b.pos", "b.w1", "b.w2")
+    )
     c2 = big.groupBy(lang_col, "w1", "w2").agg(F.count("*").alias("c2"))
     # context counts DERIVED from the bigram table (C1(w) = Σ_w2 C2(w,w2))
     # — the Zipf-skewed (lang, w1) join then runs over the AGGREGATED
     # table (rows bounded by distinct-successor counts, not occurrences),
     # and the big occurrence table is joined exactly ONCE
     c1 = c2.groupBy(lang_col, "w1").agg(F.sum("c2").alias("c1"))
-    cj = c2.join(c1, [lang_col, "w1"])
+    # SHUFFLE_HASH: the count table is the build side of the big×counts
+    # join below.  Without the hint AQE's size estimates broadcast the
+    # 4M-row OCCURRENCE side (BuildLeft — measured 7.7s warm, and a
+    # driver-side collect that cannot exist at corpus scale); with it the
+    # occurrence table shuffles once on the near-uniform (lang, w1, w2)
+    # key and each partition builds a hash table over its aggregated
+    # count rows (guide §3.1; 3.5s warm; AQE skew-split still applies).
+    cj = c2.join(c1, [lang_col, "w1"]).hint("shuffle_hash")
     vocab = (
         d.select(lang_col, F.explode("t").alias("w"))
         .groupBy(lang_col).agg(F.countDistinct("w").alias("v"))
