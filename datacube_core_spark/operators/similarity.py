@@ -68,6 +68,184 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized sequential-fold kernels (guide §4.2).
+#
+# The Catalyst higher-order ``aggregate(zip_with(...))`` fold above is
+# interpreted per row-pair (no whole-stage codegen for HOFs) — measured as
+# the dominant cost of every similarity operator.  These Arrow kernels
+# compute the IDENTICAL left fold vectorized over rows: the dim loop runs
+# ``acc = acc + (a_i * b_i)`` as elementwise numpy ops, so each row's
+# result is the same correctly-rounded IEEE sequence the Catalyst fold
+# (and the DuckDB twin's list_dot_product oracle contract) produces —
+# bitwise-equal doubles, orders of magnitude less per-row overhead.  All
+# decision floats (cosines, distances, norms) keep exact op order.
+# ---------------------------------------------------------------------------
+
+
+def _mat(values) -> np.ndarray:
+    """(n, d) float64 matrix from a pandas Series of list/array cells."""
+    if len(values) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.array([np.asarray(x, dtype=np.float64) for x in values], dtype=np.float64)
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise sequential-fold dot product: bitwise-identical to
+    ``aggregate(zip_with(a, b, (x,y)->x*y), 0.0, (acc,v)->acc+v)``."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * b[:, i]
+    return acc
+
+
+def _seq_dot_const(a: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Row-wise sequential fold of ``a · c`` for a constant vector c."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * c[i]
+    return acc
+
+
+def _pair_cos_udf():
+    """pandas UDF: cos = dot/(na*nb) with the sequential-fold dot,
+    0.0 when the denominator is not > 0 — same op order as
+    :func:`cosine_col` / the oracle twins, batch-evaluated."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va, na, vb, nb):  # type: ignore[no-untyped-def]
+        a, b = _mat(va), _mat(vb)
+        num = _seq_dot(a, b)
+        den = na.to_numpy(dtype=np.float64) * nb.to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0.0, num / den, 0.0)
+        return pd.Series(out)
+
+    return _cos
+
+
+def _ivf_dists(v: np.ndarray, cent: np.ndarray) -> tuple:
+    """(x², D) where D[:, j] = (x² − 2·(v·c_j)) + |c_j|², every term in
+    the exact order of :func:`_dist2_cols` (|c_j|² is the same
+    ``float(np.dot(c, c))`` literal the Catalyst/SQL dialects embed)."""
+    c2 = [float(np.dot(c, c)) for c in cent]
+    x2 = _seq_dot(v, v)
+    d = np.empty((v.shape[0], len(cent)), dtype=np.float64)
+    for j, c in enumerate(cent):
+        d[:, j] = (x2 - 2.0 * _seq_dot_const(v, np.asarray(c, dtype=np.float64))) + c2[j]
+    return x2, d
+
+
+def _schema_plus(df: DataFrame, *fields: str):
+    """Input schema plus ``"name type"`` columns (kernel output schemas)."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    out = StructType(list(df.schema.fields))
+    for f in fields:
+        name, typ = f.split(" ", 1)
+        out.add(name, _parse_datatype_string(typ))
+    return out
+
+
+def _with_ivf_assign(df: DataFrame, cent: np.ndarray, vec_col: str,
+                     norm_name: str | None = None) -> DataFrame:
+    """mapInPandas twin of :func:`ivf_assign_col` (+ optional norm):
+    1-based argmin list id, first-min tie-break like array_position."""
+    cent = np.asarray(cent, dtype=np.float64)
+    extra = ["lst int"] + ([f"{norm_name} double"] if norm_name else [])
+    schema = _schema_plus(df, *extra)
+
+    def fn(it):
+        for pdf in it:
+            v = _mat(pdf[vec_col])
+            if len(pdf) == 0:
+                x2 = np.zeros(0)
+                lst = np.zeros(0, dtype="int32")
+            else:
+                x2, d = _ivf_dists(v, cent)
+                lst = (np.argmin(d, axis=1) + 1).astype("int32")
+            out = pdf.copy()
+            out["lst"] = lst
+            if norm_name:
+                out[norm_name] = np.sqrt(x2)
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+def _ivf_probe_rows(df: DataFrame, cent: np.ndarray, n_probe: int,
+                    vec_col: str, norm_name: str) -> DataFrame:
+    """mapInPandas twin of the query-side probe explode: for each row,
+    the ``n_probe`` nearest lists in ``slice(array_sort(struct(d, lst)))``
+    order (stable argsort over d == struct sort, ties by lst asc)."""
+    import pandas as pd
+
+    cent = np.asarray(cent, dtype=np.float64)
+    schema = _schema_plus(df, "lst int", f"{norm_name} double")
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["lst"] = np.zeros(0, dtype="int32")
+                out[norm_name] = np.zeros(0)
+                yield out
+                continue
+            v = _mat(pdf[vec_col])
+            x2, d = _ivf_dists(v, cent)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            idx = np.repeat(np.arange(len(pdf)), n_probe)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out["lst"] = (order + 1).astype("int32").ravel()
+            out[norm_name] = np.sqrt(x2)[idx]
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+def _with_norm(df: DataFrame, vec_col: str, norm_name: str) -> DataFrame:
+    """mapInPandas twin of :func:`norm_col`: sqrt of the sequential-fold
+    self-dot."""
+    schema = _schema_plus(df, f"{norm_name} double")
+
+    def fn(it):
+        for pdf in it:
+            v = _mat(pdf[vec_col])
+            out = pdf.copy()
+            out[norm_name] = np.sqrt(_seq_dot(v, v)) if len(pdf) else np.zeros(0)
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+def _with_lsh_code(df: DataFrame, planes: np.ndarray, vec_col: str,
+                   code_name: str = "code",
+                   norm_name: str | None = None) -> DataFrame:
+    """mapInPandas twin of :func:`lsh_code_col` (+ optional norm):
+    bit i set iff the sequential-fold ``v · plane_i`` is >= 0."""
+    planes = np.asarray(planes, dtype=np.float64)
+    extra = [f"{code_name} long"] + ([f"{norm_name} double"] if norm_name else [])
+    schema = _schema_plus(df, *extra)
+
+    def fn(it):
+        for pdf in it:
+            v = _mat(pdf[vec_col])
+            code = np.zeros(len(pdf), dtype=np.int64)
+            for i, plane in enumerate(planes):
+                if len(pdf):
+                    code += np.where(_seq_dot_const(v, plane) >= 0.0,
+                                     np.int64(1 << i), np.int64(0))
+            out = pdf.copy()
+            out[code_name] = code
+            if norm_name:
+                out[norm_name] = np.sqrt(_seq_dot(v, v)) if len(pdf) else np.zeros(0)
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -84,7 +262,10 @@ def brute_force_topk(
     """
     # norms are precomputed per vector (NOT per pair) — the final
     # expression dot/(na*nb) is unchanged, so results stay bit-identical
-    # to the naive form (and to the DuckDB oracle)
+    # to the naive form (and to the DuckDB oracle).  This operator stays
+    # on the Catalyst fold: at its |Q|-bounded pair volume the
+    # interpreted fold beat the Arrow kernel round-trip (r7: 0.92s vs
+    # 1.54s) — the vectorized path wins only on the big bucketed joins.
     v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
     v = v.withColumn("na", norm_col(F.col("v"), dim))
     q = queries.select(F.col(query_id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv"))
@@ -137,21 +318,18 @@ def lsh_topk(
     neighbor codes (Hamming ≤ probe_hamming), exact rerank in-bucket."""
     planes = _hyperplanes(dim, n_bits)
     v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
-    v = v.withColumn("code", lsh_code_col(F.col("v"), planes))
+    v = _with_lsh_code(v, planes, "v", "code", "na")
 
     q = queries.select(F.col(query_id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("code0", lsh_code_col(F.col("qv"), planes))
+    q = _with_lsh_code(q, planes, "qv", "code0", "nb")
     # multiprobe: original code + all codes within hamming distance 1
     probes = [F.col("code0")]
     if probe_hamming >= 1:
         probes += [F.col("code0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
     q = q.withColumn("code", F.explode(F.array(*probes)))
 
-    v = v.withColumn("na", norm_col(F.col("v")))
-    q = q.withColumn("nb", norm_col(F.col("qv")))
     pairs = v.join(F.broadcast(q.select("qid", "qv", "nb", "code")), on="code")
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("v"), F.col("qv")) / den).otherwise(F.lit(0.0))
+    cos = _pair_cos_udf()(F.col("v"), F.col("na"), F.col("qv"), F.col("nb"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         pairs.select("qid", "vec_id", cos.alias("cos_sim"))
@@ -173,21 +351,25 @@ def cosine_neardup_pairs(
     Hamming-1 probing, exact cosine verification."""
     planes = _hyperplanes(dim, n_bits)
     v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
-    v = v.withColumn("code0", lsh_code_col(F.col("v"), planes))
+    # code + norm computed ONCE per vector and materialized: the coded
+    # table feeds both join sides (probe-exploded left, plain right) —
+    # un-checkpointed, the code kernel would run twice
+    v = _with_lsh_code(v, planes, "v", "code0", "n0").localCheckpoint(eager=False)
     probes = [F.col("code0")] + [F.col("code0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
     exploded = v.withColumn("code", F.explode(F.array(*probes)))
 
-    v = v.withColumn("n0", norm_col(F.col("v")))
-    exploded = exploded.withColumn("n0", norm_col(F.col("v")))
     left = exploded.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n0").alias("na"), "code")
     right = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n0").alias("nb"), F.col("code0").alias("code"))
     cand = (
         left.join(right, "code").where(F.col("a") < F.col("b"))
         .select("a", "b", "va", "vb", "na", "nb").distinct()
     )
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
-    return cand.select("a", "b", cos.alias("cos_sim")).where(F.col("cos_sim") >= F.lit(threshold))
+    cos = _pair_cos_udf()(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("a", "b", "cos_sim")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -317,23 +499,13 @@ def ivf_topk(
     cosine rerank within the probed lists.  The big side shuffles on the
     list id; queries broadcast — same shape as the LSH path."""
     v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
-    v = v.withColumn("lst", ivf_assign_col(F.col("v"), centroids)).withColumn(
-        "na", norm_col(F.col("v"))
-    )
+    v = _with_ivf_assign(v, centroids, "v", "na")
 
     q = queries.select(F.col(query_id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv"))
-    qd = _dist2_cols(F.col("qv"), centroids)
-    pairs_arr = F.array(
-        *[F.struct(qd[i].alias("d"), F.lit(i + 1).alias("lst")) for i in range(len(centroids))]
-    )
-    probes = F.slice(F.array_sort(pairs_arr), 1, n_probe)
-    q = q.withColumn("lst", F.explode(F.transform(probes, lambda s: s["lst"]))).withColumn(
-        "nb", norm_col(F.col("qv"))
-    )
+    q = _ivf_probe_rows(q, centroids, n_probe, "qv", "nb")
 
     pairs = v.join(F.broadcast(q.select("qid", "qv", "nb", "lst")), on="lst")
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("v"), F.col("qv")) / den).otherwise(F.lit(0.0))
+    cos = _pair_cos_udf()(F.col("v"), F.col("na"), F.col("qv"), F.col("nb"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         pairs.select("qid", "vec_id", cos.alias("cos_sim"))
@@ -444,18 +616,18 @@ def semdedup_kept(
     Same cosine op order as the IVF/LSH paths so the DuckDB twin is
     bit-faithful."""
     v = vectors.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
-    v = (
-        v.withColumn("lst", ivf_assign_col(F.col("v"), centroids))
-        .withColumn("n", norm_col(F.col("v")))
-    )
+    # assignment + norm computed ONCE and materialized: `v` feeds both
+    # self-join sides AND the final anti-join — un-checkpointed, the
+    # quantizer kernel ran three times (guide §2.4/§5)
+    v = _with_ivf_assign(v, centroids, "v", "n").localCheckpoint(eager=False)
     a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"), "lst")
     b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "lst")
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
+    cos = _pair_cos_udf()(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
     dropped = (
         a.join(b, on="lst")
         .where(F.col("a") < F.col("b"))
-        .where(cos >= F.lit(float(threshold)))
+        .withColumn("__cos", cos)
+        .where(F.col("__cos") >= F.lit(float(threshold)))
         .select(F.col("b").alias("vec_id"))
         .distinct()
     )
