@@ -289,9 +289,12 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
+    # materialize the banded table ONCE: both self-join sides consume it,
+    # and un-checkpointed the 64-min-aggregate signature build (the
+    # pipeline's most expensive stage) executes twice (guide §2.4/§5)
     banded = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    ).localCheckpoint(eager=False)
     left = banded.select(F.col("doc_id").alias("a"), "band", "bh")
     right = banded.select(F.col("doc_id").alias("b"), "band", "bh")
     cand = (
@@ -315,7 +318,11 @@ def minhash_lsh_pairs(
     # semi-joins + final pair restriction all read the materialized result
     # (the r1 measurement that found the semi-join slower was re-executing
     # the candidate plan to build it).
-    cand = cand.localCheckpoint(eager=True)
+    # eager=False (r7): the lazy checkpoint still runs the banded-join
+    # plan exactly once (the RDD materializes on first access and all
+    # three verify references share its blocks) but folds the work into
+    # the query's own job instead of a separate synchronous barrier
+    cand = cand.localCheckpoint(eager=False)
     a = (
         sh.join(cand.select(F.col("a").alias("doc_id")), "doc_id", "left_semi")
         .select(F.col("doc_id").alias("a"), "shingle", F.col("n_sh").alias("n_a"))
@@ -462,7 +469,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc
     """
     nb = max_hamming + 1
     width = 64 // nb
-    sh = simhash(docs, id_col, text_col)
+    # materialize the signature table ONCE: both blocked self-join sides
+    # consume it, and un-checkpointed the token explode + md5 + 64-sum
+    # sketch build executes twice (guide §2.4/§5); one narrow row per doc
+    sh = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
     blocks = F.array(
         *[
             F.struct(
@@ -547,9 +557,16 @@ def dup_clusters(
     ``max_iters`` (silently-partial components would corrupt a dedup
     keep-list).  Returns (doc_id, cluster).
     """
-    edges = (
+    # materialize the incoming pair list ONCE before mirroring: the
+    # two union branches otherwise replay the caller's whole pair
+    # pipeline (for the minhash entry that is the full LSH + verify
+    # plan) twice (guide §2.4/§5)
+    p0 = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        p0.unionByName(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=False)
     )
