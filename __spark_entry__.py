@@ -1241,7 +1241,8 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = pages(spark, sf_dir, repl=Q_REPL)
     edges = page_edges(p).localCheckpoint(eager=False)  # extract once, not per level
-    hc = harmonic_centrality(edges, p.select("doc_id"), radius=4)
+    nodes = p.select("doc_id").localCheckpoint(eager=False)  # derive once
+    hc = harmonic_centrality(edges, nodes, radius=4)
     return hc.select(
         "doc_id", "reach", F.col("hc_num").alias("hc_x12"),
         (F.col("hc_num") / F.lit(12.0)).alias("hc"),
@@ -1327,7 +1328,8 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pg = pages(spark, sf_dir, repl=Q_REPL)
     edges = page_edges(pg)
-    return random_walks(edges, pg.select("doc_id"), walks_per_node=1, length=4)
+    nodes = pg.select("doc_id").localCheckpoint(eager=False)  # derive once
+    return random_walks(edges, nodes, walks_per_node=1, length=4)
 
 
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1461,7 +1463,9 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pg = pages(spark, sf_dir, repl=Q_REPL)
     edges = page_edges(pg).localCheckpoint(eager=False)
-    nodes = pg.select("doc_id")
+    # nodes derived once: the projection otherwise replays the pages
+    # build (repartition + replication explode) once per iteration
+    nodes = pg.select("doc_id").localCheckpoint(eager=False)
     seeds = nodes.where(F.col("doc_id") % 100 == 0)
     tr = trustrank_exact(edges, nodes, seeds, iters=5)
     return tr.select(
@@ -1483,7 +1487,8 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pg = pages(spark, sf_dir, repl=Q_REPL)
     edges = page_edges(pg).localCheckpoint(eager=False)
-    return hyperball_harmonic(edges, pg.select("doc_id"), iters=3, p=4)
+    nodes = pg.select("doc_id").localCheckpoint(eager=False)  # derive once
+    return hyperball_harmonic(edges, nodes, iters=3, p=4)
 
 
 def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1504,7 +1509,8 @@ def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = pages(spark, sf_dir, repl=Q_REPL)
     edges = page_edges(p).where((F.col("src") % 97) == (F.col("dst") % 97))
-    cc = connected_components(edges, p.select("doc_id"))
+    nodes = p.select("doc_id").localCheckpoint(eager=False)  # derive once
+    cc = connected_components(edges, nodes)
     return cc.select(
         "doc_id",
         (F.col("doc_id") % 97).alias("host_id"),
@@ -1523,7 +1529,9 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = pages(spark, sf_dir, repl=Q_REPL)
     edges = page_edges(p).localCheckpoint(eager=False)  # extract once, not 6x
-    return hits_exact(edges, p.select("doc_id"), iters=3)
+    # nodes derived once: referenced twice per HITS round
+    nodes = p.select("doc_id").localCheckpoint(eager=False)
+    return hits_exact(edges, nodes, iters=3)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,7 +1554,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extract ONCE: the iteration references edges 5x + indeg once; an
     # unmaterialized edge list would replay the html regex per reference
     edges = page_edges(p).localCheckpoint(eager=False)
-    nodes = p.select("doc_id")
+    # nodes derived once: referenced once per PageRank round (the pages
+    # build replays per reference otherwise — measured ~0.5s of the 4.1s)
+    nodes = p.select("doc_id").localCheckpoint(eager=False)
     pr = pagerank_exact(edges, nodes, iters=5)
     indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
     denom = float(Q_REPL * n_docs) * float(60**5)

@@ -292,7 +292,10 @@ def harmonic_centrality(edges: DataFrame, nodes: DataFrame, radius: int = 4,
         edges.select(F.col("src").alias("s"), F.col("dst").alias("v"))
         .distinct()
         .withColumn("d", F.lit(1))
-        .localCheckpoint(eager=True)
+        # lazy (r7): materialized once on first access, but the work
+        # folds into the query's own job instead of one synchronous
+        # barrier per level (measured ~1s faster warm at sf0.1)
+        .localCheckpoint(eager=False)
     )
     frontier = known.select("s", "v")
     for lvl in range(2, radius + 1):
@@ -304,7 +307,7 @@ def harmonic_centrality(edges: DataFrame, nodes: DataFrame, radius: int = 4,
             .select("s", F.col("dst").alias("v"))
             .distinct()
             .join(known.select("s", "v"), ["s", "v"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = nxt
         known = known.unionByName(nxt.withColumn("d", F.lit(lvl)))
@@ -553,7 +556,9 @@ def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, iters: int = 3,
     )
     regs = (
         base.select("v", "j", _hll_rank_col(F.col("hbits")).alias("r"))
-        .localCheckpoint(eager=True)
+        # lazy (r7): same one-time materialization, no per-round
+        # synchronous barrier (measured ~0.7s faster warm at sf0.1)
+        .localCheckpoint(eager=False)
     )
 
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - r)")
@@ -577,7 +582,7 @@ def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, iters: int = 3,
             prop.unionByName(regs.select("v", "j", "r"))
             .groupBy("v", "j")
             .agg(F.max("r").alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sizes = sizes.unionByName(ball_size(regs, t))
 
