@@ -446,8 +446,18 @@ def knn_join(
     spark = pages_df.sparkSession
     size = min(abs(grid.tile_size[0]), abs(grid.tile_size[1]))
 
+    # materialize both point tables ONCE (r7): pages_t is re-read by the
+    # dense-cell pass and by EVERY escalation round's ring join, pending
+    # by the count probe + dense pass + round-1 join — un-checkpointed,
+    # each reference replays the caller's derivation (for the entry
+    # queries that is the full pages build) (guide §2.4/§5)
     tx, ty = point_tile_cols(grid, F.col("lon"), F.col("lat"))
-    pages_t = pages_df.select(id_col, "lon", "lat").withColumn("ptx", tx).withColumn("pty", ty)
+    pages_t = (
+        pages_df.select(id_col, "lon", "lat")
+        .withColumn("ptx", tx)
+        .withColumn("pty", ty)
+        .localCheckpoint(eager=False)
+    )
 
     qtx, qty = point_tile_cols(grid, F.col("q_lon"), F.col("q_lat"))
     pending = (
@@ -458,6 +468,7 @@ def knn_join(
         )
         .withColumn("qtx", qtx)
         .withColumn("qty", qty)
+        .localCheckpoint(eager=False)
     )
 
     results = None
