@@ -166,6 +166,11 @@ class GeohashPipIndex:
             keyed = pages_df.select(
                 *base_cols, lon, lat, F.col(key_col).alias("__gh_leaf")
             )
+        if self._has_catalyst and self._has_generic:
+            # both tiers consume the keyed big side — materialize it once
+            # so the leaf-keying pass (and the caller's derivation) does
+            # not run per tier (guide §2.4/§5)
+            keyed = keyed.localCheckpoint(eager=False)
         leaf = F.col("__gh_leaf")
 
         elems = [

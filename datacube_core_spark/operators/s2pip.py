@@ -249,6 +249,11 @@ class S2PipIndex:
             )
         else:
             keyed = pages_df.select(*base_cols, lon, lat, F.col(cell_col).alias("__s2_leaf"))
+        if self._has_catalyst and self._has_generic:
+            # both tiers consume the keyed big side — materialize it once
+            # so the Arrow leaf-keying pass (and the caller's derivation)
+            # does not run per tier (guide §2.4/§5)
+            keyed = keyed.localCheckpoint(eager=False)
         leaf = F.col("__s2_leaf")
 
         # per-level parents in ONE pass (array+explode, pipelined)
