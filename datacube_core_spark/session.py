@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # generous broadcast threshold: region/tile dimension tables are small
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash join when its size conditions
+        # are met (guide §3.1/§9): the engine's joins build against
+        # aggregated/bounded sides, where SHJ skips the sort; SMJ remains
+        # available and AQE skew-splitting applies to both.  Overridable
+        # for clusters where sort-merge's graceful spill is preferred.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
