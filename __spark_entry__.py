@@ -791,7 +791,9 @@ def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("url", F.lit(_XML_SPECIALS)).alias("url"),
         "warc_ts",
     )
-    chunks = build_sitemap_chunks(p, max_urls=SITEMAP_CHUNK)
+    # chunks feed BOTH layers (index build + child parse) — materialize
+    # once or the per-host window + XML build chain runs twice
+    chunks = build_sitemap_chunks(p, max_urls=SITEMAP_CHUNK).localCheckpoint(eager=False)
     idx = parse_sitemap_index(build_sitemap_index(chunks)).select(
         "host", "chunk", "sitemap_loc", F.col("lastmod").alias("chunk_lastmod")
     )

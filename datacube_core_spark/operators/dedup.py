@@ -53,12 +53,49 @@ def shingles_col(text_col, n: int = 3):
 
 def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per (doc, distinct shingle): the substrate for Jaccard and
-    minhash.  ``n_sh`` carries each doc's distinct-shingle count —
-    computed from the array BEFORE the explode (single pass, no join)."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("_shs")
-    ).withColumn("n_sh", F.size("_shs"))
-    return base.select("doc_id", "n_sh", F.explode("_shs").alias("shingle"))
+    minhash.  ``n_sh`` carries each doc's distinct-shingle count.
+
+    r7: tokenization stays JVM-side (the same regex split as
+    :func:`shingles_col`), but the n-gram assembly + dedup runs in an
+    Arrow kernel — Catalyst's ``zip_with``/``array_distinct`` chain is
+    interpreted per element (no codegen for higher-order functions) and
+    dominated every shingle pipeline (guide §4.2).  The kernel emits
+    byte-identical strings (pure ``' '``-joins of the very tokens the
+    JVM split produced), so every downstream hash/join/oracle contract
+    is unchanged — pinned by tests/test_dedup.py's equivalence test and
+    the green ngram_jaccard/minhash_lsh oracles."""
+    import pandas as pd
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    id_type = dict(base.dtypes)["doc_id"]
+    schema = f"doc_id {id_type}, n_sh int, shingle string"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list = []
+            nshs: list = []
+            grams: list = []
+            for did, t in zip(pdf["doc_id"], pdf["_t"]):
+                t = list(t)
+                if len(t) < n:
+                    continue
+                # dict preserves first-seen order like array_distinct
+                # (row order is irrelevant downstream; the string SET is
+                # what the contracts consume)
+                seen = dict.fromkeys(
+                    " ".join(t[i:i + n]) for i in range(len(t) - n + 1)
+                )
+                k = len(seen)
+                ids.extend([did] * k)
+                nshs.extend([k] * k)
+                grams.extend(seen)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "n_sh": nshs, "shingle": grams}
+                )
+
+    return base.mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------
