@@ -639,10 +639,16 @@ def knn_join(
             .withColumn("dist_sq", dlon * dlon + dlat * dlat)
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(), F.col(id_col).asc())
+        # materialize the round's top-k ONCE (r7): both the results batch
+        # and the pending anti-join (separate jobs — the per-round eager
+        # checkpoint + emptiness probe below) consume it, and exchange
+        # reuse does not cross job boundaries, so un-checkpointed the
+        # ring join + window executed twice per round (guide §2.4/§5)
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("qid", id_col, "dist_sq", "rank")
+            .localCheckpoint(eager=False)
         )
 
         guarantee = float(r * size) ** 2
