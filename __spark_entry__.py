@@ -1010,30 +1010,52 @@ def q_warc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rec"),
     )
     allrecs = req.unionByName(resp).unionByName(meta).unionByName(info)
-    # materialize the parsed-record table ONCE: the response/request/
-    # metadata legs below each filter `recs`, and without this the whole
-    # build→gzip→segment→parse pipeline (two Python kernels + a shuffle)
-    # executes three times (guide §2.4/§5 — measured 10.2s → the plan had
-    # 12 MapInPandas/FlatMapGroupsInPandas nodes; after: 4)
-    recs = read_warc_gz_streams(
-        build_warc_gz_streams(allrecs, order_col="ord")
-    ).localCheckpoint(eager=False)
-    r = recs.where(F.col("warc_type") == "response").select(
-        "stream_id", "rec_index", F.col("record_id").alias("resp_id"),
-        "target_uri", F.col("content_length").alias("resp_cl"),
-        F.md5("payload").alias("resp_md5"),
+    recs = read_warc_gz_streams(build_warc_gz_streams(allrecs, order_col="ord"))
+    # PAIRING as ONE conditional aggregation (r7, guide §2.3/§8): the
+    # former three-filters-plus-two-joins shape consumed the parsed
+    # stream three times (10.2 s — 12 Python-kernel plan nodes), and a
+    # payload-carrying localCheckpoint fixed the recompute but thrashed
+    # the heap at 10× scale (133 s).  Instead every record is reduced
+    # map-side to its digest + metadata (the payload bytes never cross a
+    # shuffle), keyed by the response id it belongs to (its own id for
+    # responses, WARC-Concurrent-To for request/metadata), and ONE
+    # groupBy assembles the triple.  Record ids are unique per role by
+    # construction (md5-derived), so the max(when) pivot is exactly the
+    # former inner-join row set; the all-three-present filter reproduces
+    # the inner-join semantics for stragglers.
+    key = F.when(F.col("warc_type") == "response", F.col("record_id")).otherwise(
+        F.col("concurrent_to")
     )
-    rq = recs.where(F.col("warc_type") == "request").select(
-        F.col("concurrent_to").alias("q_ct"), F.col("record_id").alias("req_id"),
-        F.col("content_length").alias("req_cl"), F.md5("payload").alias("req_md5"),
+    slim = recs.where(
+        F.col("warc_type").isin("response", "request", "metadata")
+    ).select(
+        key.alias("resp_id"), "warc_type", "stream_id", "rec_index",
+        "record_id", "target_uri", "content_length",
+        F.md5("payload").alias("pmd5"),
     )
-    mm = recs.where(F.col("warc_type") == "metadata").select(
-        F.col("concurrent_to").alias("m_ct"), F.col("record_id").alias("meta_id"),
-        F.col("content_length").alias("meta_cl"), F.md5("payload").alias("meta_md5"),
+
+    def pick(t: str, c: str):
+        return F.max(F.when(F.col("warc_type") == t, F.col(c)))
+
+    agg = slim.groupBy("resp_id").agg(
+        pick("response", "stream_id").alias("stream_id"),
+        pick("response", "rec_index").alias("rec_index"),
+        pick("response", "target_uri").alias("target_uri"),
+        pick("response", "content_length").alias("resp_cl"),
+        pick("response", "pmd5").alias("resp_md5"),
+        pick("request", "record_id").alias("req_id"),
+        pick("request", "content_length").alias("req_cl"),
+        pick("request", "pmd5").alias("req_md5"),
+        pick("metadata", "record_id").alias("meta_id"),
+        pick("metadata", "content_length").alias("meta_cl"),
+        pick("metadata", "pmd5").alias("meta_md5"),
     )
     return (
-        r.join(rq, r["resp_id"] == rq["q_ct"])
-        .join(mm, r["resp_id"] == mm["m_ct"])
+        agg.where(
+            F.col("resp_md5").isNotNull()
+            & F.col("req_md5").isNotNull()
+            & F.col("meta_md5").isNotNull()
+        )
         .select(
             F.regexp_extract("target_uri", r"/page/(\d+)$", 1).cast("long").alias("doc_id"),
             "stream_id", "rec_index", "resp_id", "req_id", "meta_id",
