@@ -47,6 +47,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # prompt block cleanup: the query paths materialize transient
+        # lazy-localCheckpoint intermediates; their JVM-side blocks are
+        # only dropped when a GC collects the RDD handle, and the default
+        # periodic-GC interval (30min) lets dead blocks from earlier
+        # queries pile onto a long-lived session (multi-query benches,
+        # notebooks), evicting live working set.  A 1-minute sweep keeps
+        # storage bounded at negligible GC cost; scale-neutral.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
