@@ -315,8 +315,14 @@ def harmonic_centrality(edges: DataFrame, nodes: DataFrame, radius: int = 4,
             best.unionByName(expand)
             .groupBy("s", "v")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False)
         )
+        # intermediate levels feed TWO consumers (the next level's
+        # frontier filter + its union) — materialize; the FINAL level
+        # feeds only the hc aggregation, so checkpointing it would
+        # materialize the full pair set (the BFS's largest table) for a
+        # single consumer (r7; measured ~0.8s at sf0.1's 9.6M pairs)
+        if lvl < radius:
+            best = best.localCheckpoint(eager=False)
     scale = math.lcm(*range(1, radius + 1))
     hc = (
         best.where(F.col("s") != F.col("v"))
@@ -588,8 +594,12 @@ def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, iters: int = 3,
             prop.unionByName(regs.select("v", "j", "r"))
             .groupBy("v", "j")
             .agg(F.max("r").alias("r"))
-            .localCheckpoint(eager=False)
         )
+        # intermediate rounds feed THREE consumers (next round's join +
+        # union + their ball_size); the final round feeds only its
+        # ball_size — skip the single-consumer materialization (r7)
+        if t < iters:
+            regs = regs.localCheckpoint(eager=False)
         sizes = sizes.unionByName(ball_size(regs, t))
 
     wide = sizes.groupBy("v").agg(
@@ -749,7 +759,13 @@ def random_walks(edges: DataFrame, nodes: DataFrame, walks_per_node: int = 2,
             .where(F.col("nrank") == (F.col("h") % F.col("outdeg")) + 1)
             .select("walk_id", F.lit(t).alias("step"), F.col("dst").alias("node"))
         )
-        frontier = step.localCheckpoint(eager=True)
+        # intermediate steps feed two consumers (next step + the union);
+        # the final step feeds only the union — skip its barrier +
+        # materialization (r7)
+        if t < length:
+            frontier = step.localCheckpoint(eager=True)
+        else:
+            frontier = step
         out = out.unionByName(frontier)
     return out
 

@@ -80,7 +80,10 @@ def lineage_closure(
         )
         if len(fresh.take(1)) == 0:
             break
-        result = result.unionByName(fresh).localCheckpoint(eager=True)
+        # lazy (r7): the accumulated closure still materializes exactly
+        # once (next batch's anti-join reads it) but inside that job,
+        # not as an extra synchronous barrier per batch
+        result = result.unionByName(fresh).localCheckpoint(eager=False)
         frontier = fresh
     return result
 
