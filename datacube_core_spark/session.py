@@ -58,6 +58,18 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
         )
+        # the periodic sweep calls System.gc(); with G1 (JDK17 default)
+        # that is a stop-the-world FULL GC unless explicit GCs are
+        # demoted to concurrent cycles — without this flag the sweep
+        # trades block-pileup thrash for a multi-hundred-ms pause per
+        # minute inside whatever query is running
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+ExplicitGCInvokesConcurrent",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
