@@ -58,6 +58,15 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
         )
+        # whole-stage-codegen class cache: the default 100 entries is
+        # smaller than one pass of a many-query workload (the entry
+        # suite alone compiles several hundred distinct stages), so
+        # steady-state re-runs recompile evicted classes every pass.
+        # ~50KB/class -> ~100MB at 2000 entries, fine for the driver.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
         # the periodic sweep calls System.gc(); with G1 (JDK17 default)
         # that is a stop-the-world FULL GC unless explicit GCs are
         # demoted to concurrent cycles — without this flag the sweep
