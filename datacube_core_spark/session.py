@@ -67,18 +67,11 @@ def get_spark(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
         )
-        # the periodic sweep calls System.gc(); with G1 (JDK17 default)
-        # that is a stop-the-world FULL GC unless explicit GCs are
-        # demoted to concurrent cycles — without this flag the sweep
-        # trades block-pileup thrash for a multi-hundred-ms pause per
-        # minute inside whatever query is running
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:+ExplicitGCInvokesConcurrent",
-            ),
-        )
+        # NOTE: -XX:+ExplicitGCInvokesConcurrent was tried for the
+        # sweep's System.gc() and measured WORSE (positional prefix
+        # bench 25.2s -> 28.8s): the concurrent cycle reclaims dead
+        # block references less promptly than the bounded ~100ms full
+        # GC, and prompt reclamation is the sweep's whole point.
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
